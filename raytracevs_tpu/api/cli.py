@@ -1,0 +1,89 @@
+"""Command-line renderer: .rtvs scene file -> PNG.
+
+The headless equivalent of the reference's RenderWindow toolbar path
+(Views/RenderWindow.xaml.cs:244 StartRenderingFromToolbar).
+
+Usage:
+    python -m raytracevs_tpu.api.cli scene.rtvs -o out.png -W 1920 -H 1080
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description="Render a .rtvs scene to PNG (TPU-native).")
+    p.add_argument("scene", help="path to the .rtvs scene file")
+    p.add_argument("-o", "--output", default="render.png", help="output PNG path")
+    p.add_argument("-W", "--width", type=int, default=1920)
+    p.add_argument("-H", "--height", type=int, default=1080)
+    p.add_argument("--spp", type=int, default=None, help="override samples per pixel")
+    p.add_argument("--bounces", type=int, default=None, help="override max bounces")
+    p.add_argument("--frames", type=int, default=1, help="frames to render (timing)")
+    p.add_argument("--cpu", action="store_true", help="force CPU backend")
+    p.add_argument("--json", action="store_true", help="print timing stats as JSON")
+    args = p.parse_args(argv)
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from ..runtime.engine import Engine
+
+    overrides = {}
+    if args.spp is not None:
+        overrides["samples_per_pixel"] = args.spp
+    if args.bounces is not None:
+        overrides["max_bounces"] = args.bounces
+
+    engine = Engine(args.width, args.height)
+    try:
+        engine.load_rtvs(args.scene, **overrides)
+    except FileNotFoundError:
+        print(f"error: scene file not found: {args.scene}", file=sys.stderr)
+        return 1
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+
+    img = engine.render()  # first frame includes compile
+    compile_ms = engine.last_render_ms
+    times = []
+    for _ in range(max(0, args.frames - 1)):
+        img = engine.render()
+        times.append(engine.last_render_ms)
+
+    try:
+        from PIL import Image
+
+        Image.fromarray(img).save(args.output)
+    except ImportError:
+        from ..io.png import write_png
+
+        write_png(args.output, img)
+
+    stats = {
+        "output": args.output,
+        "width": args.width,
+        "height": args.height,
+        "first_frame_ms": round(compile_ms, 2),
+        "steady_frame_ms": round(sum(times) / len(times), 2) if times else None,
+        "rays_per_frame": engine.last_rays,
+        "mrays_per_s": round(engine.last_mrays_per_s, 2),
+    }
+    if args.json:
+        print(json.dumps(stats))
+    else:
+        print(f"wrote {args.output} ({args.width}x{args.height})")
+        print(f"first frame {stats['first_frame_ms']} ms (incl. compile); "
+              f"steady {stats['steady_frame_ms']} ms; "
+              f"{stats['mrays_per_s']} Mrays/s")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

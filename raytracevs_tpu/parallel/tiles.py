@@ -1,0 +1,91 @@
+"""Multi-chip rendering: image-row sharding over a device mesh.
+
+The reference's only parallel axis is the pixel grid (DispatchRays(W,H,1),
+DXRPipeline.cpp:2932-2937); its TPU-native scaling story is SPMD over image
+tiles: shard the pixel rows across chips with `shard_map` over an ICI mesh,
+replicate the (small) scene arrays on every chip, and let the output stay
+sharded (or all-gather it at composite). No DCN collectives are needed —
+rays are embarrassingly parallel and the only shared data is the scene.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.render import FrameOutput, render_rows
+from ..scene.flatten import FlatScene, RenderConfig
+
+TILE_AXIS = "tiles"
+
+
+def make_mesh(devices=None) -> Mesh:
+    """1-D mesh over all (or the given) devices; axis name 'tiles'."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    return Mesh(devices.reshape(-1), (TILE_AXIS,))
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def _render_sharded(scene: FlatScene, cfg: RenderConfig, mesh: Mesh) -> FrameOutput:
+    n_dev = mesh.devices.size
+    rows_per = cfg.height // n_dev
+
+    def shard_fn(scene_rep):
+        i = jax.lax.axis_index(TILE_AXIS)
+        out = render_rows(scene_rep, cfg, i * rows_per, rows_per)
+        # scalar ray count -> [1] so it can carry a sharded axis
+        return out._replace(rays=out.rays.reshape(1))
+
+    specs_in = jax.tree_util.tree_map(lambda _: P(), scene)
+    out = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(specs_in,),
+        out_specs=FrameOutput(
+            color=P(TILE_AXIS),
+            gbuffer=_gbuffer_spec(),
+            rays=P(TILE_AXIS),
+            raw_specular=P(TILE_AXIS),
+        ),
+        # Loop carries mix device-invariant scene constants with per-tile
+        # varying state; skip the static varying-axes check (values are
+        # correct — each shard computes its own rows independently).
+        check_vma=False,
+    )(scene)
+    return out
+
+
+def _gbuffer_spec():
+    from ..ops.render import GBuffer
+
+    return GBuffer(
+        diffuse_hitdist=P(TILE_AXIS),
+        specular_hitdist=P(TILE_AXIS),
+        normal_roughness=P(TILE_AXIS),
+        view_z=P(TILE_AXIS),
+        motion=P(TILE_AXIS),
+        albedo=P(TILE_AXIS),
+        shadow_data=P(TILE_AXIS),
+        shadow_translucency=P(TILE_AXIS),
+    )
+
+
+def render_frame_sharded(scene: FlatScene, cfg: RenderConfig, mesh: Optional[Mesh] = None):
+    """Render a frame with rows sharded across the mesh devices.
+
+    `cfg.height` must divide evenly by the device count. Returns a
+    FrameOutput whose arrays are jax.Arrays sharded over the mesh
+    (scalar `rays` is per-shard, shape [n_dev]).
+    """
+    if mesh is None:
+        mesh = make_mesh()
+    n_dev = mesh.devices.size
+    if cfg.height % n_dev != 0:
+        raise ValueError(f"height {cfg.height} not divisible by {n_dev} devices")
+    return _render_sharded(scene, cfg, mesh)

@@ -1,0 +1,140 @@
+"""Engine: the user-facing render runtime.
+
+Plays the role of EngineWrapper + DXRPipeline orchestration
+(src/RayTraceVS.Interop/EngineWrapper.h:18-58,
+src/RayTraceVS.DXEngine/NativeBridge.h:120-154): create with a resolution,
+push scenes into it, pull RGBA8 frames out. jit dispatch replaces command
+lists and fences; the persistent compilation cache replaces the shader
+cache (ShaderCache.cpp).
+
+Example:
+    engine = Engine(512, 512)
+    engine.update_scene(scene_data)      # evaluated SceneData
+    img = engine.render()                # np.uint8 [H, W, 4]
+"""
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..post import composite as composite_mod
+from ..post import tonemap
+from ..scene.data import SceneData
+from ..scene.evaluator import evaluate_scene
+from ..scene.flatten import FlatScene, RenderConfig, flatten_scene, make_config
+from ..scene.rtvs import load_graph
+from ..scene.sanitize import sanitize_scene
+from ..ops.render import render_frame
+from ..utils.checksum import scene_data_checksum
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _render_pipeline(scene: FlatScene, cfg: RenderConfig):
+    """Full frame: wavefront render -> composite -> RGBA8. One jit program."""
+    out = render_frame(scene, cfg)
+    color01 = composite_mod.composite(
+        out.gbuffer,
+        out.raw_specular,
+        scene.exposure,
+        scene.tone_map_operator,
+        scene.gamma,
+        use_denoised=False,
+    )
+    rgba = tonemap.to_rgba8(color01).reshape(cfg.height, cfg.width, 4)
+    hdr = out.color.reshape(cfg.height, cfg.width, 3)
+    return rgba, hdr, out.rays, out.gbuffer
+
+
+class Engine:
+    """Render engine with EngineWrapper-compatible surface."""
+
+    def __init__(self, width: int, height: int):
+        self.width = int(width)
+        self.height = int(height)
+        self._flat: Optional[FlatScene] = None
+        self._cfg: Optional[RenderConfig] = None
+        self._scene: Optional[SceneData] = None
+        self._frame_index = 0
+        self._checksum = None
+        self._last_rgba: Optional[np.ndarray] = None
+        self._last_hdr: Optional[np.ndarray] = None
+        self._last_rays = 0
+        self._last_render_ms = 0.0
+        self._prev_view_proj = None
+
+    # -- scene input ------------------------------------------------------
+    def update_scene(self, scene: SceneData, **config_overrides) -> None:
+        """Sanitize + flatten a SceneData (EngineWrapper::UpdateScene)."""
+        clean = sanitize_scene(scene)
+        self._scene = clean
+        aspect = self.width / self.height
+        new_checksum = scene_data_checksum(clean)
+        if new_checksum != self._checksum:
+            # Scene changed: reset temporal history (DXRPipeline.cpp:2854-2880).
+            self._frame_index = 0
+            self._prev_view_proj = None
+        self._checksum = new_checksum
+        self._flat = flatten_scene(
+            clean, frame_index=self._frame_index, aspect=aspect,
+            prev_view_proj=self._prev_view_proj,
+        )
+        self._cfg = make_config(clean, self.width, self.height, **config_overrides)
+        self._prev_view_proj = np.asarray(self._flat.view_proj)
+
+    def load_rtvs(self, path: str, **config_overrides) -> None:
+        """Convenience: load a .rtvs file and update the scene."""
+        graph = load_graph(path)
+        self.update_scene(evaluate_scene(graph), **config_overrides)
+
+    # -- rendering --------------------------------------------------------
+    def render(self) -> np.ndarray:
+        """Render a frame; returns RGBA8 np.uint8 [H, W, 4] (readback analog)."""
+        if self._flat is None:
+            raise RuntimeError("update_scene() must be called before render()")
+        start = time.perf_counter()
+        rgba, hdr, rays, _ = _render_pipeline(self._flat, self._cfg)
+        rgba = np.asarray(rgba)
+        self._last_render_ms = (time.perf_counter() - start) * 1000.0
+        self._last_rgba = rgba
+        self._last_hdr = np.asarray(hdr)
+        self._last_rays = int(rays)
+        self._frame_index += 1
+        self._flat = self._flat._replace(
+            frame_index=jnp.asarray(self._frame_index, jnp.uint32)
+        )
+        return rgba
+
+    def get_pixel_data(self) -> bytes:
+        """Raw RGBA bytes of the last frame (EngineWrapper::GetPixelData)."""
+        if self._last_rgba is None:
+            raise RuntimeError("render() must be called before get_pixel_data()")
+        return self._last_rgba.tobytes()
+
+    # -- metrics ----------------------------------------------------------
+    @property
+    def last_render_ms(self) -> float:
+        return self._last_render_ms
+
+    @property
+    def last_rays(self) -> int:
+        """Rays traced in the last frame (TraceRay-equivalents)."""
+        return self._last_rays
+
+    @property
+    def last_mrays_per_s(self) -> float:
+        if self._last_render_ms <= 0:
+            return 0.0
+        return self._last_rays / (self._last_render_ms * 1e-3) / 1e6
+
+
+def render_rtvs(path: str, width: int = 512, height: int = 512, **overrides) -> np.ndarray:
+    """One-shot: render a .rtvs scene file to an RGBA8 array."""
+    engine = Engine(width, height)
+    engine.load_rtvs(path, **overrides)
+    return engine.render()

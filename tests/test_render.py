@@ -1,0 +1,171 @@
+"""End-to-end render tests: engine invariants on small frames."""
+import numpy as np
+import pytest
+
+from raytracevs_tpu import Engine
+from raytracevs_tpu.scene.data import (
+    LightData, LightType, MaterialData, PlaneData, SceneData, SphereData,
+)
+
+
+def _simple_scene(spp=1, bounces=3, **settings):
+    scene = SceneData()
+    scene.objects.append(
+        SphereData(position=np.array([0.0, 1.0, 0.0]), radius=1.0,
+                   material=MaterialData())
+    )
+    scene.objects.append(PlaneData(position=np.zeros(3), normal=np.array([0.0, 1.0, 0.0])))
+    scene.lights.append(
+        LightData(type=LightType.POINT, position=np.array([3.0, 5.0, -3.0]),
+                  intensity=5.0)
+    )
+    scene.camera.position = np.array([0.0, 2.0, -5.0])
+    scene.camera.look_at = np.array([0.0, 1.0, 0.0])
+    scene.settings.samples_per_pixel = spp
+    scene.settings.max_bounces = bounces
+    for k, v in settings.items():
+        setattr(scene.settings, k, v)
+    return scene
+
+
+@pytest.fixture(scope="module")
+def small_frame():
+    eng = Engine(64, 64)
+    eng.update_scene(_simple_scene())
+    img = eng.render()
+    return eng, img
+
+
+def test_render_shape_dtype(small_frame):
+    _, img = small_frame
+    assert img.shape == (64, 64, 4)
+    assert img.dtype == np.uint8
+    assert np.all(img[..., 3] == 255)
+
+
+def test_sky_on_top_sphere_in_middle(small_frame):
+    _, img = small_frame
+    top = img[2, 32, :3].astype(float)
+    # Sky gradient: blue channel dominant
+    assert top[2] > top[0]
+    # Center of frame hits the sphere (gray-ish diffuse, not sky blue)
+    mid = img[30, 32, :3].astype(float)
+    assert mid[2] - mid[0] < 20
+
+
+def test_shadow_under_sphere(small_frame):
+    _, img = small_frame
+    # The point light at (3,5,-3) casts the sphere shadow onto the floor
+    # left of the sphere; floor pixels in shadow are darker than lit floor.
+    floor = img[52:62, :, :3].astype(float).mean(axis=-1)
+    assert floor.min() < floor.max() * 0.7
+
+
+def test_rays_counted(small_frame):
+    eng, _ = small_frame
+    assert eng.last_rays > 64 * 64  # at least primary + shadows
+
+
+def test_pixel_data_roundtrip(small_frame):
+    eng, img = small_frame
+    data = eng.get_pixel_data()
+    assert len(data) == 64 * 64 * 4
+    assert np.frombuffer(data, np.uint8).reshape(64, 64, 4).tobytes() == img.tobytes()
+
+
+def test_determinism():
+    eng1 = Engine(32, 32)
+    eng1.update_scene(_simple_scene())
+    img1 = eng1.render()
+    eng2 = Engine(32, 32)
+    eng2.update_scene(_simple_scene())
+    img2 = eng2.render()
+    np.testing.assert_array_equal(img1, img2)
+
+
+def test_empty_scene_renders_sky():
+    eng = Engine(32, 32)
+    eng.update_scene(SceneData())
+    img = eng.render()
+    # all sky: blue dominant everywhere above horizon
+    top = img[:10, :, :3].astype(float)
+    assert (top[..., 2] > top[..., 0]).mean() > 0.9
+
+
+def test_emissive_material_glows():
+    scene = SceneData()
+    m = MaterialData(emission=np.array([5.0, 0.0, 0.0, 0.0]))
+    scene.objects.append(SphereData(position=np.array([0.0, 0.0, 3.0]), radius=1.0, material=m))
+    scene.camera.position = np.array([0.0, 0.0, -3.0])
+    scene.camera.look_at = np.array([0.0, 0.0, 0.0])
+    scene.settings.samples_per_pixel = 1
+    scene.settings.tone_map_operator = 2
+    eng = Engine(32, 32)
+    eng.update_scene(scene)
+    img = eng.render()
+    center = img[16, 16, :3].astype(float)
+    assert center[0] == 255  # saturated red emission
+
+
+def test_metal_reflects_sky():
+    scene = _simple_scene()
+    scene.objects[0].material = MaterialData(metallic=1.0, roughness=0.0)
+    eng = Engine(48, 48)
+    eng.update_scene(scene)
+    img = eng.render()
+    # Upper part of the metal sphere mirrors the sky: blue-ish
+    mid = img[18, 24, :3].astype(float)
+    assert mid[2] > mid[0]
+
+
+def test_glass_transmission_shows_background():
+    scene = SceneData()
+    glass = MaterialData(transmission=1.0, ior=1.05, roughness=0.0,
+                         base_color=np.array([1.0, 1.0, 1.0, 1.0]))
+    scene.objects.append(SphereData(position=np.array([0.0, 0.0, 2.0]), radius=1.0,
+                                    material=glass))
+    scene.lights.append(LightData(type=LightType.AMBIENT, intensity=1.0))
+    scene.camera.position = np.array([0.0, 0.0, -3.0])
+    scene.camera.look_at = np.array([0.0, 0.0, 0.0])
+    scene.settings.samples_per_pixel = 1
+    scene.settings.max_bounces = 8
+    eng = Engine(32, 32)
+    eng.update_scene(scene)
+    img = eng.render()
+    center = img[16, 16, :3].astype(float)
+    assert center.sum() > 60  # sees refracted sky, not black
+
+
+def test_exposure_and_tonemap_settings_apply():
+    bright = _simple_scene(exposure=4.0)
+    dark = _simple_scene(exposure=0.25)
+    e1 = Engine(32, 32)
+    e1.update_scene(bright)
+    i1 = e1.render()
+    e2 = Engine(32, 32)
+    e2.update_scene(dark)
+    i2 = e2.render()
+    assert i1[..., :3].astype(float).mean() > i2[..., :3].astype(float).mean()
+
+
+def test_scene_checksum_resets_frame_index():
+    eng = Engine(32, 32)
+    eng.update_scene(_simple_scene())
+    eng.render()
+    eng.render()
+    assert eng._frame_index == 2
+    s2 = _simple_scene()
+    s2.objects[0].radius = 0.5
+    eng.update_scene(s2)
+    assert eng._frame_index == 0
+
+
+def test_sample_scene_renders(sample_scene_path):
+    eng = Engine(64, 64)
+    # Keep it cheap: cap spp via config override
+    eng.load_rtvs(sample_scene_path, samples_per_pixel=2)
+    img = eng.render()
+    assert img.shape == (64, 64, 4)
+    rgb = img[..., :3].astype(float)
+    assert 40 < rgb.mean() < 240  # neither black nor blown out
+    assert rgb.std() > 20  # has structure
