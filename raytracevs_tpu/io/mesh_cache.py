@@ -1,0 +1,175 @@
+"""Binary mesh cache: FBX -> .mesh conversion with a JSON manifest.
+
+Byte-compatible with the reference's cache format
+(MeshCacheService.cs:23-25, 517-546): 40-byte header
+("RTVS" magic, version 1, vertex count, index count, bounds min/max) then
+interleaved 32-byte vertices (pos3 + pad + normal3 + pad) and u32 indices.
+Startup scan + lazy thread-safe load mirror MeshCacheService.cs:54-199.
+"""
+from __future__ import annotations
+
+import json
+import os
+import struct
+import threading
+from dataclasses import dataclass, field
+from typing import Dict, Optional
+
+import numpy as np
+
+from . import fbx
+
+CACHE_MAGIC = b"RTVS"
+CACHE_VERSION = 1
+FLOATS_PER_VERTEX = 8  # position(3) + pad + normal(3) + pad
+
+
+@dataclass
+class CachedMesh:
+    name: str
+    vertices: np.ndarray  # [V*8] float32 interleaved (pos3, pad, normal3, pad)
+    indices: np.ndarray  # [I] uint32
+    bounds_min: np.ndarray
+    bounds_max: np.ndarray
+
+    @property
+    def vertex_count(self) -> int:
+        return len(self.vertices) // FLOATS_PER_VERTEX
+
+    @property
+    def positions(self) -> np.ndarray:
+        return self.vertices.reshape(-1, FLOATS_PER_VERTEX)[:, 0:3]
+
+    @property
+    def normals(self) -> np.ndarray:
+        return self.vertices.reshape(-1, FLOATS_PER_VERTEX)[:, 4:7]
+
+
+def write_mesh_cache(path: str, vertices: np.ndarray, indices: np.ndarray,
+                     bounds_min, bounds_max) -> None:
+    """Write the binary .mesh format (MeshCacheService.cs:517-546)."""
+    v = np.asarray(vertices, np.float32).reshape(-1)
+    idx = np.asarray(indices, np.uint32).reshape(-1)
+    assert len(v) % FLOATS_PER_VERTEX == 0
+    with open(path, "wb") as f:
+        f.write(CACHE_MAGIC)
+        f.write(struct.pack("<I", CACHE_VERSION))
+        f.write(struct.pack("<I", len(v) // FLOATS_PER_VERTEX))
+        f.write(struct.pack("<I", len(idx)))
+        f.write(struct.pack("<3f", *np.asarray(bounds_min, np.float32)))
+        f.write(struct.pack("<3f", *np.asarray(bounds_max, np.float32)))
+        f.write(v.tobytes())
+        f.write(idx.tobytes())
+
+
+def read_mesh_cache(path: str, name: str = "") -> CachedMesh:
+    with open(path, "rb") as f:
+        magic = f.read(4)
+        if magic != CACHE_MAGIC:
+            raise ValueError(f"bad mesh cache magic in {path}: {magic!r}")
+        (version,) = struct.unpack("<I", f.read(4))
+        if version != CACHE_VERSION:
+            raise ValueError(f"unsupported mesh cache version {version} in {path}")
+        (vertex_count,) = struct.unpack("<I", f.read(4))
+        (index_count,) = struct.unpack("<I", f.read(4))
+        bounds_min = np.frombuffer(f.read(12), np.float32).copy()
+        bounds_max = np.frombuffer(f.read(12), np.float32).copy()
+        vertices = np.frombuffer(f.read(vertex_count * FLOATS_PER_VERTEX * 4), np.float32).copy()
+        indices = np.frombuffer(f.read(index_count * 4), np.uint32).copy()
+    return CachedMesh(name or os.path.splitext(os.path.basename(path))[0],
+                      vertices, indices, bounds_min, bounds_max)
+
+
+def interleave(positions: np.ndarray, normals: np.ndarray) -> np.ndarray:
+    """[V,3]+[V,3] -> [V*8] interleaved with padding (32 B/vertex layout)."""
+    v = np.zeros((len(positions), FLOATS_PER_VERTEX), np.float32)
+    v[:, 0:3] = positions
+    v[:, 4:7] = normals
+    return v.reshape(-1)
+
+
+def convert_fbx(fbx_path: str, cache_path: str) -> CachedMesh:
+    """FBX -> binary .mesh (ConvertWithAssimp analog, MeshCacheService.cs:391-439)."""
+    mesh = fbx.load_fbx(fbx_path)
+    vertices = interleave(mesh.vertices, mesh.normals)
+    write_mesh_cache(cache_path, vertices, mesh.indices, mesh.bounds_min, mesh.bounds_max)
+    return CachedMesh(
+        os.path.splitext(os.path.basename(fbx_path))[0],
+        vertices, mesh.indices, mesh.bounds_min, mesh.bounds_max,
+    )
+
+
+class MeshCacheService:
+    """Scan model dirs, convert outdated FBX files, serve meshes lazily.
+
+    Mirrors MeshCacheService.cs:54-199: manifest `cache.json`, orphan
+    cleanup, thread-safe lazy loads keyed by mesh name.
+    """
+
+    def __init__(self, model_dir: str, cache_dir: Optional[str] = None):
+        self.model_dir = model_dir
+        self.cache_dir = cache_dir or os.path.join(model_dir, ".meshcache")
+        self._meshes: Dict[str, CachedMesh] = {}
+        self._known: Dict[str, str] = {}  # name -> cache path
+        self._lock = threading.Lock()
+
+    def initialize(self) -> None:
+        os.makedirs(self.cache_dir, exist_ok=True)
+        manifest_path = os.path.join(self.cache_dir, "cache.json")
+        manifest = {}
+        if os.path.exists(manifest_path):
+            try:
+                with open(manifest_path) as f:
+                    manifest = json.load(f)
+            except (OSError, ValueError):
+                manifest = {}
+
+        fbx_files = {}
+        if os.path.isdir(self.model_dir):
+            for fn in os.listdir(self.model_dir):
+                if fn.lower().endswith(".fbx"):
+                    fbx_files[os.path.splitext(fn)[0]] = os.path.join(self.model_dir, fn)
+
+        # Convert new/outdated FBX files
+        for name, path in fbx_files.items():
+            cache_path = os.path.join(self.cache_dir, name + ".mesh")
+            mtime = os.path.getmtime(path)
+            entry = manifest.get(name, {})
+            if not os.path.exists(cache_path) or entry.get("mtime") != mtime:
+                try:
+                    convert_fbx(path, cache_path)
+                    manifest[name] = {"mtime": mtime, "source": path}
+                except Exception:
+                    continue
+            self._known[name] = cache_path
+
+        # Orphan cleanup (MeshCacheService.cs:171-199)
+        for fn in list(os.listdir(self.cache_dir)):
+            if fn.endswith(".mesh") and os.path.splitext(fn)[0] not in fbx_files:
+                try:
+                    os.remove(os.path.join(self.cache_dir, fn))
+                except OSError:
+                    pass
+        manifest = {k: v for k, v in manifest.items() if k in fbx_files}
+        with open(manifest_path, "w") as f:
+            json.dump(manifest, f, indent=2)
+
+    def register(self, name: str, mesh: CachedMesh) -> None:
+        """Directly register an in-memory mesh (programmatic scenes)."""
+        with self._lock:
+            self._meshes[name] = mesh
+
+    def get_mesh(self, name: str) -> Optional[CachedMesh]:
+        with self._lock:
+            if name in self._meshes:
+                return self._meshes[name]
+            path = self._known.get(name)
+            if path is None or not os.path.exists(path):
+                return None
+            mesh = read_mesh_cache(path, name)
+            self._meshes[name] = mesh
+            return mesh
+
+    def mesh_names(self):
+        with self._lock:
+            return sorted(set(self._known) | set(self._meshes))

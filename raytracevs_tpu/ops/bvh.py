@@ -1,0 +1,417 @@
+"""Triangle-mesh BVH: host-side build + vectorized device traversal.
+
+TPU-native replacement for the reference's driver-built triangle BLAS
+(AccelerationStructure.cpp:560-663) and hardware traversal. The BVH is
+built once per scene update on the host (the reference also rebuilds BLAS
+on changed frames, DXRPipeline.cpp:2863-2872) as a *threaded* (skip-link)
+tree laid out in DFS preorder: every node stores `hit_next` (preorder
+successor when its AABB is hit) and `miss_next` (successor when missed), so
+device traversal is a stackless pointer chase — per-lane gathers over flat
+arrays, a `lax.while_loop` until every lane walks off the tree. Instance
+transforms are baked into world-space triangle soup (the reference's
+combined TLAS also stores per-instance transforms,
+AccelerationStructure.cpp:665-848).
+
+Triangle hits use Möller-Trumbore; shading normals interpolate the smooth
+vertex normals with a separate geometric face normal for robust front-face
+handling on thin shells (ClosestHit_Triangle.hlsl:14-136).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .. import constants as C
+
+F32 = jnp.float32
+I32 = jnp.int32
+
+LEAF_SIZE = 4
+_END = -1
+
+
+@dataclass
+class BuiltBVH:
+    """Host-side build result (numpy)."""
+
+    # nodes in DFS preorder
+    bbox_min: np.ndarray  # [Nn,3]
+    bbox_max: np.ndarray  # [Nn,3]
+    hit_next: np.ndarray  # [Nn] next node if AABB hit (leaf: == miss_next)
+    miss_next: np.ndarray  # [Nn] next node if missed (-1 = done)
+    tri_start: np.ndarray  # [Nn] leaf triangle range start (internal: 0)
+    tri_count: np.ndarray  # [Nn] leaf triangle count (internal: 0)
+    # triangle soup, leaf-ordered
+    v0: np.ndarray  # [T,3]
+    edge1: np.ndarray  # [T,3]
+    edge2: np.ndarray  # [T,3]
+    n0: np.ndarray  # [T,3] smooth vertex normals
+    n1: np.ndarray
+    n2: np.ndarray
+    inst: np.ndarray  # [T] instance index (material lookup)
+
+
+def build_bvh(v0, v1, v2, n0, n1, n2, inst, leaf_size: int = LEAF_SIZE) -> BuiltBVH:
+    """Median-split BVH over world-space triangles, threaded preorder layout."""
+    v0 = np.asarray(v0, np.float32)
+    v1 = np.asarray(v1, np.float32)
+    v2 = np.asarray(v2, np.float32)
+    t = len(v0)
+    if t == 0:
+        raise ValueError("empty triangle list")
+    tri_min = np.minimum(np.minimum(v0, v1), v2)
+    tri_max = np.maximum(np.maximum(v0, v1), v2)
+    centroid = (tri_min + tri_max) * 0.5
+
+    order = np.arange(t)
+    nodes = []  # (bbmin, bbmax, left_child_node|None, tri_start, tri_count)
+
+    def build(idx: np.ndarray) -> int:
+        my = len(nodes)
+        nodes.append(None)
+        bb_min = tri_min[idx].min(axis=0)
+        bb_max = tri_max[idx].max(axis=0)
+        if len(idx) <= leaf_size:
+            start = build.cursor
+            build.order[start : start + len(idx)] = idx
+            build.cursor += len(idx)
+            nodes[my] = (bb_min, bb_max, None, None, start, len(idx))
+            return my
+        axis = int(np.argmax(bb_max - bb_min))
+        med = np.argsort(centroid[idx, axis], kind="stable")
+        half = len(idx) // 2
+        left_idx = idx[med[:half]]
+        right_idx = idx[med[half:]]
+        left = build(left_idx)
+        right = build(right_idx)
+        nodes[my] = (bb_min, bb_max, left, right, 0, 0)
+        return my
+
+    build.cursor = 0
+    build.order = np.zeros(t, np.int64)
+    build(order)
+
+    n_nodes = len(nodes)
+    bbox_min = np.zeros((n_nodes, 3), np.float32)
+    bbox_max = np.zeros((n_nodes, 3), np.float32)
+    hit_next = np.full(n_nodes, _END, np.int32)
+    miss_next = np.full(n_nodes, _END, np.int32)
+    tri_start = np.zeros(n_nodes, np.int32)
+    tri_count = np.zeros(n_nodes, np.int32)
+
+    def thread(node: int, miss: int) -> None:
+        bb_min, bb_max, left, right, start, count = nodes[node]
+        bbox_min[node] = bb_min
+        bbox_max[node] = bb_max
+        miss_next[node] = miss
+        if left is None:  # leaf
+            tri_start[node] = start
+            tri_count[node] = count
+            hit_next[node] = miss
+        else:
+            hit_next[node] = left  # preorder: left == node+1
+            thread(left, right)
+            thread(right, miss)
+
+    import sys
+
+    old_limit = sys.getrecursionlimit()
+    sys.setrecursionlimit(max(old_limit, 4 * n_nodes + 100))
+    try:
+        thread(0, _END)
+    finally:
+        sys.setrecursionlimit(old_limit)
+
+    o = build.order
+    e1 = (np.asarray(v1) - np.asarray(v0)).astype(np.float32)
+    e2 = (np.asarray(v2) - np.asarray(v0)).astype(np.float32)
+    return BuiltBVH(
+        bbox_min=bbox_min,
+        bbox_max=bbox_max,
+        hit_next=hit_next,
+        miss_next=miss_next,
+        tri_start=tri_start,
+        tri_count=tri_count,
+        v0=np.asarray(v0, np.float32)[o],
+        edge1=e1[o],
+        edge2=e2[o],
+        n0=np.asarray(n0, np.float32)[o],
+        n1=np.asarray(n1, np.float32)[o],
+        n2=np.asarray(n2, np.float32)[o],
+        inst=np.asarray(inst, np.int32)[o],
+    )
+
+
+class MeshArrays(NamedTuple):
+    """Device-side BVH + triangle arrays (a jax pytree)."""
+
+    bbox_min: jnp.ndarray
+    bbox_max: jnp.ndarray
+    hit_next: jnp.ndarray
+    miss_next: jnp.ndarray
+    tri_start: jnp.ndarray
+    tri_count: jnp.ndarray
+    v0: jnp.ndarray
+    edge1: jnp.ndarray
+    edge2: jnp.ndarray
+    n0: jnp.ndarray
+    n1: jnp.ndarray
+    n2: jnp.ndarray
+    inst: jnp.ndarray  # [T] i32 instance index
+    inst_transmission: jnp.ndarray  # [Ninst]
+    inst_absorption: jnp.ndarray  # [Ninst,3]
+
+    @property
+    def num_nodes(self) -> int:
+        return self.bbox_min.shape[0]
+
+    @property
+    def num_tris(self) -> int:
+        return self.v0.shape[0]
+
+
+def to_device(b: BuiltBVH, inst_transmission, inst_absorption) -> MeshArrays:
+    return MeshArrays(
+        bbox_min=jnp.asarray(b.bbox_min),
+        bbox_max=jnp.asarray(b.bbox_max),
+        hit_next=jnp.asarray(b.hit_next),
+        miss_next=jnp.asarray(b.miss_next),
+        tri_start=jnp.asarray(b.tri_start),
+        tri_count=jnp.asarray(b.tri_count),
+        v0=jnp.asarray(b.v0),
+        edge1=jnp.asarray(b.edge1),
+        edge2=jnp.asarray(b.edge2),
+        n0=jnp.asarray(b.n0),
+        n1=jnp.asarray(b.n1),
+        n2=jnp.asarray(b.n2),
+        inst=jnp.asarray(b.inst),
+        inst_transmission=jnp.asarray(inst_transmission, jnp.float32),
+        inst_absorption=jnp.asarray(inst_absorption, jnp.float32),
+    )
+
+
+def _ray_aabb(o, inv_d, bb_min, bb_max, tmin, tmax):
+    """Slab test; o/inv_d [N,3], bb [N,3]. Returns hit mask [N]."""
+    t0 = (bb_min - o) * inv_d
+    t1 = (bb_max - o) * inv_d
+    lo = jnp.minimum(t0, t1)
+    hi = jnp.maximum(t0, t1)
+    t_near = jnp.maximum(jnp.max(lo, axis=-1), tmin)
+    t_far = jnp.minimum(jnp.min(hi, axis=-1), tmax)
+    return t_near <= t_far
+
+
+def _tri_hit(o, d, v0, e1, e2, tmin, tmax):
+    """Möller-Trumbore; returns (hit [N], t [N], u [N], v [N])."""
+    pvec = jnp.cross(d, e2)
+    det = jnp.sum(e1 * pvec, axis=-1)
+    ok = jnp.abs(det) > 1e-9  # TRIANGLE_CULL_DISABLE: both windings hit
+    inv_det = 1.0 / jnp.where(ok, det, 1.0)
+    tvec = o - v0
+    u = jnp.sum(tvec * pvec, axis=-1) * inv_det
+    qvec = jnp.cross(tvec, e1)
+    v = jnp.sum(d * qvec, axis=-1) * inv_det
+    t = jnp.sum(e2 * qvec, axis=-1) * inv_det
+    hit = ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t >= tmin) & (t <= tmax)
+    return hit, t, u, v
+
+
+class TriHit(NamedTuple):
+    hit: jnp.ndarray  # [N]
+    t: jnp.ndarray  # [N]
+    tri: jnp.ndarray  # [N] triangle index
+    u: jnp.ndarray  # [N] barycentric
+    v: jnp.ndarray  # [N]
+    inst: jnp.ndarray  # [N] instance index
+
+
+def traverse_closest(mesh: MeshArrays, o, d, tmin, tmax, max_steps: Optional[int] = None,
+                     skip_active=None, skip_inst=None) -> TriHit:
+    """Stackless closest-hit traversal over [N] lanes.
+
+    skip_active/skip_inst implement RAYFLAG_SKIP_SELF for mesh instances
+    (AnyHit_SkipSelf.hlsl triangle variant).
+    """
+    n = o.shape[0]
+    if max_steps is None:
+        max_steps = mesh.num_nodes + 1
+    inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-12, jnp.where(d < 0, -1e-12, 1e-12), d)
+    if skip_active is None:
+        skip_active = jnp.zeros((n,), bool)
+        skip_inst = jnp.zeros((n,), I32)
+
+    def cond(carry):
+        step, node, best_t, best_tri, best_u, best_v = carry
+        return (step < max_steps) & jnp.any(node != _END)
+
+    def body(carry):
+        step, node, best_t, best_tri, best_u, best_v = carry
+        live = node != _END
+        ni = jnp.clip(node, 0, mesh.num_nodes - 1)
+        bb_min = mesh.bbox_min[ni]
+        bb_max = mesh.bbox_max[ni]
+        box_hit = live & _ray_aabb(o, inv_d, bb_min, bb_max, tmin, best_t)
+
+        count = mesh.tri_count[ni]
+        start = mesh.tri_start[ni]
+        is_leaf = count > 0
+        do_leaf = box_hit & is_leaf
+        for k in range(LEAF_SIZE):
+            ti = jnp.clip(start + k, 0, mesh.num_tris - 1)
+            valid = do_leaf & (k < count)
+            th, tt, tu, tv = _tri_hit(
+                o, d, mesh.v0[ti], mesh.edge1[ti], mesh.edge2[ti], tmin, best_t
+            )
+            th = th & valid & ~(skip_active & (mesh.inst[ti] == skip_inst))
+            better = th & (tt < best_t)
+            best_t = jnp.where(better, tt, best_t)
+            best_tri = jnp.where(better, ti, best_tri)
+            best_u = jnp.where(better, tu, best_u)
+            best_v = jnp.where(better, tv, best_v)
+
+        nxt = jnp.where(box_hit, mesh.hit_next[ni], mesh.miss_next[ni])
+        node = jnp.where(live, nxt, node)
+        return step + 1, node, best_t, best_tri, best_u, best_v
+
+    init = (
+        jnp.int32(0),
+        jnp.zeros((n,), I32),
+        jnp.asarray(tmax, F32) * jnp.ones((n,), F32),
+        jnp.zeros((n,), I32),
+        jnp.zeros((n,), F32),
+        jnp.zeros((n,), F32),
+    )
+    _, _, best_t, best_tri, best_u, best_v = jax.lax.while_loop(cond, body, init)
+    hit = best_t < jnp.asarray(tmax, F32) * 0.9999
+    return TriHit(hit=hit, t=best_t, tri=best_tri, u=best_u, v=best_v,
+                  inst=mesh.inst[best_tri])
+
+
+def traverse_shadow(mesh: MeshArrays, o, d, max_dist, absorb_scale=1.0,
+                    max_steps: Optional[int] = None):
+    """Shadow traversal: accumulate transmission over every triangle crossed
+    (AnyHit_Shadow_Triangle, AnyHit_Shadow.hlsl:60-88).
+
+    absorb_scale = SHADOW_ABSORPTION_THICKNESS * Scene.ShadowAbsorptionScale.
+    Returns (visibility [N], color [N,3], occluder_distance [N]).
+    """
+    n = o.shape[0]
+    if max_steps is None:
+        max_steps = mesh.num_nodes + 1
+    inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-12, jnp.where(d < 0, -1e-12, 1e-12), d)
+    tmin = jnp.full((n,), C.RAY_TMIN, F32)
+
+    def cond(carry):
+        step, node, vis, color, occ, blocked = carry
+        return (step < max_steps) & jnp.any(node != _END)
+
+    def body(carry):
+        step, node, vis, color, occ, blocked = carry
+        live = node != _END
+        ni = jnp.clip(node, 0, mesh.num_nodes - 1)
+        box_hit = live & _ray_aabb(o, inv_d, mesh.bbox_min[ni], mesh.bbox_max[ni], tmin, max_dist)
+        count = mesh.tri_count[ni]
+        start = mesh.tri_start[ni]
+        do_leaf = box_hit & (count > 0)
+        for k in range(LEAF_SIZE):
+            ti = jnp.clip(start + k, 0, mesh.num_tris - 1)
+            valid = do_leaf & (k < count)
+            th, tt, _, _ = _tri_hit(
+                o, d, mesh.v0[ti], mesh.edge1[ti], mesh.edge2[ti], tmin, max_dist
+            )
+            th = th & valid
+            inst = mesh.inst[ti]
+            trans = mesh.inst_transmission[inst]
+            absorb = mesh.inst_absorption[inst]
+            opaque = th & (trans < 0.01)
+            blocked = blocked | opaque
+            translucent = th & (trans >= 0.01)
+            vis = jnp.where(translucent, vis * trans, vis)
+            # Beer tint exp(-sigmaA * thickness * scale) per crossing, but
+            # only when the instance has absorption (AnyHit_Shadow.hlsl:84)
+            has_ab = jnp.any(absorb > 0.0, axis=-1)
+            beer = jnp.where(has_ab[:, None], jnp.exp(-absorb * absorb_scale), 1.0)
+            color = jnp.where(translucent[:, None], color * beer, color)
+            occ = jnp.where(th, jnp.minimum(occ, tt), occ)
+        nxt = jnp.where(box_hit, mesh.hit_next[ni], mesh.miss_next[ni])
+        node = jnp.where(live, nxt, node)
+        return step + 1, node, vis, color, occ, blocked
+
+    init = (
+        jnp.int32(0),
+        jnp.zeros((n,), I32),
+        jnp.ones((n,), F32),
+        jnp.ones((n, 3), F32),
+        jnp.full((n,), C.NRD_FP16_MAX, F32),
+        jnp.zeros((n,), bool),
+    )
+    _, _, vis, color, occ, blocked = jax.lax.while_loop(cond, body, init)
+    vis = jnp.where(blocked, 0.0, vis)
+    color = jnp.where(blocked[:, None], 0.0, color)
+    return vis, color, occ
+
+
+def traverse_thickness(mesh: MeshArrays, o, d, inst_id, max_steps: Optional[int] = None):
+    """Nearest same-instance hit (AnyHit_Thickness_Triangle.hlsl:111-129)."""
+    n = o.shape[0]
+    if max_steps is None:
+        max_steps = mesh.num_nodes + 1
+    inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-12, jnp.where(d < 0, -1e-12, 1e-12), d)
+    tmin = jnp.full((n,), C.RAY_TMIN, F32)
+    big = jnp.float32(C.NRD_FP16_MAX)
+
+    def cond(carry):
+        step, node, best_t = carry
+        return (step < max_steps) & jnp.any(node != _END)
+
+    def body(carry):
+        step, node, best_t = carry
+        live = node != _END
+        ni = jnp.clip(node, 0, mesh.num_nodes - 1)
+        box_hit = live & _ray_aabb(o, inv_d, mesh.bbox_min[ni], mesh.bbox_max[ni], tmin, best_t)
+        count = mesh.tri_count[ni]
+        start = mesh.tri_start[ni]
+        do_leaf = box_hit & (count > 0)
+        for k in range(LEAF_SIZE):
+            ti = jnp.clip(start + k, 0, mesh.num_tris - 1)
+            valid = do_leaf & (k < count) & (mesh.inst[ti] == inst_id)
+            th, tt, _, _ = _tri_hit(
+                o, d, mesh.v0[ti], mesh.edge1[ti], mesh.edge2[ti], tmin, best_t
+            )
+            better = th & valid & (tt < best_t)
+            best_t = jnp.where(better, tt, best_t)
+        nxt = jnp.where(box_hit, mesh.hit_next[ni], mesh.miss_next[ni])
+        node = jnp.where(live, nxt, node)
+        return step + 1, node, best_t
+
+    init = (jnp.int32(0), jnp.zeros((n,), I32), jnp.full((n,), big, F32))
+    _, _, best_t = jax.lax.while_loop(cond, body, init)
+    hit = best_t < big * 0.999
+    return hit, jnp.where(hit, best_t, big)
+
+
+def shading_normal(mesh: MeshArrays, hit: TriHit, direction):
+    """Triangle shading normal (ClosestHit_Triangle.hlsl:14-136).
+
+    Barycentric-interpolated smooth normal, flipped to the geometric
+    front-face side for robust thin-shell behavior.
+    """
+    ti = hit.tri
+    w = 1.0 - hit.u - hit.v
+    n = (
+        mesh.n0[ti] * w[:, None]
+        + mesh.n1[ti] * hit.u[:, None]
+        + mesh.n2[ti] * hit.v[:, None]
+    )
+    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+    geo = jnp.cross(mesh.edge1[ti], mesh.edge2[ti])
+    geo = geo / jnp.maximum(jnp.linalg.norm(geo, axis=-1, keepdims=True), 1e-12)
+    # front face decided by the geometric normal (thin shells); the caller
+    # applies N = frontFace ? n : -n (ClosestHit_Triangle.hlsl:124-126)
+    front = jnp.sum(direction * geo, axis=-1) < 0.0
+    return n, front

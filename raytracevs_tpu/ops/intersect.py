@@ -93,8 +93,11 @@ class Hit(NamedTuple):
     hit: jnp.ndarray  # [N] bool
     t: jnp.ndarray  # [N]
     obj_type: jnp.ndarray  # [N] i32 (OBJECT_TYPE_*)
-    obj_index: jnp.ndarray  # [N] i32 index within type
+    obj_index: jnp.ndarray  # [N] i32 index within type (mesh: instance index)
     mat_slot: jnp.ndarray  # [N] i32 index into the combined material table
+    tri: jnp.ndarray = None  # [N] i32 triangle index (mesh hits)
+    bary_u: jnp.ndarray = None  # [N]
+    bary_v: jnp.ndarray = None  # [N]
 
 
 def _apply_skip(t, obj_type, index_base, skip_type, skip_index):
@@ -117,26 +120,46 @@ def trace_closest(scene, origin, direction, tmin, tmax, skip_type=None, skip_ind
         skip_type = jnp.full((n,), C.OBJECT_TYPE_INVALID & 0x7FFFFFFF, jnp.int32)
         skip_index = jnp.zeros((n,), jnp.int32)
 
-    ts = intersect_spheres(
-        origin, direction, tmin, tmax, scene.sph_center, scene.sph_radius, scene.sph_valid
-    )
-    tp = intersect_planes(
-        origin, direction, tmin, tmax, scene.pln_position, scene.pln_normal, scene.pln_valid
-    )
-    tb, _ = intersect_boxes(
-        origin, direction, tmin, tmax, scene.box_center, scene.box_half, scene.box_axes,
-        scene.box_valid,
-    )
-    ts = _apply_skip(ts, C.OBJECT_TYPE_SPHERE, 0, skip_type, skip_index)
-    tp = _apply_skip(tp, C.OBJECT_TYPE_PLANE, 0, skip_type, skip_index)
-    tb = _apply_skip(tb, C.OBJECT_TYPE_BOX, 0, skip_type, skip_index)
+    s_cap = scene.sphere_capacity
+    p_cap = scene.plane_capacity
+    b_cap = scene.box_capacity
+    if s_cap + p_cap + b_cap == 0 and scene.mesh is None:
+        miss = jnp.zeros((n,), bool)
+        return Hit(
+            hit=miss,
+            t=jnp.full((n,), _BIG, jnp.float32),
+            obj_type=jnp.full((n,), C.OBJECT_TYPE_INVALID & 0x7FFFFFFF, jnp.int32),
+            obj_index=jnp.zeros((n,), jnp.int32),
+            mat_slot=jnp.zeros((n,), jnp.int32),
+            tri=jnp.zeros((n,), jnp.int32),
+            bary_u=jnp.zeros((n,), jnp.float32),
+            bary_v=jnp.zeros((n,), jnp.float32),
+        )
 
-    s_cap = ts.shape[1]
-    p_cap = tp.shape[1]
-    b_cap = tb.shape[1]
-    all_t = jnp.concatenate([ts, tp, tb], axis=1)  # [N, S+P+B]
-    best = jnp.argmin(all_t, axis=1).astype(jnp.int32)
-    t = jnp.take_along_axis(all_t, best[:, None], axis=1)[:, 0]
+    parts = []
+    if s_cap:
+        ts = intersect_spheres(
+            origin, direction, tmin, tmax, scene.sph_center, scene.sph_radius, scene.sph_valid
+        )
+        parts.append(_apply_skip(ts, C.OBJECT_TYPE_SPHERE, 0, skip_type, skip_index))
+    if p_cap:
+        tp = intersect_planes(
+            origin, direction, tmin, tmax, scene.pln_position, scene.pln_normal, scene.pln_valid
+        )
+        parts.append(_apply_skip(tp, C.OBJECT_TYPE_PLANE, 0, skip_type, skip_index))
+    if b_cap:
+        tb, _ = intersect_boxes(
+            origin, direction, tmin, tmax, scene.box_center, scene.box_half, scene.box_axes,
+            scene.box_valid,
+        )
+        parts.append(_apply_skip(tb, C.OBJECT_TYPE_BOX, 0, skip_type, skip_index))
+    if parts:
+        all_t = jnp.concatenate(parts, axis=1)  # [N, S+P+B]
+        best = jnp.argmin(all_t, axis=1).astype(jnp.int32)
+        t = jnp.take_along_axis(all_t, best[:, None], axis=1)[:, 0]
+    else:
+        best = jnp.zeros((n,), jnp.int32)
+        t = jnp.full((n,), _BIG, jnp.float32)
     hit = t < _BIG * 0.5
 
     is_plane = (best >= s_cap) & (best < s_cap + p_cap)
@@ -146,10 +169,33 @@ def trace_closest(scene, origin, direction, tmin, tmax, skip_type=None, skip_ind
         jnp.int32(C.OBJECT_TYPE_BOX),
         jnp.where(is_plane, jnp.int32(C.OBJECT_TYPE_PLANE), jnp.int32(C.OBJECT_TYPE_SPHERE)),
     )
+    obj_type = jnp.where(hit, obj_type, jnp.int32(C.OBJECT_TYPE_INVALID & 0x7FFFFFFF))
     obj_index = jnp.where(
         is_box, best - s_cap - p_cap, jnp.where(is_plane, best - s_cap, best)
     ).astype(jnp.int32)
-    return Hit(hit=hit, t=t, obj_type=obj_type, obj_index=obj_index, mat_slot=best)
+
+    tri = jnp.zeros((n,), jnp.int32)
+    bary_u = jnp.zeros((n,), jnp.float32)
+    bary_v = jnp.zeros((n,), jnp.float32)
+    if scene.mesh is not None:
+        from . import bvh as bvh_mod
+
+        mesh_skip = skip_type == C.OBJECT_TYPE_MESH
+        mh = bvh_mod.traverse_closest(
+            scene.mesh, origin, direction, tmin, tmax,
+            skip_active=mesh_skip, skip_inst=skip_index,
+        )
+        better = mh.hit & (mh.t < t)
+        t = jnp.where(better, mh.t, t)
+        hit = hit | better
+        obj_type = jnp.where(better, jnp.int32(C.OBJECT_TYPE_MESH), obj_type)
+        obj_index = jnp.where(better, mh.inst, obj_index)
+        best = jnp.where(better, s_cap + p_cap + b_cap + mh.inst, best)
+        tri = jnp.where(better, mh.tri, tri)
+        bary_u = jnp.where(better, mh.u, bary_u)
+        bary_v = jnp.where(better, mh.v, bary_v)
+    return Hit(hit=hit, t=t, obj_type=obj_type, obj_index=obj_index, mat_slot=best,
+               tri=tri, bary_u=bary_u, bary_v=bary_v)
 
 
 def box_face_normal(hit_position, centers, halves, axes, index):
@@ -179,23 +225,48 @@ def box_face_normal(hit_position, centers, halves, axes, index):
 
 
 def surface_normal(scene, hit: Hit, origin, direction):
-    """Outward geometric normal at the hit (Intersection.hlsl + ClosestHit.hlsl)."""
+    """Shading normal + front-face flag at the hit.
+
+    Analytic primitives: outward geometric normal flipped to face the ray
+    (ClosestHit.hlsl:127-129). Meshes: barycentric smooth normal with the
+    geometric face normal deciding front/back (ClosestHit_Triangle.hlsl:
+    122-126). Returns (hit_position, faced_normal, front_face).
+    """
     pos = origin + direction * hit.t[:, None]
-    # Sphere: normalize(hit - center) (Intersection.hlsl:41-42)
-    sc = scene.sph_center[hit.obj_index]
-    n_sph = pos - sc
-    n_sph = n_sph / jnp.maximum(jnp.linalg.norm(n_sph, axis=-1, keepdims=True), 1e-12)
-    # Plane: normalized plane normal (Intersection.hlsl:59)
-    pn = scene.pln_normal[hit.obj_index]
-    n_pln = pn / jnp.maximum(jnp.linalg.norm(pn, axis=-1, keepdims=True), 1e-12)
-    # Box: recomputed face normal (ClosestHit.hlsl:109-124)
-    n_box = box_face_normal(pos, scene.box_center, scene.box_half, scene.box_axes, hit.obj_index)
-    n = jnp.where(
-        (hit.obj_type == C.OBJECT_TYPE_BOX)[:, None],
-        n_box,
-        jnp.where((hit.obj_type == C.OBJECT_TYPE_PLANE)[:, None], n_pln, n_sph),
-    )
-    return pos, n
+    n = jnp.tile(jnp.array([0.0, 1.0, 0.0], jnp.float32), (pos.shape[0], 1))
+    if scene.sphere_capacity:
+        # Sphere: normalize(hit - center) (Intersection.hlsl:41-42)
+        sc = scene.sph_center[jnp.clip(hit.obj_index, 0, scene.sphere_capacity - 1)]
+        n_sph = pos - sc
+        n_sph = n_sph / jnp.maximum(jnp.linalg.norm(n_sph, axis=-1, keepdims=True), 1e-12)
+        n = jnp.where((hit.obj_type == C.OBJECT_TYPE_SPHERE)[:, None], n_sph, n)
+    if scene.plane_capacity:
+        # Plane: normalized plane normal (Intersection.hlsl:59)
+        pn = scene.pln_normal[jnp.clip(hit.obj_index, 0, scene.plane_capacity - 1)]
+        n_pln = pn / jnp.maximum(jnp.linalg.norm(pn, axis=-1, keepdims=True), 1e-12)
+        n = jnp.where((hit.obj_type == C.OBJECT_TYPE_PLANE)[:, None], n_pln, n)
+    if scene.box_capacity:
+        # Box: recomputed face normal (ClosestHit.hlsl:109-124)
+        n_box = box_face_normal(
+            pos, scene.box_center, scene.box_half, scene.box_axes,
+            jnp.clip(hit.obj_index, 0, scene.box_capacity - 1),
+        )
+        n = jnp.where((hit.obj_type == C.OBJECT_TYPE_BOX)[:, None], n_box, n)
+    front_face = jnp.sum(direction * n, axis=-1) < 0.0
+    faced = jnp.where(front_face[:, None], n, -n)
+    if scene.mesh is not None:
+        from . import bvh as bvh_mod
+
+        tri_hit = bvh_mod.TriHit(
+            hit=hit.obj_type == C.OBJECT_TYPE_MESH, t=hit.t, tri=hit.tri,
+            u=hit.bary_u, v=hit.bary_v, inst=hit.obj_index,
+        )
+        smooth, front_geo = bvh_mod.shading_normal(scene.mesh, tri_hit, direction)
+        n_mesh = jnp.where(front_geo[:, None], smooth, -smooth)
+        is_mesh = hit.obj_type == C.OBJECT_TYPE_MESH
+        faced = jnp.where(is_mesh[:, None], n_mesh, faced)
+        front_face = jnp.where(is_mesh, front_geo, front_face)
+    return pos, faced, front_face
 
 
 def trace_shadow(scene, origin, direction, max_dist):
@@ -211,17 +282,29 @@ def trace_shadow(scene, origin, direction, max_dist):
     """
     n = origin.shape[0]
     tmin = jnp.full((n,), C.RAY_TMIN, jnp.float32)
-    ts = intersect_spheres(
-        origin, direction, tmin, max_dist, scene.sph_center, scene.sph_radius, scene.sph_valid
-    )
-    tp = intersect_planes(
-        origin, direction, tmin, max_dist, scene.pln_position, scene.pln_normal, scene.pln_valid
-    )
-    tb, _ = intersect_boxes(
-        origin, direction, tmin, max_dist, scene.box_center, scene.box_half, scene.box_axes,
-        scene.box_valid,
-    )
-    all_t = jnp.concatenate([ts, tp, tb], axis=1)  # [N,M]
+    if scene.sphere_capacity + scene.plane_capacity + scene.box_capacity == 0:
+        vis = jnp.ones((n,), jnp.float32)
+        color = jnp.ones((n, 3), jnp.float32)
+        occ = jnp.full((n,), C.NRD_FP16_MAX, jnp.float32)
+        return _merge_mesh_shadow(scene, origin, direction, max_dist, vis, color, occ)
+    parts = []
+    if scene.sphere_capacity:
+        parts.append(intersect_spheres(
+            origin, direction, tmin, max_dist, scene.sph_center, scene.sph_radius,
+            scene.sph_valid,
+        ))
+    if scene.plane_capacity:
+        parts.append(intersect_planes(
+            origin, direction, tmin, max_dist, scene.pln_position, scene.pln_normal,
+            scene.pln_valid,
+        ))
+    if scene.box_capacity:
+        tb, _ = intersect_boxes(
+            origin, direction, tmin, max_dist, scene.box_center, scene.box_half,
+            scene.box_axes, scene.box_valid,
+        )
+        parts.append(tb)
+    all_t = jnp.concatenate(parts, axis=1)  # [N,M]
     hit_mask = all_t < _BIG * 0.5
 
     transmission = scene.mat_transmission[None, :]  # [1,M]
@@ -244,7 +327,20 @@ def trace_shadow(scene, origin, direction, max_dist):
     color = jnp.where(blocked[:, None], 0.0, color)
     occluder = jnp.min(jnp.where(hit_mask, all_t, jnp.float32(C.NRD_FP16_MAX)), axis=1)
     occluder = jnp.where(jnp.any(hit_mask, axis=1), occluder, jnp.float32(C.NRD_FP16_MAX))
-    return vis, color, occluder
+    return _merge_mesh_shadow(scene, origin, direction, max_dist, vis, color, occluder)
+
+
+def _merge_mesh_shadow(scene, origin, direction, max_dist, vis, color, occluder):
+    """Fold mesh-instance shadow transmission into the analytic result."""
+    if scene.mesh is None:
+        return vis, color, occluder
+    from . import bvh as bvh_mod
+
+    scale = jnp.float32(C.SHADOW_ABSORPTION_THICKNESS) * scene.shadow_absorption_scale
+    mvis, mcolor, mocc = bvh_mod.traverse_shadow(
+        scene.mesh, origin, direction, max_dist, absorb_scale=scale
+    )
+    return vis * mvis, color * mcolor, jnp.minimum(occluder, mocc)
 
 
 def trace_thickness(scene, origin, direction, obj_type, obj_index):
@@ -256,19 +352,31 @@ def trace_thickness(scene, origin, direction, obj_type, obj_index):
     n = origin.shape[0]
     tmin = jnp.full((n,), C.RAY_TMIN, jnp.float32)
     tmax = jnp.full((n,), C.NRD_FP16_MAX, jnp.float32)
-    ts = intersect_spheres(
-        origin, direction, tmin, tmax, scene.sph_center, scene.sph_radius, scene.sph_valid
-    )
-    tb, _ = intersect_boxes(
-        origin, direction, tmin, tmax, scene.box_center, scene.box_half, scene.box_axes,
-        scene.box_valid,
-    )
-    idx = jnp.clip(obj_index, 0, ts.shape[1] - 1)
-    t_sph = jnp.take_along_axis(ts, idx[:, None], axis=1)[:, 0]
-    idxb = jnp.clip(obj_index, 0, tb.shape[1] - 1)
-    t_box = jnp.take_along_axis(tb, idxb[:, None], axis=1)[:, 0]
-    t = jnp.where(obj_type == C.OBJECT_TYPE_BOX, t_box, t_sph)
+    t = jnp.full((n,), _BIG, jnp.float32)
+    if scene.sphere_capacity:
+        ts = intersect_spheres(
+            origin, direction, tmin, tmax, scene.sph_center, scene.sph_radius, scene.sph_valid
+        )
+        idx = jnp.clip(obj_index, 0, ts.shape[1] - 1)
+        t_sph = jnp.take_along_axis(ts, idx[:, None], axis=1)[:, 0]
+        t = jnp.where(obj_type == C.OBJECT_TYPE_SPHERE, t_sph, t)
+    if scene.box_capacity:
+        tb, _ = intersect_boxes(
+            origin, direction, tmin, tmax, scene.box_center, scene.box_half, scene.box_axes,
+            scene.box_valid,
+        )
+        idxb = jnp.clip(obj_index, 0, tb.shape[1] - 1)
+        t_box = jnp.take_along_axis(tb, idxb[:, None], axis=1)[:, 0]
+        t = jnp.where(obj_type == C.OBJECT_TYPE_BOX, t_box, t)
     hit = (t < _BIG * 0.5) & (
         (obj_type == C.OBJECT_TYPE_SPHERE) | (obj_type == C.OBJECT_TYPE_BOX)
     )
-    return hit, jnp.where(hit, t, jnp.float32(C.NRD_FP16_MAX))
+    t = jnp.where(hit, t, jnp.float32(C.NRD_FP16_MAX))
+    if scene.mesh is not None:
+        from . import bvh as bvh_mod
+
+        mh, mt = bvh_mod.traverse_thickness(scene.mesh, origin, direction, obj_index)
+        is_mesh = obj_type == C.OBJECT_TYPE_MESH
+        hit = jnp.where(is_mesh, mh, hit)
+        t = jnp.where(is_mesh, mt, t)
+    return hit, t

@@ -103,15 +103,31 @@ def primary_rays(scene: FlatScene, cfg: RenderConfig, px, py, sample_index, tile
     )
 
 
-def render_rows(scene: FlatScene, cfg: RenderConfig, row_start, num_rows: int) -> FrameOutput:
+def render_rows(scene: FlatScene, cfg: RenderConfig, row_start, num_rows: int,
+                backend: str = "jnp", interpret: bool = False) -> FrameOutput:
     """Render `num_rows` image rows starting at traced offset `row_start`.
 
     This is the shardable unit: the pixel domain is the data-parallel axis
     (SURVEY §2.5 — image-tile sharding replaces the reference's
     DispatchRays(W,H,1) pixel grid), so multi-chip rendering runs this per
     device over a row slab with the scene replicated.
+
+    backend="pallas" runs the VMEM-resident tile megakernel
+    (ops/pallas/megakernel.py) — the fast path on real TPUs; "jnp" is the
+    portable reference implementation.
     """
     n = cfg.width * num_rows
+    if backend == "pallas":
+        from .pallas import megakernel
+
+        a = megakernel.render_accum_pallas(scene, cfg, row_start, num_rows, interpret)
+        return _assemble_frame(
+            scene, cfg, n,
+            a["color"], a["primary"], a["diffuse"], a["specular"], a["hitdist"],
+            a["bounce"], a["rays"], a["prim_hit"], a["prim_normal"], a["prim_rough"],
+            a["prim_albedo"], a["prim_metallic"], a["prim_transmission"], a["prim_pos"],
+            a["shadow_vis"], a["shadow_pen"], a["shadow_dist"],
+        )
     idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
     px = idx % cfg.width
     py = jnp.asarray(row_start, jnp.int32) + idx // cfg.width
@@ -168,7 +184,19 @@ def render_rows(scene: FlatScene, cfg: RenderConfig, row_start, num_rows: int) -
      rays_total, prim_hit, prim_normal, prim_rough, prim_albedo, prim_metallic,
      prim_transmission, prim_pos, prim_shadow_vis, prim_shadow_pen,
      prim_shadow_dist) = carry
+    return _assemble_frame(
+        scene, cfg, n, acc_color, acc_primary, acc_diffuse, acc_specular, acc_hitdist,
+        acc_bounce, rays_total, prim_hit, prim_normal, prim_rough, prim_albedo,
+        prim_metallic, prim_transmission, prim_pos, prim_shadow_vis, prim_shadow_pen,
+        prim_shadow_dist,
+    )
 
+
+def _assemble_frame(scene, cfg, n, acc_color, acc_primary, acc_diffuse, acc_specular,
+                    acc_hitdist, acc_bounce, rays_total, prim_hit, prim_normal, prim_rough,
+                    prim_albedo, prim_metallic, prim_transmission, prim_pos,
+                    prim_shadow_vis, prim_shadow_pen, prim_shadow_dist) -> FrameOutput:
+    """G-buffer assembly from per-sample accumulators (RayGen.hlsl:850-1044)."""
     inv = F32(1.0 / cfg.samples_per_pixel)
     final_color = acc_color * inv
     avg_bounce = acc_bounce * inv

@@ -190,6 +190,11 @@ def calculate_soft_shadow(
     shadow is actually computed (top light with NdotL>0). Returns
     (new_seed, ShadowResult). Seed advances only on lanes that sample,
     matching the reference's sequential RNG consumption.
+
+    Hard (radius <= 0.001) and soft lanes share one trace per loop
+    iteration: hard lanes degenerate to the light-center direction on
+    iteration 0 and consume no randoms, which is exactly the reference's
+    hard-shadow path with half the scene passes.
     """
     n = hit_pos.shape[0]
     is_dir = lt_type == C.LIGHT_TYPE_DIRECTIONAL
@@ -197,18 +202,13 @@ def calculate_soft_shadow(
     soft = lt_radius > 0.001
     origin = hit_pos + normal * jnp.float32(C.SHADOW_NORMAL_OFFSET)
 
-    # --- Hard shadow path (radius <= 0.001): one ray, no randoms ----------
     dir_point = lt_position - hit_pos
     dist_point = jnp.linalg.norm(dir_point, axis=-1)
     l_point = dir_point / jnp.maximum(dist_point[:, None], 1e-12)
     l_dir = _norm(-lt_position)  # directional: direction stored in position
     hard_dir = jnp.where(is_dir[:, None], l_dir, l_point)
     hard_dist = jnp.where(is_dir, F32(10000.0), dist_point)
-    vis_h, color_h, occ_h = intersect.trace_shadow(scene, origin, hard_dir, hard_dist)
-    hard_occ = jnp.where(vis_h < 0.99, occ_h, jnp.float32(C.NRD_FP16_MAX))
-    rays = jnp.where(active & ~soft & ~is_ambient, 1, 0).astype(jnp.int32)
 
-    # --- Soft shadow path --------------------------------------------------
     num_samples = jnp.clip(lt_samples.astype(jnp.int32), 1, 16)
     light_dist_center = dist_point
     light_size = lt_radius * 2.0
@@ -225,12 +225,18 @@ def calculate_soft_shadow(
     occluded = jnp.zeros((n,), jnp.int32)
     valid_samples = jnp.zeros((n,), jnp.int32)
     color_sum = jnp.zeros((n, 3), F32)
+    vis_h = jnp.ones((n,), F32)
+    color_h = jnp.ones((n, 3), F32)
+    occ_h = jnp.full((n,), C.NRD_FP16_MAX, F32)
+    rays = jnp.zeros((n,), jnp.int32)
 
-    soft_active = active & soft & ~is_ambient
+    shadowed = active & ~is_ambient
+    soft_active = shadowed & soft
+    hard_active = shadowed & ~soft
     for s in range(max_samples):
-        iter_active = soft_active & (s < num_samples)
-        seed, u1 = _masked_random(seed, iter_active)
-        seed, u2 = _masked_random(seed, iter_active)
+        iter_soft = soft_active & (s < num_samples)
+        seed, u1 = _masked_random(seed, iter_soft)
+        seed, u2 = _masked_random(seed, iter_soft)
         # RandomOnDisk (Common.hlsli:1086-1091)
         r = jnp.sqrt(u1)
         theta = u2 * F32(6.28318530718)
@@ -247,15 +253,26 @@ def calculate_soft_shadow(
 
         samp_dir = jnp.where(is_dir[:, None], samp_dir_dir, samp_dir_point)
         samp_max = jnp.where(is_dir, F32(10000.0), samp_dist)
+        # Hard lanes trace the center direction on iteration 0 only.
+        iter_hard = hard_active & (s == 0)
+        trace_dir = jnp.where(soft[:, None], samp_dir, hard_dir)
+        trace_max = jnp.where(soft, samp_max, hard_dist)
         above = _dot(samp_dir, normal) > 0.0
-        do_trace = iter_active & above
-        sv, sc, so = intersect.trace_shadow(scene, origin, samp_dir, samp_max)
+        do_trace = (iter_soft & above) | iter_hard
+        sv, sc, so = intersect.trace_shadow(scene, origin, trace_dir, trace_max)
         rays = rays + do_trace.astype(jnp.int32)
 
-        vis_sum = jnp.where(do_trace, vis_sum + sv, vis_sum)
-        color_sum = jnp.where(do_trace[:, None], color_sum + sc * sv[:, None], color_sum)
-        valid_samples = valid_samples + do_trace.astype(jnp.int32)
-        occ_now = do_trace & (sv < 0.99)
+        # hard result capture
+        vis_h = jnp.where(iter_hard, sv, vis_h)
+        color_h = jnp.where(iter_hard[:, None], sc, color_h)
+        occ_h = jnp.where(iter_hard & (sv < 0.99), so, occ_h)
+
+        # soft accumulation
+        acc = iter_soft & above
+        vis_sum = jnp.where(acc, vis_sum + sv, vis_sum)
+        color_sum = jnp.where(acc[:, None], color_sum + sc * sv[:, None], color_sum)
+        valid_samples = valid_samples + acc.astype(jnp.int32)
+        occ_now = acc & (sv < 0.99)
         occluded = occluded + occ_now.astype(jnp.int32)
         min_occ = jnp.where(occ_now, jnp.minimum(min_occ, so), min_occ)
         pen = jnp.where(
@@ -273,7 +290,7 @@ def calculate_soft_shadow(
     )
 
     visibility = jnp.where(soft, vis_soft, vis_h)
-    occluder = jnp.where(soft, occ_soft, hard_occ)
+    occluder = jnp.where(soft, occ_soft, occ_h)
     penumbra = jnp.where(soft, pen_soft, 0.0)
     shadow_color = jnp.where(soft[:, None], color_soft, color_h)
 

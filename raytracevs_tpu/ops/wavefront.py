@@ -16,6 +16,13 @@ same DFS executes as one SIMD program over every pixel lane at once:
 Radiance accumulation, budgets (RayGen.hlsl:69-77), throughput threshold,
 sky fallbacks, NaN guards, child-throughput rules, and the depth-0 NRD
 G-buffer records follow the reference exactly; see inline citations.
+
+Dead WorkItem fields are dropped deliberately: `absorption` (the path
+medium sigmaA) is carried by the reference but shading reads only the hit
+material's absorption (RayGen.hlsl:675); `mediumEta` is written but never
+read; `specularDepth`/`diffuseDepth` only feed the Russian-roulette gate
+(RayGen.hlsl:597) which can never fire because diffuseDepth is never
+incremented — so the RR branch is statically dead and omitted here.
 """
 from __future__ import annotations
 
@@ -34,10 +41,12 @@ U32 = jnp.uint32
 
 _INVALID = 0x7FFFFFF  # stands in for OBJECT_TYPE_INVALID in i32 math
 STACK_DEPTH = C.WORK_QUEUE_STRIDE
+_RAY_F = 10  # origin3 dir3 throughput3 sky_boost
+_RAY_I = 5  # depth flags ray_flags skip_type skip_index
 
 
 class RayState(NamedTuple):
-    """WorkItem (Common.hlsli:194-212) as SoA lane registers."""
+    """Live WorkItem fields (Common.hlsli:194-212) as SoA lane registers."""
 
     valid: jnp.ndarray  # [N] bool
     origin: jnp.ndarray  # [N,3]
@@ -45,13 +54,10 @@ class RayState(NamedTuple):
     depth: jnp.ndarray  # [N] i32
     throughput: jnp.ndarray  # [N,3]
     flags: jnp.ndarray  # [N] i32 PATH_FLAG_*
-    absorption: jnp.ndarray  # [N,3]
     sky_boost: jnp.ndarray  # [N]
-    spec_depth: jnp.ndarray  # [N] i32
     ray_flags: jnp.ndarray  # [N] i32 RAYFLAG_*
     skip_type: jnp.ndarray  # [N] i32
     skip_index: jnp.ndarray  # [N] i32
-    medium_eta: jnp.ndarray  # [N]
 
 
 def _empty_ray(n):
@@ -62,44 +68,37 @@ def _empty_ray(n):
         depth=jnp.zeros((n,), I32),
         throughput=jnp.zeros((n, 3), F32),
         flags=jnp.zeros((n,), I32),
-        absorption=jnp.zeros((n, 3), F32),
         sky_boost=jnp.ones((n,), F32),
-        spec_depth=jnp.zeros((n,), I32),
         ray_flags=jnp.zeros((n,), I32),
         skip_type=jnp.full((n,), _INVALID, I32),
         skip_index=jnp.zeros((n,), I32),
-        medium_eta=jnp.ones((n,), F32),
     )
 
 
 class Stack(NamedTuple):
-    """Per-lane LIFO of deferred WorkItems (WorkQueue UAV, stride 8)."""
+    """Per-lane LIFO of deferred WorkItems (the WorkQueue UAV, stride 8)."""
 
-    f: jnp.ndarray  # [N,8,14]: origin3 dir3 throughput3 absorption3 sky_boost eta
-    i: jnp.ndarray  # [N,8,6]: depth flags spec_depth ray_flags skip_type skip_index
+    f: jnp.ndarray  # [N,8,_RAY_F]
+    i: jnp.ndarray  # [N,8,_RAY_I]
     count: jnp.ndarray  # [N] i32
 
 
 def _empty_stack(n):
     return Stack(
-        f=jnp.zeros((n, STACK_DEPTH, 14), F32),
-        i=jnp.zeros((n, STACK_DEPTH, 6), I32),
+        f=jnp.zeros((n, STACK_DEPTH, _RAY_F), F32),
+        i=jnp.zeros((n, STACK_DEPTH, _RAY_I), I32),
         count=jnp.zeros((n,), I32),
     )
 
 
 def _pack_ray_f(r: RayState):
     return jnp.concatenate(
-        [r.origin, r.direction, r.throughput, r.absorption,
-         r.sky_boost[:, None], r.medium_eta[:, None]],
-        axis=-1,
+        [r.origin, r.direction, r.throughput, r.sky_boost[:, None]], axis=-1
     )
 
 
 def _pack_ray_i(r: RayState):
-    return jnp.stack(
-        [r.depth, r.flags, r.spec_depth, r.ray_flags, r.skip_type, r.skip_index], axis=-1
-    )
+    return jnp.stack([r.depth, r.flags, r.ray_flags, r.skip_type, r.skip_index], axis=-1)
 
 
 def _unpack_ray(fv, iv, valid):
@@ -110,18 +109,15 @@ def _unpack_ray(fv, iv, valid):
         depth=iv[:, 0],
         throughput=fv[:, 6:9],
         flags=iv[:, 1],
-        absorption=fv[:, 9:12],
-        sky_boost=fv[:, 12],
-        spec_depth=iv[:, 2],
-        ray_flags=iv[:, 3],
-        skip_type=iv[:, 4],
-        skip_index=iv[:, 5],
-        medium_eta=fv[:, 13],
+        sky_boost=fv[:, 9],
+        ray_flags=iv[:, 2],
+        skip_type=iv[:, 3],
+        skip_index=iv[:, 4],
     )
 
 
 def _stack_push(stack: Stack, ray: RayState, do_push):
-    """Push `ray` on lanes where do_push (assumes count < STACK_DEPTH there)."""
+    """Push `ray` on lanes where do_push (caller guarantees count < depth)."""
     slot = jnp.clip(stack.count, 0, STACK_DEPTH - 1)
     onehot = (jnp.arange(STACK_DEPTH, dtype=I32)[None, :] == slot[:, None]) & do_push[:, None]
     f = jnp.where(onehot[:, :, None], _pack_ray_f(ray)[:, None, :], stack.f)
@@ -133,8 +129,9 @@ def _stack_pop(stack: Stack, do_pop):
     """Pop on lanes where do_pop & count>0; returns (stack, ray, popped_mask)."""
     can = do_pop & (stack.count > 0)
     slot = jnp.clip(stack.count - 1, 0, STACK_DEPTH - 1)
-    fv = jnp.take_along_axis(stack.f, slot[:, None, None].repeat(14, axis=2), axis=1)[:, 0]
-    iv = jnp.take_along_axis(stack.i, slot[:, None, None].repeat(6, axis=2), axis=1)[:, 0]
+    onehot = (jnp.arange(STACK_DEPTH, dtype=I32)[None, :] == slot[:, None]).astype(F32)
+    fv = jnp.sum(stack.f * onehot[:, :, None], axis=1)
+    iv = jnp.sum(stack.i * onehot[:, :, None].astype(I32), axis=1)
     ray = _unpack_ray(fv, iv, can)
     return Stack(f=stack.f, i=stack.i, count=stack.count - can.astype(I32)), ray, can
 
@@ -193,9 +190,7 @@ def _shade_and_spawn(scene: FlatScene, cfg: RenderConfig, px, py, sample_index, 
         scene, state.origin, state.direction, tmin, tmax, skip_t, skip_i
     )
     hit_mask = hit.hit & traced
-    pos, n_out = intersect.surface_normal(scene, hit, state.origin, state.direction)
-    front_face = jnp.sum(state.direction * n_out, axis=-1) < 0.0
-    nrm = jnp.where(front_face[:, None], n_out, -n_out)
+    pos, nrm, front_face = intersect.surface_normal(scene, hit, state.origin, state.direction)
 
     # Material fetch (ClosestHit.hlsl:54-125)
     slot = hit.mat_slot
@@ -208,66 +203,75 @@ def _shade_and_spawn(scene: FlatScene, cfg: RenderConfig, px, py, sample_index, 
     emission = scene.mat_emission[slot]
     absorption = scene.mat_absorption[slot]
 
-    is_plane = hit.obj_type == C.OBJECT_TYPE_PLANE
-    checker = shade.checker_albedo(albedo, pos, scene.cam_pos[None, :], scene.cam_forward[None, :])
-    albedo = jnp.where(is_plane[:, None], checker, albedo)
-    transmission = jnp.where(is_plane, 0.0, transmission)
-    ior = jnp.where(is_plane, 1.5, ior)  # plane branch leaves ior at default
+    if scene.plane_capacity > 0:
+        is_plane = hit.obj_type == C.OBJECT_TYPE_PLANE
+        checker = shade.checker_albedo(
+            albedo, pos, scene.cam_pos[None, :], scene.cam_forward[None, :]
+        )
+        albedo = jnp.where(is_plane[:, None], checker, albedo)
+        transmission = jnp.where(is_plane, 0.0, transmission)
+        ior = jnp.where(is_plane, 1.5, ior)  # plane branch leaves ior at default
 
     view = -state.direction
     is_glass = transmission > 0.01
+    l_cap = scene.lt_type.shape[0]
 
     # ---- Glass: specular highlights only (RayGen.hlsl:283-334) ----------
     f0_from_ior = jnp.square((ior - 1.0) / (ior + 1.0))
     spec_blend = jnp.clip(specular, 0.0, 1.0)
     f0_glass = f0_from_ior + (spec_blend - f0_from_ior) * spec_blend
     highlight = jnp.zeros((n, 3), F32)
-    l_cap = scene.lt_type.shape[0]
-    for li in range(l_cap):
-        lv = (li < scene.num_lights) & scene.lt_valid[li]
-        lt = scene.lt_type[li]
-        non_ambient = lv & (lt != C.LIGHT_TYPE_AMBIENT)
-        lpos = scene.lt_position[li][None, :]
-        is_dir = lt == C.LIGHT_TYPE_DIRECTIONAL
-        to_l = lpos - pos
-        dist = jnp.linalg.norm(to_l, axis=-1)
-        l_vec = jnp.where(
-            is_dir,
-            -lpos / jnp.maximum(jnp.linalg.norm(lpos), 1e-12),
-            to_l / jnp.maximum(dist[:, None], 1e-12),
-        )
-        atten = jnp.where(
-            is_dir,
-            1.0,
-            shade.compute_attenuation(
-                dist, scene.atten_const, scene.atten_linear, scene.atten_quadratic
-            ),
-        )
-        ndotl = jnp.maximum(0.0, jnp.sum(nrm * l_vec, axis=-1))
-        half = l_vec + view
-        half = half / jnp.maximum(jnp.linalg.norm(half, axis=-1, keepdims=True), 1e-12)
-        shininess = jnp.maximum(64.0, 512.0 * (1.0 - roughness))
-        spec = jnp.power(jnp.maximum(0.0, jnp.sum(nrm * half, axis=-1)), shininess)
-        sf = shade.fresnel_schlick(jnp.maximum(0.0, jnp.sum(half * view, axis=-1)), f0_glass)
-        contrib = scene.lt_color[li][None, :3] * (scene.lt_intensity[li] * spec * sf * atten)[:, None]
-        highlight = highlight + jnp.where((non_ambient & (ndotl > 0.0))[:, None], contrib, 0.0)
-    highlight = highlight * (spec_blend * (1.0 - roughness))[:, None]
-    highlight = jnp.where((specular > 0.01)[:, None], highlight, 0.0)
+    if cfg.any_glass and cfg.has_lights:
+        for li in range(l_cap):
+            lv = (li < scene.num_lights) & scene.lt_valid[li]
+            lt = scene.lt_type[li]
+            non_ambient = lv & (lt != C.LIGHT_TYPE_AMBIENT)
+            lpos = scene.lt_position[li][None, :]
+            is_dir = lt == C.LIGHT_TYPE_DIRECTIONAL
+            to_l = lpos - pos
+            dist = jnp.linalg.norm(to_l, axis=-1)
+            l_vec = jnp.where(
+                is_dir,
+                -lpos / jnp.maximum(jnp.linalg.norm(lpos), 1e-12),
+                to_l / jnp.maximum(dist[:, None], 1e-12),
+            )
+            atten = jnp.where(
+                is_dir,
+                1.0,
+                shade.compute_attenuation(
+                    dist, scene.atten_const, scene.atten_linear, scene.atten_quadratic
+                ),
+            )
+            ndotl = jnp.maximum(0.0, jnp.sum(nrm * l_vec, axis=-1))
+            half = l_vec + view
+            half = half / jnp.maximum(jnp.linalg.norm(half, axis=-1, keepdims=True), 1e-12)
+            shininess = jnp.maximum(64.0, 512.0 * (1.0 - roughness))
+            spec = jnp.power(jnp.maximum(0.0, jnp.sum(nrm * half, axis=-1)), shininess)
+            sf = shade.fresnel_schlick(jnp.maximum(0.0, jnp.sum(half * view, axis=-1)), f0_glass)
+            contrib = scene.lt_color[li][None, :3] * (
+                scene.lt_intensity[li] * spec * sf * atten
+            )[:, None]
+            highlight = highlight + jnp.where((non_ambient & (ndotl > 0.0))[:, None], contrib, 0.0)
+        highlight = highlight * (spec_blend * (1.0 - roughness))[:, None]
+        highlight = jnp.where((specular > 0.01)[:, None], highlight, 0.0)
     glass_color = highlight + emission
 
     # ---- Non-glass: PBR direct lighting (RayGen.hlsl:336-539) -----------
     f0 = 0.04 + (albedo - 0.04) * metallic[:, None]
     diffuse_color = albedo * (1.0 - metallic)[:, None]
-    has_lights = scene.num_lights > 0
 
     sample_idx_rng = sampling.u32(sample_index) + state.depth.astype(U32) * U32(4096)
     seed = sampling.rng_init(px, py, scene.frame_index, sample_idx_rng, C.RNG_SALT_SHADOW)
 
-    top0_i, top0_c, top1_i, top1_c, top_count = shade.select_dominant_lights(scene, pos, nrm)
-    sel0 = (top_count > 0) & (top0_c > 0.0)
-    sel1 = (top_count > 1) & (top1_c > 0.0)
-
     shade_mask = hit_mask & ~is_glass
+
+    ambient = jnp.zeros((n, 3), F32)
+    direct_diffuse = jnp.zeros((n, 3), F32)
+    direct_specular = jnp.zeros((n, 3), F32)
+    best_vis = jnp.ones((n,), F32)
+    best_pen = jnp.zeros((n,), F32)
+    best_dist = jnp.full((n,), C.NRD_FP16_MAX, F32)
+    ray_count = jnp.zeros((n,), I32)
 
     def light_geom(li_idx):
         lt = scene.lt_type[li_idx]
@@ -287,140 +291,141 @@ def _shade_and_spawn(scene: FlatScene, cfg: RenderConfig, px, py, sample_index, 
         ndotl = jnp.maximum(jnp.sum(nrm * l_vec, axis=-1), 0.0)
         return lt, lpos, l_vec, atten, ndotl
 
-    # Shadow rays only for the (<=2) dominant lights, consumed in light-index
-    # order to preserve the reference's sequential RNG stream.
-    a_idx = jnp.where(sel0 & sel1, jnp.minimum(top0_i, top1_i), jnp.where(sel0, top0_i, top1_i))
-    b_idx = jnp.where(sel0 & sel1, jnp.maximum(top0_i, top1_i), a_idx)
-    a_sel = sel0 | sel1
-    b_sel = sel0 & sel1
+    if cfg.has_lights:
+        top0_i, top0_c, top1_i, top1_c, top_count = shade.select_dominant_lights(scene, pos, nrm)
+        sel0 = (top_count > 0) & (top0_c > 0.0)
+        sel1 = (top_count > 1) & (top1_c > 0.0)
 
-    shadow_results = {}
-    ray_count = jnp.zeros((n,), I32)
-    for which, idx, selm in (("a", a_idx, a_sel), ("b", b_idx, b_sel)):
-        lt, lpos, l_vec, atten, ndotl = light_geom(idx)
-        samples = shade.compute_shadow_samples(
-            scene.lt_samples[idx], top0_i, top0_c, top1_i, top1_c, idx
+        # Shadow rays only for the (<=2) dominant lights, consumed in
+        # light-index order to preserve the reference's sequential RNG stream.
+        a_idx = jnp.where(
+            sel0 & sel1, jnp.minimum(top0_i, top1_i), jnp.where(sel0, top0_i, top1_i)
         )
-        active = shade_mask & selm & (ndotl > 0.0) & has_lights
-        seed, res = shade.calculate_soft_shadow(
-            scene, pos, nrm, active, lt, lpos, scene.lt_radius[idx],
-            samples.astype(F32), seed, max_samples=1,
+        b_idx = jnp.where(sel0 & sel1, jnp.maximum(top0_i, top1_i), a_idx)
+        a_sel = sel0 | sel1
+        b_sel = sel0 & sel1
+
+        shadow_results = {}
+        for which, idx, selm in (("a", a_idx, a_sel), ("b", b_idx, b_sel)):
+            lt, lpos, l_vec, atten, ndotl = light_geom(idx)
+            samples = shade.compute_shadow_samples(
+                scene.lt_samples[idx], top0_i, top0_c, top1_i, top1_c, idx
+            )
+            active = shade_mask & selm & (ndotl > 0.0)
+            seed, res = shade.calculate_soft_shadow(
+                scene, pos, nrm, active, lt, lpos, scene.lt_radius[idx],
+                samples.astype(F32), seed, max_samples=cfg.max_soft_samples,
+            )
+            shadow_results[which] = res
+            ray_count = ray_count + jnp.where(active, res.rays, 0)
+
+        best_w = jnp.full((n,), -1.0, F32)
+        for li in range(l_cap):
+            lv = (li < scene.num_lights) & scene.lt_valid[li]
+            lt, lpos, l_vec, atten, ndotl = light_geom(jnp.full((n,), li, I32))
+            is_ambient = scene.lt_type[li] == C.LIGHT_TYPE_AMBIENT
+            lcol = scene.lt_color[li][None, :3]
+            lint = scene.lt_intensity[li]
+
+            amb = lcol * lint * (
+                diffuse_color + (albedo * 0.3 - diffuse_color) * metallic[:, None]
+            )
+            ambient = ambient + jnp.where((lv & is_ambient), 1.0, 0.0) * amb
+
+            lit = lv & ~is_ambient & (ndotl > 0.0)
+            use_a = (a_idx == li) & a_sel
+            use_b = (b_idx == li) & b_sel
+            vis = jnp.where(
+                use_a,
+                shadow_results["a"].visibility,
+                jnp.where(use_b, shadow_results["b"].visibility, 1.0),
+            )
+            pen = jnp.where(
+                use_a,
+                shadow_results["a"].penumbra,
+                jnp.where(use_b, shadow_results["b"].penumbra, 0.0),
+            )
+            occ = jnp.where(
+                use_a,
+                shadow_results["a"].occluder_distance,
+                jnp.where(use_b, shadow_results["b"].occluder_distance, C.NRD_FP16_MAX),
+            )
+            scol = jnp.where(
+                use_a[:, None],
+                shadow_results["a"].shadow_color,
+                jnp.where(use_b[:, None], shadow_results["b"].shadow_color, 1.0),
+            )
+
+            # depth-0 best shadow for SIGMA (RayGen.hlsl:415-423)
+            w = ndotl * atten * lint
+            better = lit & (state.depth == 0) & (w > best_w)
+            best_w = jnp.where(better, w, best_w)
+            best_vis = jnp.where(better, vis, best_vis)
+            best_pen = jnp.where(better, pen, best_pen)
+            best_dist = jnp.where(better, occ, best_dist)
+
+            shadow_amount = jnp.clip((1.0 - vis) * scene.shadow_strength, 0.0, 1.0)
+            adj_vis = 1.0 - shadow_amount
+            radiance = lcol * (lint * atten * adj_vis)[:, None] * scol
+
+            half = view + l_vec
+            half = half / jnp.maximum(jnp.linalg.norm(half, axis=-1, keepdims=True), 1e-12)
+            ndotv = jnp.maximum(jnp.sum(nrm * view, axis=-1), 0.001)
+            ndoth = jnp.maximum(jnp.sum(nrm * half, axis=-1), 0.0)
+            vdoth = jnp.maximum(jnp.sum(view * half, axis=-1), 0.0)
+            fr = shade.fresnel_schlick3(vdoth, f0)
+            d = shade.ggx_d(ndoth, jnp.maximum(roughness, 0.04))
+            g = shade.smith_g(ndotv, ndotl, roughness)
+            spec_brdf = (d * g)[:, None] * fr / (4.0 * ndotv * ndotl + 0.001)[:, None]
+            kd = (1.0 - fr) * (1.0 - metallic)[:, None]
+            diff_brdf = kd * diffuse_color / jnp.float32(C.PI)
+
+            m = lit[:, None]
+            direct_diffuse = direct_diffuse + jnp.where(
+                m, diff_brdf * radiance * ndotl[:, None], 0.0
+            )
+            direct_specular = direct_specular + jnp.where(
+                m, spec_brdf * radiance * ndotl[:, None], 0.0
+            )
+    else:
+        # No-light fallback (RayGen.hlsl:452-501): legacy point light + flat
+        # ambient, only at depth 0.
+        fb_pos = jnp.array([3.0, 5.0, -3.0], F32)
+        fb_needed = state.depth == 0
+        to_l = fb_pos[None, :] - pos
+        fb_dist = jnp.linalg.norm(to_l, axis=-1)
+        fb_l = to_l / jnp.maximum(fb_dist[:, None], 1e-12)
+        fb_atten = shade.compute_attenuation(
+            fb_dist, scene.atten_const, scene.atten_linear, scene.atten_quadratic
         )
-        shadow_results[which] = res
-        ray_count = ray_count + jnp.where(active, res.rays, 0)
-
-    ambient = jnp.zeros((n, 3), F32)
-    direct_diffuse = jnp.zeros((n, 3), F32)
-    direct_specular = jnp.zeros((n, 3), F32)
-    best_w = jnp.full((n,), -1.0, F32)
-    best_vis = jnp.ones((n,), F32)
-    best_pen = jnp.zeros((n,), F32)
-    best_dist = jnp.full((n,), C.NRD_FP16_MAX, F32)
-
-    for li in range(l_cap):
-        lv = (li < scene.num_lights) & scene.lt_valid[li]
-        lt, lpos, l_vec, atten, ndotl = light_geom(jnp.full((n,), li, I32))
-        is_ambient = scene.lt_type[li] == C.LIGHT_TYPE_AMBIENT
-        lcol = scene.lt_color[li][None, :3]
-        lint = scene.lt_intensity[li]
-
-        amb = lcol * lint * (
-            diffuse_color + (albedo * 0.3 - diffuse_color) * metallic[:, None]
+        fb_ndotl = jnp.maximum(jnp.sum(nrm * fb_l, axis=-1), 0.0)
+        fb_active = shade_mask & fb_needed
+        fb_vis, fb_scol, fb_occ = intersect.trace_shadow(
+            scene, pos + nrm * F32(C.SHADOW_NORMAL_OFFSET), fb_l, fb_dist
         )
-        ambient = ambient + jnp.where((lv & is_ambient), 1.0, 0.0) * amb
-
-        lit = lv & ~is_ambient & (ndotl > 0.0)
-        use_a = (a_idx == li) & a_sel
-        use_b = (b_idx == li) & b_sel
-        vis = jnp.where(
-            use_a,
-            shadow_results["a"].visibility,
-            jnp.where(use_b, shadow_results["b"].visibility, 1.0),
+        ray_count = ray_count + fb_active.astype(I32)
+        fb_amount = jnp.clip((1.0 - fb_vis) * scene.shadow_strength, 0.0, 1.0)
+        fb_radiance = (F32(1.5) * fb_atten * (1.0 - fb_amount))[:, None] * fb_scol
+        fb_half = view + fb_l
+        fb_half = fb_half / jnp.maximum(jnp.linalg.norm(fb_half, axis=-1, keepdims=True), 1e-12)
+        fb_ndotv = jnp.maximum(jnp.sum(nrm * view, axis=-1), 0.001)
+        fb_ndoth = jnp.maximum(jnp.sum(nrm * fb_half, axis=-1), 0.0)
+        fb_vdoth = jnp.maximum(jnp.sum(view * fb_half, axis=-1), 0.0)
+        fb_fr = shade.fresnel_schlick3(fb_vdoth, f0)
+        fb_d = shade.ggx_d(fb_ndoth, jnp.maximum(roughness, 0.04))
+        fb_g = shade.smith_g(fb_ndotv, fb_ndotl, roughness)
+        fb_spec = (fb_d * fb_g)[:, None] * fb_fr / (4.0 * fb_ndotv * fb_ndotl + 0.001)[:, None]
+        fb_kd = (1.0 - fb_fr) * (1.0 - metallic)[:, None]
+        fb_diff = fb_kd * diffuse_color / jnp.float32(C.PI)
+        fb_lit = ((fb_ndotl > 0.0) & fb_needed)[:, None]
+        direct_diffuse = jnp.where(fb_lit, fb_diff * fb_radiance * fb_ndotl[:, None], 0.0)
+        direct_specular = jnp.where(fb_lit, fb_spec * fb_radiance * fb_ndotl[:, None], 0.0)
+        fb_amb = (diffuse_color + (albedo * 0.3 - diffuse_color) * metallic[:, None]) * 0.2
+        ambient = jnp.where(fb_needed[:, None], fb_amb, ambient)
+        best_vis = jnp.where(fb_needed, fb_vis, best_vis)
+        best_dist = jnp.where(
+            fb_needed, jnp.where(fb_vis < 0.99, fb_occ, C.NRD_FP16_MAX), best_dist
         )
-        pen = jnp.where(
-            use_a, shadow_results["a"].penumbra, jnp.where(use_b, shadow_results["b"].penumbra, 0.0)
-        )
-        occ = jnp.where(
-            use_a,
-            shadow_results["a"].occluder_distance,
-            jnp.where(use_b, shadow_results["b"].occluder_distance, C.NRD_FP16_MAX),
-        )
-        scol = jnp.where(
-            use_a[:, None],
-            shadow_results["a"].shadow_color,
-            jnp.where(use_b[:, None], shadow_results["b"].shadow_color, 1.0),
-        )
-
-        # depth-0 best shadow for SIGMA (RayGen.hlsl:415-423)
-        w = ndotl * atten * lint
-        better = lit & (state.depth == 0) & (w > best_w)
-        best_w = jnp.where(better, w, best_w)
-        best_vis = jnp.where(better, vis, best_vis)
-        best_pen = jnp.where(better, pen, best_pen)
-        best_dist = jnp.where(better, occ, best_dist)
-
-        shadow_amount = jnp.clip((1.0 - vis) * scene.shadow_strength, 0.0, 1.0)
-        adj_vis = 1.0 - shadow_amount
-        radiance = lcol * (lint * atten * adj_vis)[:, None] * scol
-
-        half = view + l_vec
-        half = half / jnp.maximum(jnp.linalg.norm(half, axis=-1, keepdims=True), 1e-12)
-        ndotv = jnp.maximum(jnp.sum(nrm * view, axis=-1), 0.001)
-        ndoth = jnp.maximum(jnp.sum(nrm * half, axis=-1), 0.0)
-        vdoth = jnp.maximum(jnp.sum(view * half, axis=-1), 0.0)
-        fr = shade.fresnel_schlick3(vdoth, f0)
-        d = shade.ggx_d(ndoth, jnp.maximum(roughness, 0.04))
-        g = shade.smith_g(ndotv, ndotl, roughness)
-        spec_brdf = (d * g)[:, None] * fr / (4.0 * ndotv * ndotl + 0.001)[:, None]
-        kd = (1.0 - fr) * (1.0 - metallic)[:, None]
-        diff_brdf = kd * diffuse_color / jnp.float32(C.PI)
-
-        m = lit[:, None]
-        direct_diffuse = direct_diffuse + jnp.where(m, diff_brdf * radiance * ndotl[:, None], 0.0)
-        direct_specular = direct_specular + jnp.where(m, spec_brdf * radiance * ndotl[:, None], 0.0)
-
-    # No-light fallback (RayGen.hlsl:452-501): legacy point light + flat ambient.
-    fb_pos = jnp.array([3.0, 5.0, -3.0], F32)
-    fb_needed = ~has_lights & (state.depth == 0)
-    to_l = fb_pos[None, :] - pos
-    fb_dist = jnp.linalg.norm(to_l, axis=-1)
-    fb_l = to_l / jnp.maximum(fb_dist[:, None], 1e-12)
-    fb_atten = shade.compute_attenuation(
-        fb_dist, scene.atten_const, scene.atten_linear, scene.atten_quadratic
-    )
-    fb_ndotl = jnp.maximum(jnp.sum(nrm * fb_l, axis=-1), 0.0)
-    fb_active = shade_mask & fb_needed
-    fb_vis, fb_scol, fb_occ = intersect.trace_shadow(
-        scene, pos + nrm * F32(C.SHADOW_NORMAL_OFFSET), fb_l, fb_dist
-    )
-    ray_count = ray_count + fb_active.astype(I32)
-    fb_amount = jnp.clip((1.0 - fb_vis) * scene.shadow_strength, 0.0, 1.0)
-    fb_radiance = (F32(1.5) * fb_atten * (1.0 - fb_amount))[:, None] * fb_scol
-    fb_half = view + fb_l
-    fb_half = fb_half / jnp.maximum(jnp.linalg.norm(fb_half, axis=-1, keepdims=True), 1e-12)
-    fb_ndotv = jnp.maximum(jnp.sum(nrm * view, axis=-1), 0.001)
-    fb_ndoth = jnp.maximum(jnp.sum(nrm * fb_half, axis=-1), 0.0)
-    fb_vdoth = jnp.maximum(jnp.sum(view * fb_half, axis=-1), 0.0)
-    fb_fr = shade.fresnel_schlick3(fb_vdoth, f0)
-    fb_d = shade.ggx_d(fb_ndoth, jnp.maximum(roughness, 0.04))
-    fb_g = shade.smith_g(fb_ndotv, fb_ndotl, roughness)
-    fb_spec = (fb_d * fb_g)[:, None] * fb_fr / (4.0 * fb_ndotv * fb_ndotl + 0.001)[:, None]
-    fb_kd = (1.0 - fb_fr) * (1.0 - metallic)[:, None]
-    fb_diff = fb_kd * diffuse_color / jnp.float32(C.PI)
-    fb_lit = (fb_ndotl > 0.0)[:, None]
-    fb_dd = jnp.where(fb_lit, fb_diff * fb_radiance * fb_ndotl[:, None], 0.0)
-    fb_ds = jnp.where(fb_lit, fb_spec * fb_radiance * fb_ndotl[:, None], 0.0)
-    fb_amb = (diffuse_color + (albedo * 0.3 - diffuse_color) * metallic[:, None]) * 0.2
-
-    fbm = fb_needed[:, None]
-    ambient = jnp.where(fbm, fb_amb, ambient)
-    direct_diffuse = jnp.where(fbm, fb_dd, direct_diffuse)
-    direct_specular = jnp.where(fbm, fb_ds, direct_specular)
-    best_vis = jnp.where(fb_needed, fb_vis, best_vis)
-    best_pen = jnp.where(fb_needed, 0.0, best_pen)
-    best_dist = jnp.where(
-        fb_needed, jnp.where(fb_vis < 0.99, fb_occ, C.NRD_FP16_MAX), best_dist
-    )
 
     reflection_weight = metallic * (1.0 - roughness * 0.5)
     direct_weight = 1.0 - reflection_weight * 0.5
@@ -451,65 +456,89 @@ def _shade_and_spawn(scene: FlatScene, cfg: RenderConfig, px, py, sample_index, 
 
     # ---- Children (RayGen.hlsl:591-847) ----------------------------------
     can_spawn = hit_mask  # depth < max_bounces already guaranteed by caller
-    entering = front_face
-    eta = jnp.where(entering, 1.0 / ior, ior)
-    reflect_dir = _reflect(state.direction, nrm)
-    reflect_dir = reflect_dir / jnp.maximum(
-        jnp.linalg.norm(reflect_dir, axis=-1, keepdims=True), 1e-12
-    )
-    refract_dir, tir = _refract(state.direction, nrm, eta)
-    refract_dir = jnp.where(
-        tir[:, None],
-        refract_dir,
-        refract_dir / jnp.maximum(jnp.linalg.norm(refract_dir, axis=-1, keepdims=True), 1e-12),
-    )
+    sample_dummy = jnp.zeros((n, 3), F32)
+    if cfg.any_glass:
+        entering = front_face
+        eta = jnp.where(entering, 1.0 / ior, ior)
+        reflect_dir0 = _reflect(state.direction, nrm)
+        reflect_dir0 = reflect_dir0 / jnp.maximum(
+            jnp.linalg.norm(reflect_dir0, axis=-1, keepdims=True), 1e-12
+        )
+        refract_dir, tir = _refract(state.direction, nrm, eta)
+        refract_dir = jnp.where(
+            tir[:, None],
+            refract_dir,
+            refract_dir
+            / jnp.maximum(jnp.linalg.norm(refract_dir, axis=-1, keepdims=True), 1e-12),
+        )
+        # Roughness perturbation at depth 0 (RayGen.hlsl:613-623)
+        rng_reflect = sampling.rng_init(
+            px, py, scene.frame_index, sample_idx_rng, C.RNG_SALT_REFLECT
+        )
+        _, pert_reflect = sampling.perturb_reflection(reflect_dir0, nrm, roughness, rng_reflect)
+        rng_refract = sampling.rng_init(
+            px, py, scene.frame_index, sample_idx_rng, C.RNG_SALT_REFRACT
+        )
+        _, pert_refract = sampling.perturb_reflection(refract_dir, -nrm, roughness, rng_refract)
+        glass_perturb = (roughness > 0.01) & (state.depth == 0)
+        g_reflect = jnp.where(glass_perturb[:, None], pert_reflect, reflect_dir0)
+        g_refract = jnp.where((glass_perturb & ~tir)[:, None], pert_refract, refract_dir)
 
-    # Roughness perturbation at depth 0 (RayGen.hlsl:613-623)
-    rng_reflect = sampling.rng_init(px, py, scene.frame_index, sample_idx_rng, C.RNG_SALT_REFLECT)
-    _, pert_reflect = sampling.perturb_reflection(reflect_dir, nrm, roughness, rng_reflect)
-    rng_refract = sampling.rng_init(px, py, scene.frame_index, sample_idx_rng, C.RNG_SALT_REFRACT)
-    _, pert_refract = sampling.perturb_reflection(refract_dir, -nrm, roughness, rng_refract)
-    glass_perturb = (roughness > 0.01) & (state.depth == 0)
-    g_reflect = jnp.where(glass_perturb[:, None], pert_reflect, reflect_dir)
-    g_refract = jnp.where((glass_perturb & ~tir)[:, None], pert_refract, refract_dir)
+        cos_theta = jnp.clip(jnp.sum(-state.direction * nrm, axis=-1), 0.0, 1.0)
+        fresnel = shade.fresnel_schlick(cos_theta, f0_glass)
+        fresnel = jnp.where(tir, 1.0, fresnel)
+        reflect_tp = jnp.clip(jnp.broadcast_to(fresnel[:, None], (n, 3)), 0.0, 1.0)
+        tint = jnp.where(
+            entering[:, None],
+            1.0 + (albedo - 1.0) * F32(C.GLASS_TINT_STRENGTH),
+            jnp.ones((n, 3), F32),
+        )
+        refract_tp = jnp.clip(
+            (1.0 - fresnel)[:, None] * jnp.clip(transmission, 0.0, 1.0)[:, None] * tint, 0.0, 1.0
+        )
 
-    cos_theta = jnp.clip(jnp.sum(-state.direction * nrm, axis=-1), 0.0, 1.0)
-    fresnel = shade.fresnel_schlick(cos_theta, f0_glass)
-    fresnel = jnp.where(tir, 1.0, fresnel)
-    reflect_tp = jnp.clip(jnp.broadcast_to(fresnel[:, None], (n, 3)), 0.0, 1.0)
-    tint = jnp.where(
-        entering[:, None],
-        1.0 + (albedo - 1.0) * F32(C.GLASS_TINT_STRENGTH),
-        jnp.ones((n, 3), F32),
-    )
-    refract_tp = jnp.clip(
-        (1.0 - fresnel)[:, None] * jnp.clip(transmission, 0.0, 1.0)[:, None] * tint, 0.0, 1.0
-    )
-
-    # Thickness ray for Beer-Lambert absorption (RayGen.hlsl:646-678)
-    glass_spawn = can_spawn & is_glass
-    th_origin = pos + g_refract * F32(C.SELF_OFFSET)
-    th_hit, th_t = intersect.trace_thickness(scene, th_origin, g_refract, hit.obj_type,
-                                             hit.obj_index)
-    do_thickness = glass_spawn & ~tir
-    ray_count = ray_count + do_thickness.astype(I32)
-    thickness = jnp.where(do_thickness & th_hit, th_t, 0.0)
-    refraction_absorb = jnp.where(
-        (~tir & (thickness > 0.0))[:, None],
-        jnp.exp(-absorption * (thickness * F32(C.GLASS_ABSORPTION_SCALE))[:, None]),
-        jnp.ones((n, 3), F32),
-    )
+        # Thickness ray for Beer-Lambert absorption (RayGen.hlsl:646-678)
+        glass_spawn = can_spawn & is_glass
+        th_origin = pos + g_refract * F32(C.SELF_OFFSET)
+        th_hit, th_t = intersect.trace_thickness(
+            scene, th_origin, g_refract, hit.obj_type, hit.obj_index
+        )
+        do_thickness = glass_spawn & ~tir
+        ray_count = ray_count + do_thickness.astype(I32)
+        thickness = jnp.where(do_thickness & th_hit, th_t, 0.0)
+        refraction_absorb = jnp.where(
+            (~tir & (thickness > 0.0))[:, None],
+            jnp.exp(-absorption * (thickness * F32(C.GLASS_ABSORPTION_SCALE))[:, None]),
+            jnp.ones((n, 3), F32),
+        )
+    else:
+        glass_spawn = jnp.zeros((n,), bool)
+        tir = jnp.zeros((n,), bool)
+        entering = front_face
+        g_reflect = sample_dummy
+        g_refract = sample_dummy
+        reflect_tp = sample_dummy
+        refract_tp = sample_dummy
+        refraction_absorb = sample_dummy
 
     # Metal child (RayGen.hlsl:806-846)
-    is_metal = ~is_glass & (metallic > 0.1)
-    rng_metal = sampling.rng_init(px, py, scene.frame_index, sample_idx_rng, C.RNG_SALT_REFLECT)
-    _, metal_dir = sampling.perturb_reflection(reflect_dir, nrm, roughness, rng_metal)
-    ndotv_m = jnp.clip(jnp.sum(nrm * -state.direction, axis=-1), 0.0, 1.0)
-    f_metal = shade.fresnel_schlick3(ndotv_m, f0)
-    reflect_scale = 1.0 - roughness * 0.5
-    boost = jnp.where(state.depth > 0, F32(C.METAL_SECONDARY_BOOST), F32(1.0))
-    metal_tp = f_metal * (reflect_scale * boost)[:, None] * state.throughput
-    metal_spawn = can_spawn & is_metal
+    if cfg.any_metal:
+        is_metal = ~is_glass & (metallic > 0.1)
+        reflect_m = _reflect(state.direction, nrm)
+        rng_metal = sampling.rng_init(
+            px, py, scene.frame_index, sample_idx_rng, C.RNG_SALT_REFLECT
+        )
+        _, metal_dir = sampling.perturb_reflection(reflect_m, nrm, roughness, rng_metal)
+        ndotv_m = jnp.clip(jnp.sum(nrm * -state.direction, axis=-1), 0.0, 1.0)
+        f_metal = shade.fresnel_schlick3(ndotv_m, f0)
+        reflect_scale = 1.0 - roughness * 0.5
+        boost = jnp.where(state.depth > 0, F32(C.METAL_SECONDARY_BOOST), F32(1.0))
+        metal_tp = f_metal * (reflect_scale * boost)[:, None] * state.throughput
+        metal_spawn = can_spawn & is_metal
+    else:
+        metal_spawn = jnp.zeros((n,), bool)
+        metal_dir = sample_dummy
+        metal_tp = sample_dummy
 
     children = {
         "glass_spawn": glass_spawn,
@@ -524,7 +553,6 @@ def _shade_and_spawn(scene: FlatScene, cfg: RenderConfig, px, py, sample_index, 
         "metal_tp": metal_tp,
         "hit_pos": pos,
         "normal": nrm,
-        "ior": ior,
         "hit_obj_type": hit.obj_type,
         "hit_obj_index": hit.obj_index,
     }
@@ -548,7 +576,7 @@ def _shade_and_spawn(scene: FlatScene, cfg: RenderConfig, px, py, sample_index, 
 
 
 def run_sample(scene: FlatScene, cfg: RenderConfig, px, py, sample_index, primary: RayState,
-               prev_prim_hit, prev_accum=None):
+               prev_prim_hit):
     """Run the full DFS wavefront for one sample. Returns a SampleAccum."""
     n = px.shape[0]
     zero3 = jnp.zeros((n, 3), F32)
@@ -579,12 +607,9 @@ def run_sample(scene: FlatScene, cfg: RenderConfig, px, py, sample_index, primar
     def body(carry):
         it, cur, stack, acc = carry
         active = cur.valid
-        is_primary = active & (cur.depth == 0)
 
         # bounceCount = max(bounceCount, depth+1) (RayGen.hlsl:182)
-        bounce_count = jnp.maximum(
-            acc.bounce_count, jnp.where(active, cur.depth + 1, 0)
-        )
+        bounce_count = jnp.maximum(acc.bounce_count, jnp.where(active, cur.depth + 1, 0))
 
         # Depth cap -> sky fallback without boost (RayGen.hlsl:184-193)
         capped = active & (cur.depth >= cfg.max_bounces)
@@ -617,7 +642,7 @@ def run_sample(scene: FlatScene, cfg: RenderConfig, px, py, sample_index, primar
         )
 
         # Depth-0 records (RayGen.hlsl:560-589). The primary is always the
-        # first processed item, so `is_primary & traced` fires exactly once.
+        # first processed item, so `traced & depth==0` fires exactly once.
         rec_now = traced & (cur.depth == 0)
         diffuse = acc.diffuse + jnp.where(rec_now[:, None], rec["diffuse"], 0.0)
         specular = acc.specular + jnp.where(rec_now[:, None], rec["specular"], 0.0)
@@ -656,16 +681,14 @@ def run_sample(scene: FlatScene, cfg: RenderConfig, px, py, sample_index, primar
             depth=next_depth,
             throughput=ch["reflect_tp"],
             flags=spec_flags,
-            absorption=cur.absorption,
-            sky_boost=jnp.full((n,), C.SKY_BOOST_GLASS, F32),
-            spec_depth=cur.spec_depth + 1,
-            ray_flags=jnp.full((n,), C.RAYFLAG_SKIP_SELF, I32),
+            sky_boost=jnp.full((stack.count.shape[0],), C.SKY_BOOST_GLASS, F32),
+            ray_flags=jnp.full((stack.count.shape[0],), C.RAYFLAG_SKIP_SELF, I32),
             skip_type=ch["hit_obj_type"],
             skip_index=ch["hit_obj_index"],
-            medium_eta=cur.medium_eta,
         )
         stack = _stack_push(stack, reflect_child, stack_write)
 
+        n_lanes = stack.count.shape[0]
         refract_flags = jnp.where(
             ch["entering"],
             spec_flags | C.PATH_FLAG_INSIDE,
@@ -678,13 +701,10 @@ def run_sample(scene: FlatScene, cfg: RenderConfig, px, py, sample_index, primar
             depth=next_depth,
             throughput=ch["refract_tp"],
             flags=refract_flags,
-            absorption=cur.absorption,
-            sky_boost=jnp.full((n,), C.SKY_BOOST_GLASS, F32),
-            spec_depth=cur.spec_depth + 1,
-            ray_flags=jnp.zeros((n,), I32),
-            skip_type=jnp.full((n,), _INVALID, I32),
-            skip_index=jnp.zeros((n,), I32),
-            medium_eta=jnp.where(ch["entering"], ch["ior"], 1.0),
+            sky_boost=jnp.full((n_lanes,), C.SKY_BOOST_GLASS, F32),
+            ray_flags=jnp.zeros((n_lanes,), I32),
+            skip_type=jnp.full((n_lanes,), _INVALID, I32),
+            skip_index=jnp.zeros((n_lanes,), I32),
         )
 
         metal_inside = (spec_flags & C.PATH_FLAG_INSIDE) != 0
@@ -695,13 +715,10 @@ def run_sample(scene: FlatScene, cfg: RenderConfig, px, py, sample_index, primar
             depth=next_depth,
             throughput=ch["metal_tp"],
             flags=spec_flags,
-            absorption=cur.absorption,
-            sky_boost=jnp.full((n,), C.SKY_BOOST_METAL, F32),
-            spec_depth=cur.spec_depth + 1,
+            sky_boost=jnp.full((n_lanes,), C.SKY_BOOST_METAL, F32),
             ray_flags=jnp.where(metal_inside, 0, C.RAYFLAG_SKIP_SELF).astype(I32),
             skip_type=jnp.where(metal_inside, _INVALID, ch["hit_obj_type"]),
             skip_index=jnp.where(metal_inside, 0, ch["hit_obj_index"]),
-            medium_eta=cur.medium_eta,
         )
 
         # Continuation selection: refract > reflect(unpushed) > metal > pop.
@@ -717,7 +734,7 @@ def run_sample(scene: FlatScene, cfg: RenderConfig, px, py, sample_index, primar
             return v
 
         has_cont = cont_refract | cont_reflect | cont_metal
-        empty = _empty_ray(n)
+        empty = _empty_ray(n_lanes)
         cont = RayState(
             valid=has_cont,
             origin=pick(lambda r: r.origin, empty.origin),
@@ -725,13 +742,10 @@ def run_sample(scene: FlatScene, cfg: RenderConfig, px, py, sample_index, primar
             depth=pick(lambda r: r.depth, empty.depth),
             throughput=pick(lambda r: r.throughput, empty.throughput),
             flags=pick(lambda r: r.flags, empty.flags),
-            absorption=pick(lambda r: r.absorption, empty.absorption),
             sky_boost=pick(lambda r: r.sky_boost, empty.sky_boost),
-            spec_depth=pick(lambda r: r.spec_depth, empty.spec_depth),
             ray_flags=pick(lambda r: r.ray_flags, empty.ray_flags),
             skip_type=pick(lambda r: r.skip_type, empty.skip_type),
             skip_index=pick(lambda r: r.skip_index, empty.skip_index),
-            medium_eta=pick(lambda r: r.medium_eta, empty.medium_eta),
         )
         # Terminal lanes pop the deferred sibling.
         stack, popped_ray, popped = _stack_pop(stack, ~has_cont)
@@ -742,13 +756,10 @@ def run_sample(scene: FlatScene, cfg: RenderConfig, px, py, sample_index, primar
             depth=jnp.where(popped, popped_ray.depth, cont.depth),
             throughput=jnp.where(popped[:, None], popped_ray.throughput, cont.throughput),
             flags=jnp.where(popped, popped_ray.flags, cont.flags),
-            absorption=jnp.where(popped[:, None], popped_ray.absorption, cont.absorption),
             sky_boost=jnp.where(popped, popped_ray.sky_boost, cont.sky_boost),
-            spec_depth=jnp.where(popped, popped_ray.spec_depth, cont.spec_depth),
             ray_flags=jnp.where(popped, popped_ray.ray_flags, cont.ray_flags),
             skip_type=jnp.where(popped, popped_ray.skip_type, cont.skip_type),
             skip_index=jnp.where(popped, popped_ray.skip_index, cont.skip_index),
-            medium_eta=jnp.where(popped, popped_ray.medium_eta, cont.medium_eta),
         )
 
         acc_next = SampleAccum(

@@ -34,10 +34,12 @@ from ..ops.render import render_frame
 from ..utils.checksum import scene_data_checksum
 
 
-@partial(jax.jit, static_argnums=(1,))
-def _render_pipeline(scene: FlatScene, cfg: RenderConfig):
+@partial(jax.jit, static_argnums=(1, 2))
+def _render_pipeline(scene: FlatScene, cfg: RenderConfig, backend: str = "jnp"):
     """Full frame: wavefront render -> composite -> RGBA8. One jit program."""
-    out = render_frame(scene, cfg)
+    from ..ops.render import render_rows
+
+    out = render_rows(scene, cfg, jnp.int32(0), cfg.height, backend=backend)
     color01 = composite_mod.composite(
         out.gbuffer,
         out.raw_specular,
@@ -51,12 +53,29 @@ def _render_pipeline(scene: FlatScene, cfg: RenderConfig):
     return rgba, hdr, out.rays, out.gbuffer
 
 
+def _pick_backend(flat: FlatScene) -> str:
+    """Megakernel on real TPUs for analytic scenes; jnp elsewhere.
+
+    The Pallas tile kernel does not traverse mesh BVHs yet; scenes with
+    triangle meshes take the jnp wavefront (XLA gathers).
+    """
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:
+        platform = "cpu"
+    if platform == "cpu":
+        return "jnp"
+    return "jnp" if flat.mesh is not None else "pallas"
+
+
 class Engine:
     """Render engine with EngineWrapper-compatible surface."""
 
-    def __init__(self, width: int, height: int):
+    def __init__(self, width: int, height: int, mesh_service=None, backend: str = "auto"):
         self.width = int(width)
         self.height = int(height)
+        self.mesh_service = mesh_service
+        self.backend = backend  # "auto" | "jnp" | "pallas"
         self._flat: Optional[FlatScene] = None
         self._cfg: Optional[RenderConfig] = None
         self._scene: Optional[SceneData] = None
@@ -82,14 +101,40 @@ class Engine:
         self._checksum = new_checksum
         self._flat = flatten_scene(
             clean, frame_index=self._frame_index, aspect=aspect,
-            prev_view_proj=self._prev_view_proj,
+            prev_view_proj=self._prev_view_proj, mesh_service=self.mesh_service,
         )
         self._cfg = make_config(clean, self.width, self.height, **config_overrides)
         self._prev_view_proj = np.asarray(self._flat.view_proj)
 
     def load_rtvs(self, path: str, **config_overrides) -> None:
-        """Convenience: load a .rtvs file and update the scene."""
-        graph = load_graph(path)
+        """Convenience: load a .rtvs file and update the scene.
+
+        FBX mesh names resolve against Resource/Model next to the scene file
+        (the reference scans the application's Resource/Model directory,
+        MeshCacheService.cs:54-72); FBX nodes whose mesh is missing from the
+        cache are dropped at load (SceneFileService.cs:52-62).
+        """
+        import os
+
+        if self.mesh_service is None:
+            scene_dir = os.path.dirname(os.path.abspath(path))
+            for candidate in (
+                os.path.join(scene_dir, "Resource", "Model"),
+                os.path.join(scene_dir, "Model"),
+            ):
+                if os.path.isdir(candidate):
+                    from ..io.mesh_cache import MeshCacheService
+
+                    svc = MeshCacheService(candidate, cache_dir=os.path.join(
+                        os.path.expanduser("~"), ".raytracevs_tpu", "meshcache"))
+                    try:
+                        svc.initialize()
+                        self.mesh_service = svc
+                    except OSError:
+                        pass
+                    break
+        resolver = self.mesh_service.get_mesh if self.mesh_service is not None else None
+        graph = load_graph(path, mesh_resolver=resolver)
         self.update_scene(evaluate_scene(graph), **config_overrides)
 
     # -- rendering --------------------------------------------------------
@@ -97,8 +142,9 @@ class Engine:
         """Render a frame; returns RGBA8 np.uint8 [H, W, 4] (readback analog)."""
         if self._flat is None:
             raise RuntimeError("update_scene() must be called before render()")
+        backend = self.backend if self.backend != "auto" else _pick_backend(self._flat)
         start = time.perf_counter()
-        rgba, hdr, rays, _ = _render_pipeline(self._flat, self._cfg)
+        rgba, hdr, rays, _ = _render_pipeline(self._flat, self._cfg, backend)
         rgba = np.asarray(rgba)
         self._last_render_ms = (time.perf_counter() - start) * 1000.0
         self._last_rgba = rgba

@@ -25,7 +25,13 @@ from .data import LightType, SceneData
 
 
 def _pad_capacity(n: int, minimum: int) -> int:
-    """Next power-of-two capacity >= max(n, 1), at least `minimum`."""
+    """Next power-of-two capacity >= n, at least `minimum`; 0 stays 0.
+
+    Zero-size primitive arrays compile to nothing, so a scene without boxes
+    pays no box-intersection cost (like a DXR BLAS that is simply absent).
+    """
+    if n == 0:
+        return 0
     cap = max(1, minimum)
     while cap < n:
         cap *= 2
@@ -90,6 +96,10 @@ class FlatScene(NamedTuple):
     # (DXRPipeline.cpp:794-804; LookAtLH/PerspectiveFovLH, Camera.cpp:26-40)
     view_proj: jnp.ndarray  # [4,4]
     prev_view_proj: jnp.ndarray  # [4,4]
+    # Triangle meshes: combined world-space BVH over all instances
+    # (None when the scene has no mesh instances); material slots for
+    # instance i live at sphere_cap+plane_cap+box_cap+i in the mat table.
+    mesh: object = None  # Optional[ops.bvh.MeshArrays]
 
     @property
     def sphere_capacity(self) -> int:
@@ -120,6 +130,12 @@ class RenderConfig(NamedTuple):
     photon_debug_mode: int = 0
     # Photon mapping (M4): 0 disables the pass entirely
     num_photons: int = 0
+    # Static scene-shape facts; like the reference's shader permutations,
+    # changing these swaps the compiled pipeline.
+    has_lights: bool = True
+    any_glass: bool = True
+    any_metal: bool = True
+    max_soft_samples: int = 1  # static unroll bound for soft-shadow sampling
 
     @property
     def aspect_ratio(self) -> float:
@@ -191,18 +207,30 @@ def view_projection(scene: SceneData, aspect: float) -> np.ndarray:
 
 
 def flatten_scene(scene: SceneData, frame_index: int = 0, aspect: float = 16.0 / 9.0,
-                  prev_view_proj: np.ndarray = None) -> FlatScene:
-    """Build the FlatScene pytree from an evaluated, sanitized SceneData."""
+                  prev_view_proj: np.ndarray = None, mesh_service=None) -> FlatScene:
+    """Build the FlatScene pytree from an evaluated, sanitized SceneData.
+
+    `mesh_service` resolves FBX mesh names (io.mesh_cache.MeshCacheService);
+    instances whose mesh is missing are skipped, like the reference drops
+    FBX nodes absent from the cache (SceneFileService.cs:52-62).
+    """
     f32 = np.float32
     spheres = scene.spheres
     planes = scene.planes
     boxes = scene.boxes
+    instances = []
+    if mesh_service is not None:
+        for mi in scene.mesh_instances:
+            cached = mesh_service.get_mesh(mi.mesh_name)
+            if cached is not None:
+                instances.append((mi, cached))
 
-    s_cap = _pad_capacity(len(spheres), 4)
-    p_cap = _pad_capacity(len(planes), 2)
-    b_cap = _pad_capacity(len(boxes), 4)
-    l_cap = _pad_capacity(len(scene.lights), C.MAX_LIGHTS)
-    m_cap = s_cap + p_cap + b_cap
+    s_cap = _pad_capacity(len(spheres), 2)
+    p_cap = _pad_capacity(len(planes), 1)
+    b_cap = _pad_capacity(len(boxes), 2)
+    l_cap = _pad_capacity(len(scene.lights), 2)
+    i_cap = len(instances)
+    m_cap = max(1, s_cap + p_cap + b_cap + i_cap)
 
     sph_center = np.zeros((s_cap, 3), f32)
     sph_radius = np.full((s_cap,), 1.0, f32)
@@ -274,6 +302,46 @@ def flatten_scene(scene: SceneData, frame_index: int = 0, aspect: float = 16.0 /
         lt_samples[i] = min(lt.soft_shadow_samples, 1.0)
         lt_valid[i] = True
 
+    # Triangle meshes: bake instance transforms into a combined world-space
+    # BVH (like BuildCombinedTLAS's per-instance transforms,
+    # AccelerationStructure.cpp:665-848).
+    mesh_arrays = None
+    if instances:
+        from ..ops import bvh as bvh_mod
+
+        all_v0, all_v1, all_v2 = [], [], []
+        all_n0, all_n1, all_n2 = [], [], []
+        all_inst = []
+        inst_trans = []
+        inst_absorb = []
+        for inst_idx, (mi, cached) in enumerate(instances):
+            m4 = mi.transform.matrix()  # row-vector TRS
+            pos = cached.positions.astype(np.float64)
+            nrm = cached.normals.astype(np.float64)
+            world = pos @ m4[:3, :3] + m4[3, :3]
+            nmat = np.linalg.inv(m4[:3, :3]).T
+            wn = nrm @ nmat
+            ln = np.linalg.norm(wn, axis=1, keepdims=True)
+            wn = wn / np.where(ln < 1e-12, 1.0, ln)
+            tris = cached.indices.reshape(-1, 3).astype(np.int64)
+            all_v0.append(world[tris[:, 0]])
+            all_v1.append(world[tris[:, 1]])
+            all_v2.append(world[tris[:, 2]])
+            all_n0.append(wn[tris[:, 0]])
+            all_n1.append(wn[tris[:, 1]])
+            all_n2.append(wn[tris[:, 2]])
+            all_inst.append(np.full(len(tris), inst_idx, np.int32))
+            put_material(s_cap + p_cap + b_cap + inst_idx, mi.material)
+            inst_trans.append(mi.material.transmission)
+            inst_absorb.append(np.asarray(mi.material.absorption, np.float64)[:3])
+        built = bvh_mod.build_bvh(
+            np.concatenate(all_v0), np.concatenate(all_v1), np.concatenate(all_v2),
+            np.concatenate(all_n0), np.concatenate(all_n1), np.concatenate(all_n2),
+            np.concatenate(all_inst),
+        )
+        mesh_arrays = bvh_mod.to_device(built, np.asarray(inst_trans, f32),
+                                        np.asarray(inst_absorb, f32))
+
     fwd, right, up = camera_basis(scene.camera.position, scene.camera.look_at, scene.camera.up)
     st = scene.settings
     vp = view_projection(scene, aspect)
@@ -327,6 +395,7 @@ def flatten_scene(scene: SceneData, frame_index: int = 0, aspect: float = 16.0 /
         frame_index=jnp.asarray(frame_index, jnp.uint32),
         view_proj=jnp.asarray(vp, jnp.float32),
         prev_view_proj=jnp.asarray(pvp, jnp.float32),
+        mesh=mesh_arrays,
     )
 
 
@@ -338,6 +407,19 @@ def make_config(scene: SceneData, width: int, height: int, **overrides) -> Rende
     # bounded by the reference's own budget (RayGen.hlsl:73 caps non-specular
     # work; specular trees are bounded by the 8-deep queue and max_bounces).
     max_iters = min(C.MAX_RAYS_PER_PIXEL, 4 * max_bounces + C.WORK_QUEUE_STRIDE)
+
+    def _mat_of(o):
+        return o.material
+
+    mats = [o.material for o in scene.objects if hasattr(o, "material")]
+    any_glass = any(m.transmission > 0.01 for m in mats)
+    any_metal = any(m.metallic > 0.1 for m in mats)
+    max_soft = 1
+    for lt in scene.lights:
+        if lt.radius > 0.001:
+            # flatten clamps samples to 1 (DXRPipeline.cpp:928); keep the
+            # unroll bound in sync with that clamp.
+            max_soft = max(max_soft, int(min(lt.soft_shadow_samples, 1.0)))
     cfg = dict(
         width=int(width),
         height=int(height),
@@ -346,6 +428,10 @@ def make_config(scene: SceneData, width: int, height: int, **overrides) -> Rende
         max_queue_iters=max_iters,
         enable_denoiser=bool(scene.settings.enable_denoiser),
         photon_debug_mode=int(scene.settings.photon_debug_mode),
+        has_lights=len(scene.lights) > 0,
+        any_glass=any_glass,
+        any_metal=any_metal,
+        max_soft_samples=max_soft,
     )
     cfg.update(overrides)
     return RenderConfig(**cfg)

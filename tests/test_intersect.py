@@ -123,10 +123,11 @@ def test_surface_normals():
     tmin = jnp.full((3,), 0.001, jnp.float32)
     tmax = jnp.full((3,), 10000.0, jnp.float32)
     h = intersect.trace_closest(s, o, d, tmin, tmax)
-    pos, n = intersect.surface_normal(s, h, o, d)
+    pos, n, front = intersect.surface_normal(s, h, o, d)
     np.testing.assert_allclose(np.asarray(n[0]), [0, 0, -1], atol=1e-4)  # sphere front
     np.testing.assert_allclose(np.asarray(n[1]), [0, 1, 0], atol=1e-5)  # plane
     np.testing.assert_allclose(np.asarray(n[2]), [-1, 0, 0], atol=1e-4)  # box -X face
+    assert np.asarray(front).all()
 
 
 def test_shadow_opaque_blocks():
