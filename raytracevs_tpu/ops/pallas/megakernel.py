@@ -24,6 +24,7 @@ arrays (SoA over the VPU's (8,128) lanes).
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import numpy as np
@@ -40,6 +41,11 @@ from .. import sampling
 F32 = jnp.float32
 I32 = jnp.int32
 U32 = jnp.uint32
+
+# Debug: comma-separated feature kill-switches for compiler bisection
+_DEBUG_DISABLE = frozenset(
+    x for x in os.environ.get("RTVS_MK_DISABLE", "").split(",") if x
+)
 
 TILE_H = 32
 TILE_W = 128
@@ -64,6 +70,7 @@ CH_POS = 25  # 3
 CH_SHADOW_VIS = 28
 CH_SHADOW_PEN = 29
 CH_SHADOW_DIST = 30
+CH_OBJ_ID = 31  # packed type*65536+index as f32 (exact below 2**24); -1 = sky
 NUM_CH = 32
 
 
@@ -1216,15 +1223,23 @@ def _shade_and_spawn_k(ks, cfg, xx, yy, frame, s, cur, traced):
     if cfg.any_metal:
         is_metal = ~is_glass & (metallic > 0.1)
         refl_m = reflect3(c_d, nrm)
-        rng_m = rng_init_t(xx, yy, frame, sample_idx, C.RNG_SALT_REFLECT)
-        _, metal_dir = perturb_reflection_t(refl_m, nrm, roughness, rng_m)
-        ndotv_m = jnp.clip(vdot(nrm, vscale(c_d, -1.0)), 0.0, 1.0)
-        f_m = _fresnel3(ndotv_m, f0)
-        scale_m = (1.0 - roughness * 0.5) * jnp.where(
-            c_depth > 0, F32(C.METAL_SECONDARY_BOOST), F32(1.0)
-        )
-        metal_tp = vmul(vscale(f_m, scale_m), c_tp)
+        if "perturb" in _DEBUG_DISABLE:
+            metal_dir = refl_m
+        else:
+            rng_m = rng_init_t(xx, yy, frame, sample_idx, C.RNG_SALT_REFLECT)
+            _, metal_dir = perturb_reflection_t(refl_m, nrm, roughness, rng_m)
+        if "fresnel" in _DEBUG_DISABLE:
+            metal_tp = c_tp
+        else:
+            ndotv_m = jnp.clip(vdot(nrm, vscale(c_d, -1.0)), 0.0, 1.0)
+            f_m = _fresnel3(ndotv_m, f0)
+            scale_m = (1.0 - roughness * 0.5) * jnp.where(
+                c_depth > 0, F32(C.METAL_SECONDARY_BOOST), F32(1.0)
+            )
+            metal_tp = vmul(vscale(f_m, scale_m), c_tp)
         metal_spawn = hit_mask & is_metal
+        if "spawn" in _DEBUG_DISABLE:
+            metal_spawn = jnp.zeros(shape, bool)
     else:
         metal_spawn = jnp.zeros(shape, bool)
         metal_dir = vzeros(shape)
@@ -1241,6 +1256,7 @@ def _shade_and_spawn_k(ks, cfg, xx, yy, frame, s, cur, traced):
         shadow_vis=rec_vis, shadow_pen=rec_pen, shadow_dist=rec_dist, hit_mask=hit_mask,
         normal=nrm, roughness=roughness, albedo=albedo, metallic=metallic,
         transmission=transmission, position=pos,
+        obj_id=jnp.where(hit_mask, isect["type"] * 65536 + isect["index"], -1),
     )
     return color, records, children, ray_count
 
@@ -1308,6 +1324,7 @@ def _run_sample_k(ks, cfg, xx, yy, frame, s, bn):
         pnormal=vconst(shape, 0.0, 1.0, 0.0), prough=jnp.ones(shape, F32),
         palbedo=vzeros(shape), pmetal=jnp.zeros(shape, F32),
         ptrans=jnp.zeros(shape, F32), ppos=vzeros(shape),
+        pobj=jnp.full(shape, -1, I32),
     )
 
     # NOTE: boolean masks are carried as i32 — i1 vectors in Mosaic loop
@@ -1319,7 +1336,7 @@ def _run_sample_k(ks, cfg, xx, yy, frame, s, bn):
                 *acc["diffuse"], *acc["specular"], acc["hitdist"],
                 acc["svis"], acc["spen"], acc["sdist"], acc["phit"].astype(I32),
                 *acc["pnormal"], acc["prough"], *acc["palbedo"], acc["pmetal"],
-                acc["ptrans"], *acc["ppos"])
+                acc["ptrans"], *acc["ppos"], acc["pobj"])
 
     def unflatten_state(t):
         it = t[0]
@@ -1337,7 +1354,7 @@ def _run_sample_k(ks, cfg, xx, yy, frame, s, bn):
             phit=t[k+18] != 0,
             pnormal=(t[k+19], t[k+20], t[k+21]), prough=t[k+22],
             palbedo=(t[k+23], t[k+24], t[k+25]), pmetal=t[k+26], ptrans=t[k+27],
-            ppos=(t[k+28], t[k+29], t[k+30]),
+            ppos=(t[k+28], t[k+29], t[k+30]), pobj=t[k+31],
         )
         return it, cur, sf, si, sn, acc
 
@@ -1392,6 +1409,7 @@ def _run_sample_k(ks, cfg, xx, yy, frame, s, bn):
         pmetal = jnp.where(first_hit, rec["metallic"], acc["pmetal"])
         ptrans = jnp.where(first_hit, rec["transmission"], acc["ptrans"])
         ppos = vwhere(first_hit, rec["position"], acc["ppos"])
+        pobj = jnp.where(first_hit, rec["obj_id"], acc["pobj"])
         phit = acc["phit"] | first_hit
 
         # --- continuation / stack (RayGen.hlsl:697-846) -------------------
@@ -1509,12 +1527,17 @@ def _run_sample_k(ks, cfg, xx, yy, frame, s, bn):
             diffuse=diffuse, specular=specular, hitdist=hitdist,
             svis=svis, spen=spen, sdist=sdist, phit=phit,
             pnormal=pnormal, prough=prough, palbedo=palbedo, pmetal=pmetal,
-            ptrans=ptrans, ppos=ppos,
+            ptrans=ptrans, ppos=ppos, pobj=pobj,
         )
         return flatten_state(it + 1, cur_next, sf, si, sn, acc_next)
 
     init = flatten_state(jnp.int32(0), cur, stack_f, stack_i, stack_n, acc)
-    final = jax.lax.while_loop(cond, body, init)
+    if "fori" in _DEBUG_DISABLE:
+        final = jax.lax.fori_loop(
+            0, cfg.max_queue_iters, lambda _i, t: body(t), init
+        )
+    else:
+        final = jax.lax.while_loop(cond, body, init)
     _, _, _, _, _, acc = unflatten_state(final)
     return acc
 
@@ -1576,6 +1599,7 @@ def make_kernel(cfg: RenderConfig, caps):
                 jnp.where(a["phit"] & (accs[16] == 0), a["ptrans"], accs[14]),
                 vwhere(a["phit"] & (accs[16] == 0), a["ppos"], accs[15]),
                 accs[16] | a["phit"].astype(I32),
+                jnp.where(a["phit"] & (accs[16] == 0), a["pobj"], accs[17]),
             )
 
         init = (
@@ -1586,10 +1610,12 @@ def make_kernel(cfg: RenderConfig, caps):
             vconst(shape, 0.0, 1.0, 0.0), jnp.ones(shape, F32), vzeros(shape),
             jnp.zeros(shape, F32), jnp.zeros(shape, F32), vzeros(shape),
             jnp.zeros(shape, I32),
+            jnp.full(shape, -1, I32),
         )
         accs = jax.lax.fori_loop(0, cfg.samples_per_pixel, sample_body, init)
         (color, primary, diffuse, specular, hitdist, bounce, rays,
-         svis, spen, sdist, pnormal, prough, palbedo, pmetal, ptrans, ppos, phit) = accs
+         svis, spen, sdist, pnormal, prough, palbedo, pmetal, ptrans, ppos, phit,
+         pobj) = accs
 
         out_ref[CH_COLOR, :, :] = color[0]
         out_ref[CH_COLOR + 1, :, :] = color[1]
@@ -1622,7 +1648,7 @@ def make_kernel(cfg: RenderConfig, caps):
         out_ref[CH_SHADOW_VIS, :, :] = svis
         out_ref[CH_SHADOW_PEN, :, :] = spen
         out_ref[CH_SHADOW_DIST, :, :] = sdist
-        out_ref[NUM_CH - 1, :, :] = jnp.zeros(shape, F32)
+        out_ref[CH_OBJ_ID, :, :] = pobj.astype(F32)
 
     return kernel
 
@@ -1691,4 +1717,5 @@ def render_accum_pallas(scene: FlatScene, cfg: RenderConfig, row_start, num_rows
         shadow_vis=ch(CH_SHADOW_VIS),
         shadow_pen=ch(CH_SHADOW_PEN),
         shadow_dist=ch(CH_SHADOW_DIST),
+        obj_id=ch(CH_OBJ_ID).astype(jnp.int32),
     )

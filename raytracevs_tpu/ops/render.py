@@ -33,6 +33,8 @@ class GBuffer(NamedTuple):
     albedo: jnp.ndarray  # [N,4] albedo + material-class alpha
     shadow_data: jnp.ndarray  # [N,2] (penumbra, visibility)
     shadow_translucency: jnp.ndarray  # [N,4] SIGMA packed translucency
+    obj_id: jnp.ndarray  # [N] i32 packed object id (type*65536+index; -1 = sky)
+    
 
 
 class FrameOutput(NamedTuple):
@@ -103,6 +105,39 @@ def primary_rays(scene: FlatScene, cfg: RenderConfig, px, py, sample_index, tile
     )
 
 
+def caustics_delta(scene: FlatScene, cfg: RenderConfig, pmap, px, py, tile):
+    """Per-sample photon-caustic contribution at primary hits.
+
+    The reference gathers photons in RayGen at depth 0 for diffuse surfaces
+    (RayGen.hlsl:505-519: metallic<0.5, transmission<=0.01) and adds the
+    result to both color and diffuse radiance; contribution throughput is 1
+    at depth 0, so recomputing the (deterministic) primary hits after the
+    main pass is exactly equivalent. Returns (delta [N,3], replace_mask [N]).
+    """
+    from . import photon as photon_mod
+
+    n = px.shape[0]
+    delta = jnp.zeros((n, 3), F32)
+    eligible_any = jnp.zeros((n,), bool)
+    for s in range(cfg.samples_per_pixel):
+        primary = primary_rays(scene, cfg, px, py, jnp.uint32(s), tile)
+        tmin = jnp.full((n,), 0.001, F32)
+        tmax = jnp.full((n,), 10000.0, F32)
+        from . import intersect as isect
+
+        hit = isect.trace_closest(scene, primary.origin, primary.direction, tmin, tmax)
+        pos, nrm, _ff = isect.surface_normal(scene, hit, primary.origin, primary.direction)
+        metallic = scene.mat_metallic[hit.mat_slot]
+        transmission = scene.mat_transmission[hit.mat_slot]
+        is_plane = hit.obj_type == 1
+        transmission = jnp.where(is_plane, 0.0, transmission)
+        eligible = hit.hit & (metallic < 0.5) & (transmission <= 0.01)
+        caustic = photon_mod.gather(pmap, pos, nrm)
+        delta = delta + jnp.where(eligible[:, None], caustic, 0.0)
+        eligible_any = eligible_any | eligible
+    return delta, eligible_any
+
+
 def render_rows(scene: FlatScene, cfg: RenderConfig, row_start, num_rows: int,
                 backend: str = "jnp", interpret: bool = False) -> FrameOutput:
     """Render `num_rows` image rows starting at traced offset `row_start`.
@@ -121,12 +156,15 @@ def render_rows(scene: FlatScene, cfg: RenderConfig, row_start, num_rows: int,
         from .pallas import megakernel
 
         a = megakernel.render_accum_pallas(scene, cfg, row_start, num_rows, interpret)
+        acc_color, acc_diffuse = _apply_caustics(
+            scene, cfg, row_start, num_rows, a["color"], a["diffuse"]
+        )
         return _assemble_frame(
             scene, cfg, n,
-            a["color"], a["primary"], a["diffuse"], a["specular"], a["hitdist"],
+            acc_color, a["primary"], acc_diffuse, a["specular"], a["hitdist"],
             a["bounce"], a["rays"], a["prim_hit"], a["prim_normal"], a["prim_rough"],
             a["prim_albedo"], a["prim_metallic"], a["prim_transmission"], a["prim_pos"],
-            a["shadow_vis"], a["shadow_pen"], a["shadow_dist"],
+            a["shadow_vis"], a["shadow_pen"], a["shadow_dist"], a["obj_id"],
         )
     idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
     px = idx % cfg.width
@@ -139,7 +177,7 @@ def render_rows(scene: FlatScene, cfg: RenderConfig, row_start, num_rows: int,
         (acc_color, acc_primary, acc_diffuse, acc_specular, acc_hitdist, acc_bounce,
          rays_total, prim_hit, prim_normal, prim_rough, prim_albedo, prim_metallic,
          prim_transmission, prim_pos, prim_shadow_vis, prim_shadow_pen,
-         prim_shadow_dist) = carry
+         prim_shadow_dist, prim_obj_id) = carry
         su = s.astype(jnp.uint32)
         primary = primary_rays(scene, cfg, px, py, su, tile)
         acc = wavefront.run_sample(scene, cfg, px, py, su, primary, prim_hit)
@@ -162,12 +200,13 @@ def render_rows(scene: FlatScene, cfg: RenderConfig, row_start, num_rows: int,
         prim_metallic = jnp.where(new_hit, acc.prim_metallic, prim_metallic)
         prim_transmission = jnp.where(new_hit, acc.prim_transmission, prim_transmission)
         prim_pos = jnp.where(new_hit[:, None], acc.prim_pos, prim_pos)
+        prim_obj_id = jnp.where(new_hit, acc.prim_obj_id, prim_obj_id)
         prim_hit = prim_hit | acc.prim_hit
         return (
             acc_color, acc_primary, acc_diffuse, acc_specular, acc_hitdist, acc_bounce,
             rays_total, prim_hit, prim_normal, prim_rough, prim_albedo, prim_metallic,
             prim_transmission, prim_pos, prim_shadow_vis, prim_shadow_pen,
-            prim_shadow_dist,
+            prim_shadow_dist, prim_obj_id,
         ), None
 
     init = (
@@ -176,6 +215,7 @@ def render_rows(scene: FlatScene, cfg: RenderConfig, row_start, num_rows: int,
         jnp.tile(jnp.array([0.0, 1.0, 0.0], F32), (n, 1)), jnp.ones((n,), F32),
         zero3, jnp.zeros((n,), F32), jnp.zeros((n,), F32), zero3,
         jnp.ones((n,), F32), jnp.zeros((n,), F32), jnp.full((n,), C.NRD_FP16_MAX, F32),
+        jnp.full((n,), -1, jnp.int32),
     )
     carry, _ = jax.lax.scan(
         sample_step, init, jnp.arange(cfg.samples_per_pixel, dtype=jnp.int32)
@@ -183,19 +223,40 @@ def render_rows(scene: FlatScene, cfg: RenderConfig, row_start, num_rows: int,
     (acc_color, acc_primary, acc_diffuse, acc_specular, acc_hitdist, acc_bounce,
      rays_total, prim_hit, prim_normal, prim_rough, prim_albedo, prim_metallic,
      prim_transmission, prim_pos, prim_shadow_vis, prim_shadow_pen,
-     prim_shadow_dist) = carry
+     prim_shadow_dist, prim_obj_id) = carry
+    acc_color, acc_diffuse = _apply_caustics(
+        scene, cfg, row_start, num_rows, acc_color, acc_diffuse
+    )
     return _assemble_frame(
         scene, cfg, n, acc_color, acc_primary, acc_diffuse, acc_specular, acc_hitdist,
         acc_bounce, rays_total, prim_hit, prim_normal, prim_rough, prim_albedo,
         prim_metallic, prim_transmission, prim_pos, prim_shadow_vis, prim_shadow_pen,
-        prim_shadow_dist,
+        prim_shadow_dist, prim_obj_id,
     )
+
+
+def _apply_caustics(scene, cfg, row_start, num_rows, acc_color, acc_diffuse):
+    """Photon pass: emit/trace/hash photons, add the gathered caustic at
+    primary hits into color and diffuse (RayGen.hlsl:505-533)."""
+    if cfg.num_photons <= 0:
+        return acc_color, acc_diffuse
+    from . import photon as photon_mod
+
+    pmap = photon_mod.emit_and_trace(scene, cfg.num_photons)
+    n = cfg.width * num_rows
+    idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+    px = idx % cfg.width
+    py = jnp.asarray(row_start, jnp.int32) + idx // cfg.width
+    tile = sampling.blue_noise_tile()
+    delta, _mask = caustics_delta(scene, cfg, pmap, px, py, tile)
+    return acc_color + delta, acc_diffuse + delta
 
 
 def _assemble_frame(scene, cfg, n, acc_color, acc_primary, acc_diffuse, acc_specular,
                     acc_hitdist, acc_bounce, rays_total, prim_hit, prim_normal, prim_rough,
                     prim_albedo, prim_metallic, prim_transmission, prim_pos,
-                    prim_shadow_vis, prim_shadow_pen, prim_shadow_dist) -> FrameOutput:
+                    prim_shadow_vis, prim_shadow_pen, prim_shadow_dist,
+                    prim_obj_id=None) -> FrameOutput:
     """G-buffer assembly from per-sample accumulators (RayGen.hlsl:850-1044)."""
     inv = F32(1.0 / cfg.samples_per_pixel)
     final_color = acc_color * inv
@@ -320,6 +381,8 @@ def _assemble_frame(scene, cfg, n, acc_color, acc_primary, acc_diffuse, acc_spec
             albedo=albedo_out,
             shadow_data=shadow_data,
             shadow_translucency=shadow_translucency,
+            obj_id=(prim_obj_id if prim_obj_id is not None
+                    else jnp.full((n,), -1, jnp.int32)),
         ),
         rays=rays_total,
         raw_specular=specular_nrd,

@@ -155,6 +155,7 @@ class SampleAccum(NamedTuple):
     prim_metallic: jnp.ndarray  # [N]
     prim_transmission: jnp.ndarray  # [N]
     prim_pos: jnp.ndarray  # [N,3]
+    prim_obj_id: jnp.ndarray  # [N] i32: obj_type*65536+index at primary, -1 = miss
 
 
 def _reflect(i, n):
@@ -571,6 +572,9 @@ def _shade_and_spawn(scene: FlatScene, cfg: RenderConfig, px, py, sample_index, 
         "metallic": metallic,
         "transmission": transmission,
         "position": pos,
+        "obj_id": jnp.where(
+            hit_mask, hit.obj_type * 65536 + hit.obj_index, -1
+        ).astype(I32),
     }
     return color, records, children, ray_count
 
@@ -598,6 +602,7 @@ def run_sample(scene: FlatScene, cfg: RenderConfig, px, py, sample_index, primar
         prim_metallic=jnp.zeros((n,), F32),
         prim_transmission=jnp.zeros((n,), F32),
         prim_pos=zero3,
+        prim_obj_id=jnp.full((n,), -1, I32),
     )
 
     def cond(carry):
@@ -657,6 +662,7 @@ def run_sample(scene: FlatScene, cfg: RenderConfig, px, py, sample_index, primar
         prim_metallic = jnp.where(first_hit, rec["metallic"], acc.prim_metallic)
         prim_transmission = jnp.where(first_hit, rec["transmission"], acc.prim_transmission)
         prim_pos = jnp.where(first_hit[:, None], rec["position"], acc.prim_pos)
+        prim_obj_id = jnp.where(first_hit, rec["obj_id"], acc.prim_obj_id)
         prim_hit = acc.prim_hit | first_hit
 
         # ---- Continuation / stack update (RayGen.hlsl:697-846) ----------
@@ -780,6 +786,7 @@ def run_sample(scene: FlatScene, cfg: RenderConfig, px, py, sample_index, primar
             prim_metallic=prim_metallic,
             prim_transmission=prim_transmission,
             prim_pos=prim_pos,
+            prim_obj_id=prim_obj_id,
         )
         return it + 1, cur_next, stack, acc_next
 

@@ -73,6 +73,7 @@ def _gbuffer_spec():
         albedo=P(TILE_AXIS),
         shadow_data=P(TILE_AXIS),
         shadow_translucency=P(TILE_AXIS),
+        obj_id=P(TILE_AXIS),
     )
 
 

@@ -1,0 +1,247 @@
+"""Denoising: temporal accumulation + edge-aware spatial filtering.
+
+Replaces the reference's NVIDIA NRD integration (Denoiser/NRDDenoiser.cpp:
+REBLUR_DIFFUSE_SPECULAR + SIGMA_SHADOW) with an own implementation over the
+same G-buffer contract:
+
+- REBLUR-like temporal accumulation with motion-vector reprojection, a slow
+  history (maxAccumulatedFrameNum 16) and a fast history (4) used for
+  anti-lag clamping (NRDDenoiser.cpp:870-871), history reset on scene change
+  via the frame-index reset (DXRPipeline.cpp:2854-2880),
+- a-trous edge-stopping spatial passes guided by view-Z and oct-decoded
+  normals over the demodulated diffuse / specular radiance,
+- the custom shadow filter from src/Shader/ShadowDenoise.hlsl:39-131
+  (exact object-ID match + relative-depth + normal^8 + Gaussian weights) —
+  selected by useCustomShadowDenoiser (DXRPipeline.h:577).
+
+All filters operate on [H,W,...] images; the denoiser state is an explicit
+pytree double-buffered across frames by the engine.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import constants as C
+
+F32 = jnp.float32
+
+MAX_ACCUM_FRAMES = 16.0  # NRDDenoiser.cpp:870
+MAX_FAST_FRAMES = 4.0  # NRDDenoiser.cpp:871
+ATROUS_PASSES = 3
+DEPTH_SIGMA = 0.05
+NORMAL_POWER = 8.0
+
+
+class DenoiserState(NamedTuple):
+    diffuse: jnp.ndarray  # [H,W,4] slow history (radiance + hitdist)
+    specular: jnp.ndarray  # [H,W,4]
+    fast_diffuse: jnp.ndarray  # [H,W,3]
+    fast_specular: jnp.ndarray  # [H,W,3]
+    frames: jnp.ndarray  # [H,W] accumulated frame count
+    view_z: jnp.ndarray  # [H,W] previous depth
+
+
+def init_state(height: int, width: int) -> DenoiserState:
+    return DenoiserState(
+        diffuse=jnp.zeros((height, width, 4), F32),
+        specular=jnp.zeros((height, width, 4), F32),
+        fast_diffuse=jnp.zeros((height, width, 3), F32),
+        fast_specular=jnp.zeros((height, width, 3), F32),
+        frames=jnp.zeros((height, width), F32),
+        view_z=jnp.full((height, width), C.VIEWZ_SKY, F32),
+    )
+
+
+def _decode_oct(nr):
+    """DecodeUnitVector (NRDEncoding.hlsli:82-91). nr: [H,W,4]."""
+    p = nr[..., :2] * 2.0 - 1.0
+    z = 1.0 - jnp.abs(p[..., 0]) - jnp.abs(p[..., 1])
+    t = jnp.clip(-z, 0.0, 1.0)
+    x = p[..., 0] + jnp.where(p[..., 0] >= 0.0, -t, t)
+    y = p[..., 1] + jnp.where(p[..., 1] >= 0.0, -t, t)
+    n = jnp.stack([x, y, z], axis=-1)
+    return n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+
+
+def _bilinear(img, xf, yf):
+    """Bilinear sample of img [H,W,C] at float coords (xf, yf) [H,W]."""
+    h, w = img.shape[0], img.shape[1]
+    x0 = jnp.floor(xf).astype(jnp.int32)
+    y0 = jnp.floor(yf).astype(jnp.int32)
+    fx = (xf - x0)[..., None]
+    fy = (yf - y0)[..., None]
+
+    def tap(yi, xi):
+        yi = jnp.clip(yi, 0, h - 1)
+        xi = jnp.clip(xi, 0, w - 1)
+        return img[yi, xi]
+
+    v00 = tap(y0, x0)
+    v01 = tap(y0, x0 + 1)
+    v10 = tap(y0 + 1, x0)
+    v11 = tap(y0 + 1, x0 + 1)
+    return (
+        v00 * (1 - fx) * (1 - fy)
+        + v01 * fx * (1 - fy)
+        + v10 * (1 - fx) * fy
+        + v11 * fx * fy
+    )
+
+
+def temporal_accumulate(curr_diffuse, curr_specular, motion, view_z, state: DenoiserState):
+    """Motion-reprojected exponential accumulation with fast-history anti-lag.
+
+    curr_*: [H,W,4]; motion [H,W,2] pixel-space (current - previous);
+    view_z [H,W]. Returns (diffuse, specular [H,W,4], new_state fields).
+    """
+    h, w = view_z.shape
+    ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0).astype(F32)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1).astype(F32)
+    prev_x = xs - motion[..., 0]
+    prev_y = ys - motion[..., 1]
+
+    hist_d = _bilinear(state.diffuse, prev_x, prev_y)
+    hist_s = _bilinear(state.specular, prev_x, prev_y)
+    fast_d = _bilinear(state.fast_diffuse, prev_x, prev_y)
+    fast_s = _bilinear(state.fast_specular, prev_x, prev_y)
+    hist_frames = _bilinear(state.frames[..., None], prev_x, prev_y)[..., 0]
+    hist_z = _bilinear(state.view_z[..., None], prev_x, prev_y)[..., 0]
+
+    in_bounds = (prev_x >= 0) & (prev_x <= w - 1) & (prev_y >= 0) & (prev_y <= h - 1)
+    depth_ok = jnp.abs(hist_z - view_z) <= 0.1 * jnp.maximum(view_z, C.VIEWZ_MIN)
+    not_sky = view_z < C.VIEWZ_SKY * 0.99
+    valid = in_bounds & depth_ok & not_sky
+
+    frames = jnp.where(valid, jnp.minimum(hist_frames + 1.0, MAX_ACCUM_FRAMES), 0.0)
+    alpha = (1.0 / (1.0 + frames))[..., None]
+    fast_frames = jnp.minimum(frames, MAX_FAST_FRAMES)
+    fast_alpha = (1.0 / (1.0 + fast_frames))[..., None]
+
+    acc_d = hist_d + (curr_diffuse - hist_d) * alpha
+    acc_s = hist_s + (curr_specular - hist_s) * alpha
+    new_fast_d = fast_d + (curr_diffuse[..., :3] - fast_d) * fast_alpha
+    new_fast_s = fast_s + (curr_specular[..., :3] - fast_s) * fast_alpha
+
+    # Anti-lag: clamp the slow history toward the fast history (REBLUR-style)
+    def clamp_to_fast(slow, fast):
+        lo = fast * 0.5
+        hi = fast * 2.0 + 1e-3
+        return jnp.clip(slow, jnp.minimum(lo, hi), jnp.maximum(lo, hi))
+
+    acc_d = acc_d.at[..., :3].set(clamp_to_fast(acc_d[..., :3], new_fast_d))
+    acc_s = acc_s.at[..., :3].set(clamp_to_fast(acc_s[..., :3], new_fast_s))
+    return acc_d, acc_s, new_fast_d, new_fast_s, frames
+
+
+def atrous(img, view_z, normal, passes: int = ATROUS_PASSES):
+    """Edge-stopping a-trous wavelet filter. img [H,W,C]."""
+    offsets = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1)]
+    kernel = {0: 1.0, 1: 2.0 / 3.0, 2: 1.0 / 6.0}
+
+    out = img
+    for p in range(passes):
+        stride = 1 << p
+        wsum = jnp.ones(view_z.shape, F32)
+        acc = out
+        for dy, dx in offsets:
+            sy, sx = dy * stride, dx * stride
+            q = jnp.roll(out, (-sy, -sx), axis=(0, 1))
+            qz = jnp.roll(view_z, (-sy, -sx), axis=(0, 1))
+            qn = jnp.roll(normal, (-sy, -sx), axis=(0, 1))
+            w_depth = jnp.exp(
+                -jnp.abs(qz - view_z) / (DEPTH_SIGMA * jnp.maximum(view_z, C.VIEWZ_MIN))
+            )
+            w_norm = jnp.power(
+                jnp.maximum(jnp.sum(qn * normal, axis=-1), 0.0), NORMAL_POWER
+            )
+            w_spatial = kernel[max(abs(dy), abs(dx))]
+            w = w_depth * w_norm * w_spatial
+            acc = acc + q * w[..., None]
+            wsum = wsum + w
+        out = acc / wsum[..., None]
+    return out
+
+
+def shadow_denoise(shadow, obj_id, view_z, normal_roughness,
+                   filter_radius: int = 2, depth_threshold: float = 0.1,
+                   shadow_softness: float = 1.0):
+    """Custom shadow filter (src/Shader/ShadowDenoise.hlsl:39-131).
+
+    shadow [H,W,2] (penumbra, visibility); obj_id [H,W] i32 (-1 = sky).
+    """
+    normal = _decode_oct(normal_roughness)
+    wsum = jnp.zeros(view_z.shape, F32)
+    vis_sum = jnp.zeros(view_z.shape, F32)
+    pen_sum = jnp.zeros(view_z.shape, F32)
+    for dy in range(-filter_radius, filter_radius + 1):
+        for dx in range(-filter_radius, filter_radius + 1):
+            q = jnp.roll(shadow, (-dy, -dx), axis=(0, 1))
+            q_id = jnp.roll(obj_id, (-dy, -dx), axis=(0, 1))
+            q_z = jnp.roll(view_z, (-dy, -dx), axis=(0, 1))
+            q_n = jnp.roll(normal, (-dy, -dx), axis=(0, 1))
+            same = q_id == obj_id  # exact match (ShadowDenoise.hlsl:93)
+            w_depth = jnp.exp(
+                -jnp.abs(view_z - q_z) / jnp.maximum(depth_threshold * view_z, 0.001)
+            )
+            w_norm = jnp.power(jnp.maximum(jnp.sum(q_n * normal, axis=-1), 0.0), 8.0)
+            d2 = float(dx * dx + dy * dy)
+            w_spatial = jnp.exp(-d2 / (2.0 * shadow_softness * shadow_softness + 0.01))
+            w = jnp.where(same, w_depth * w_norm * w_spatial, 0.0)
+            vis_sum = vis_sum + q[..., 1] * w
+            pen_sum = pen_sum + q[..., 0] * w
+            wsum = wsum + w
+    ok = wsum > 0.001
+    out = jnp.stack(
+        [
+            jnp.where(ok, pen_sum / jnp.maximum(wsum, 1e-6), shadow[..., 0]),
+            jnp.where(ok, vis_sum / jnp.maximum(wsum, 1e-6), shadow[..., 1]),
+        ],
+        axis=-1,
+    )
+    # Sky pixels pass through (ShadowDenoise.hlsl:56-60)
+    return jnp.where((obj_id < 0)[..., None], shadow, out)
+
+
+def denoise_frame(gbuffer, height: int, width: int, state: DenoiserState):
+    """Full denoise: temporal + spatial on diffuse/specular, shadow filter.
+
+    gbuffer fields are [N,...] lane arrays; reshaped to [H,W,...] here.
+    Returns (diffuse3, specular3, shadow2 — all [N,..] lanes, new_state).
+    """
+    def img(a, c=None):
+        return a.reshape(height, width, c) if c else a.reshape(height, width)
+
+    diffuse = img(gbuffer.diffuse_hitdist, 4)
+    specular = img(gbuffer.specular_hitdist, 4)
+    motion = img(gbuffer.motion, 2)
+    view_z = img(gbuffer.view_z)
+    nr = img(gbuffer.normal_roughness, 4)
+    shadow = img(gbuffer.shadow_data, 2)  # (penumbra, visibility)
+    obj_id = img(gbuffer.obj_id)
+
+    acc_d, acc_s, fast_d, fast_s, frames = temporal_accumulate(
+        diffuse, specular, motion, view_z, state
+    )
+    normal = _decode_oct(nr)
+    out_d = atrous(acc_d[..., :3], view_z, normal)
+    out_s = atrous(acc_s[..., :3], view_z, normal)
+    out_shadow = shadow_denoise(shadow, obj_id, view_z, nr)
+
+    new_state = DenoiserState(
+        diffuse=acc_d,
+        specular=acc_s,
+        fast_diffuse=fast_d,
+        fast_specular=fast_s,
+        frames=frames,
+        view_z=view_z,
+    )
+    n = height * width
+    return (
+        out_d.reshape(n, 3),
+        out_s.reshape(n, 3),
+        out_shadow.reshape(n, 2),
+        new_state,
+    )

@@ -35,22 +35,41 @@ from ..utils.checksum import scene_data_checksum
 
 
 @partial(jax.jit, static_argnums=(1, 2))
-def _render_pipeline(scene: FlatScene, cfg: RenderConfig, backend: str = "jnp"):
-    """Full frame: wavefront render -> composite -> RGBA8. One jit program."""
+def _render_pipeline(scene: FlatScene, cfg: RenderConfig, backend: str, denoise_state):
+    """Full frame: wavefront render -> denoise -> composite -> RGBA8."""
     from ..ops.render import render_rows
+    from ..post import denoise as denoise_mod
 
     out = render_rows(scene, cfg, jnp.int32(0), cfg.height, backend=backend)
-    color01 = composite_mod.composite(
-        out.gbuffer,
-        out.raw_specular,
-        scene.exposure,
-        scene.tone_map_operator,
-        scene.gamma,
-        use_denoised=False,
-    )
+    if cfg.enable_denoiser and denoise_state is not None:
+        dd, ds, _dshadow, new_state = denoise_mod.denoise_frame(
+            out.gbuffer, cfg.height, cfg.width, denoise_state
+        )
+        color01 = composite_mod.composite(
+            out.gbuffer,
+            out.raw_specular,
+            scene.exposure,
+            scene.tone_map_operator,
+            scene.gamma,
+            denoised_diffuse=dd,
+            denoised_specular=ds,
+            use_denoised=True,
+            nrd_bypass_distance=scene.nrd_bypass_distance,
+            nrd_bypass_blend=scene.nrd_bypass_blend,
+        )
+    else:
+        new_state = denoise_state
+        color01 = composite_mod.composite(
+            out.gbuffer,
+            out.raw_specular,
+            scene.exposure,
+            scene.tone_map_operator,
+            scene.gamma,
+            use_denoised=False,
+        )
     rgba = tonemap.to_rgba8(color01).reshape(cfg.height, cfg.width, 4)
     hdr = out.color.reshape(cfg.height, cfg.width, 3)
-    return rgba, hdr, out.rays, out.gbuffer
+    return rgba, hdr, out.rays, out.gbuffer, new_state
 
 
 def _pick_backend(flat: FlatScene) -> str:
@@ -86,6 +105,7 @@ class Engine:
         self._last_rays = 0
         self._last_render_ms = 0.0
         self._prev_view_proj = None
+        self._denoise_state = None
 
     # -- scene input ------------------------------------------------------
     def update_scene(self, scene: SceneData, **config_overrides) -> None:
@@ -98,6 +118,7 @@ class Engine:
             # Scene changed: reset temporal history (DXRPipeline.cpp:2854-2880).
             self._frame_index = 0
             self._prev_view_proj = None
+            self._denoise_state = None
         self._checksum = new_checksum
         self._flat = flatten_scene(
             clean, frame_index=self._frame_index, aspect=aspect,
@@ -143,8 +164,14 @@ class Engine:
         if self._flat is None:
             raise RuntimeError("update_scene() must be called before render()")
         backend = self.backend if self.backend != "auto" else _pick_backend(self._flat)
+        if self._cfg.enable_denoiser and self._denoise_state is None:
+            from ..post import denoise as denoise_mod
+
+            self._denoise_state = denoise_mod.init_state(self.height, self.width)
         start = time.perf_counter()
-        rgba, hdr, rays, _ = _render_pipeline(self._flat, self._cfg, backend)
+        rgba, hdr, rays, _, self._denoise_state = _render_pipeline(
+            self._flat, self._cfg, backend, self._denoise_state
+        )
         rgba = np.asarray(rgba)
         self._last_render_ms = (time.perf_counter() - start) * 1000.0
         self._last_rgba = rgba

@@ -131,6 +131,9 @@ class RenderSettings:
     photon_debug_mode: int = 0
     photon_debug_scale: float = 1.0
     composite_debug_mode: int = 0
+    # Caustics are present but disabled by default in the reference
+    # (DXRPipeline.h:487 causticsEnabled = false)
+    enable_caustics: bool = False
 
 
 @dataclass

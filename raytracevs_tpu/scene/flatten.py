@@ -91,6 +91,8 @@ class FlatScene(NamedTuple):
     atten_linear: jnp.ndarray
     atten_quadratic: jnp.ndarray
     max_shadow_lights: jnp.ndarray  # i32
+    nrd_bypass_distance: jnp.ndarray  # distance-based NRD bypass (Composite.hlsl:425-449)
+    nrd_bypass_blend: jnp.ndarray
     frame_index: jnp.ndarray  # u32
     # Row-vector view-projection matrices for motion vectors
     # (DXRPipeline.cpp:794-804; LookAtLH/PerspectiveFovLH, Camera.cpp:26-40)
@@ -392,6 +394,8 @@ def flatten_scene(scene: SceneData, frame_index: int = 0, aspect: float = 16.0 /
         atten_linear=jnp.asarray(st.light_attenuation_linear, jnp.float32),
         atten_quadratic=jnp.asarray(st.light_attenuation_quadratic, jnp.float32),
         max_shadow_lights=jnp.asarray(st.max_shadow_lights, jnp.int32),
+        nrd_bypass_distance=jnp.asarray(st.nrd_bypass_distance, jnp.float32),
+        nrd_bypass_blend=jnp.asarray(st.nrd_bypass_blend_range, jnp.float32),
         frame_index=jnp.asarray(frame_index, jnp.uint32),
         view_proj=jnp.asarray(vp, jnp.float32),
         prev_view_proj=jnp.asarray(pvp, jnp.float32),
@@ -420,6 +424,11 @@ def make_config(scene: SceneData, width: int, height: int, **overrides) -> Rende
             # flatten clamps samples to 1 (DXRPipeline.cpp:928); keep the
             # unroll bound in sync with that clamp.
             max_soft = max(max_soft, int(min(lt.soft_shadow_samples, 1.0)))
+    num_photons = 0
+    if scene.settings.enable_caustics:
+        from ..ops.photon import photon_budget
+
+        num_photons = photon_budget(scene)
     cfg = dict(
         width=int(width),
         height=int(height),
@@ -428,6 +437,7 @@ def make_config(scene: SceneData, width: int, height: int, **overrides) -> Rende
         max_queue_iters=max_iters,
         enable_denoiser=bool(scene.settings.enable_denoiser),
         photon_debug_mode=int(scene.settings.photon_debug_mode),
+        num_photons=num_photons,
         has_lights=len(scene.lights) > 0,
         any_glass=any_glass,
         any_metal=any_metal,
