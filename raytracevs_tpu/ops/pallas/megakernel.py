@@ -1264,6 +1264,19 @@ def _shade_and_spawn_k(ks, cfg, xx, yy, frame, s, cur, traced):
 def _run_sample_k(ks, cfg, xx, yy, frame, s, bn):
     """One sample's full DFS for the tile; returns the 24 accumulator arrays."""
     shape = xx.shape
+    # Mosaic layout workaround: while-loop carries initialized from splat
+    # constants get a replicated layout, but once the loop body makes them
+    # varying Mosaic hits "Invalid relayout: non-singleton dimension is
+    # replicated in destination but not in source". `dirty` is a provably
+    # zero but data-dependent vector that forces a varying initial layout.
+    dirty = xx >> 31  # i32 zeros (xx >= 0), varying layout
+    dirty_f = dirty.astype(F32)
+
+    def vary_i(x):
+        return x | dirty
+
+    def vary_f(x):
+        return x + dirty_f
 
     # ---- primary ray (RayGen.hlsl:107-172) --------------------------------
     if cfg.samples_per_pixel > 1:
@@ -1301,30 +1314,42 @@ def _run_sample_k(ks, cfg, xx, yy, frame, s, bn):
     cur = (
         jnp.ones(shape, bool),  # valid
         o, d,
-        jnp.zeros(shape, I32),  # depth
-        vconst(shape, 1.0, 1.0, 1.0),  # throughput
-        jnp.zeros(shape, I32),  # flags
-        jnp.ones(shape, F32),  # sky boost
-        jnp.zeros(shape, I32),  # ray flags
-        jnp.full(shape, _INVALID, I32),  # skip type
-        jnp.zeros(shape, I32),  # skip index
+        vary_i(jnp.zeros(shape, I32)),  # depth
+        tuple(vary_f(c) for c in vconst(shape, 1.0, 1.0, 1.0)),  # throughput
+        vary_i(jnp.zeros(shape, I32)),  # flags
+        vary_f(jnp.ones(shape, F32)),  # sky boost
+        vary_i(jnp.zeros(shape, I32)),  # ray flags
+        vary_i(jnp.full(shape, _INVALID, I32)),  # skip type
+        vary_i(jnp.zeros(shape, I32)),  # skip index
     )
-    stack_f = tuple(jnp.zeros((STACK_DEPTH, *shape), F32) for _ in range(10))
-    stack_i = tuple(jnp.zeros((8, *shape), I32) for _ in range(5))
-    stack_n = jnp.zeros(shape, I32)
+    # Only glass configs ever push to the stack, so only they need the
+    # varying-layout init; elsewhere keep the splats so dead stack ops fold.
+    if cfg.any_glass:
+        stack_f = tuple(
+            jnp.zeros((STACK_DEPTH, *shape), F32) + dirty_f[None] for _ in range(10)
+        )
+        stack_i = tuple(
+            jnp.zeros((STACK_DEPTH, *shape), I32) | dirty[None] for _ in range(5)
+        )
+    else:
+        stack_f = tuple(jnp.zeros((STACK_DEPTH, *shape), F32) for _ in range(10))
+        stack_i = tuple(jnp.zeros((STACK_DEPTH, *shape), I32) for _ in range(5))
+    stack_n = vary_i(jnp.zeros(shape, I32))
 
+    vz = lambda: tuple(vary_f(c) for c in vzeros(shape))  # noqa: E731
     acc = dict(
-        color=vzeros(shape), primary=vzeros(shape),
-        bounce=jnp.zeros(shape, I32), rays=jnp.zeros(shape, I32),
-        diffuse=vzeros(shape), specular=vzeros(shape),
-        hitdist=jnp.zeros(shape, F32),
-        svis=jnp.ones(shape, F32), spen=jnp.zeros(shape, F32),
-        sdist=jnp.full(shape, C.NRD_FP16_MAX, F32),
+        color=vz(), primary=vz(),
+        bounce=vary_i(jnp.zeros(shape, I32)), rays=vary_i(jnp.zeros(shape, I32)),
+        diffuse=vz(), specular=vz(),
+        hitdist=vary_f(jnp.zeros(shape, F32)),
+        svis=vary_f(jnp.ones(shape, F32)), spen=vary_f(jnp.zeros(shape, F32)),
+        sdist=vary_f(jnp.full(shape, C.NRD_FP16_MAX, F32)),
         phit=jnp.zeros(shape, bool),
-        pnormal=vconst(shape, 0.0, 1.0, 0.0), prough=jnp.ones(shape, F32),
-        palbedo=vzeros(shape), pmetal=jnp.zeros(shape, F32),
-        ptrans=jnp.zeros(shape, F32), ppos=vzeros(shape),
-        pobj=jnp.full(shape, -1, I32),
+        pnormal=tuple(vary_f(c) for c in vconst(shape, 0.0, 1.0, 0.0)),
+        prough=vary_f(jnp.ones(shape, F32)),
+        palbedo=vz(), pmetal=vary_f(jnp.zeros(shape, F32)),
+        ptrans=vary_f(jnp.zeros(shape, F32)), ppos=vz(),
+        pobj=vary_i(jnp.full(shape, -1, I32)),
     )
 
     # NOTE: boolean masks are carried as i32 — i1 vectors in Mosaic loop
