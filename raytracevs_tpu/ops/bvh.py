@@ -56,14 +56,39 @@ class BuiltBVH:
     inst: np.ndarray  # [T] instance index (material lookup)
 
 
-def build_bvh(v0, v1, v2, n0, n1, n2, inst, leaf_size: int = LEAF_SIZE) -> BuiltBVH:
-    """Median-split BVH over world-space triangles, threaded preorder layout."""
+def build_bvh(v0, v1, v2, n0, n1, n2, inst, leaf_size: int = LEAF_SIZE,
+              use_native: bool = True) -> BuiltBVH:
+    """BVH over world-space triangles in threaded preorder layout.
+
+    Prefers the native binned-SAH builder (csrc/rtvs_native.cpp) — the
+    driver-BLAS-build analog — and falls back to a pure-numpy median split.
+    """
     v0 = np.asarray(v0, np.float32)
     v1 = np.asarray(v1, np.float32)
     v2 = np.asarray(v2, np.float32)
     t = len(v0)
     if t == 0:
         raise ValueError("empty triangle list")
+
+    if use_native:
+        from ..io import native as native_mod
+
+        res = native_mod.build_bvh_native(v0, v1, v2, leaf_size)
+        if res is not None:
+            bbox_min, bbox_max, hit_next, miss_next, tri_start, tri_count, order = res
+            o = order.astype(np.int64)
+            e1 = (np.asarray(v1) - np.asarray(v0)).astype(np.float32)
+            e2 = (np.asarray(v2) - np.asarray(v0)).astype(np.float32)
+            return BuiltBVH(
+                bbox_min=bbox_min, bbox_max=bbox_max,
+                hit_next=hit_next, miss_next=miss_next,
+                tri_start=tri_start, tri_count=tri_count,
+                v0=v0[o], edge1=e1[o], edge2=e2[o],
+                n0=np.asarray(n0, np.float32)[o],
+                n1=np.asarray(n1, np.float32)[o],
+                n2=np.asarray(n2, np.float32)[o],
+                inst=np.asarray(inst, np.int32)[o],
+            )
     tri_min = np.minimum(np.minimum(v0, v1), v2)
     tri_max = np.maximum(np.maximum(v0, v1), v2)
     centroid = (tri_min + tri_max) * 0.5

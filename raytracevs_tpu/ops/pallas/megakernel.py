@@ -105,8 +105,8 @@ def vcross(a, b):
 def vlen(a):
     return jnp.sqrt(jnp.maximum(vdot(a, a), 0.0))
 
-def vnorm(a, eps=1e-12):
-    inv = 1.0 / jnp.maximum(vlen(a), eps)
+def vnorm(a, eps=1e-24):
+    inv = jax.lax.rsqrt(jnp.maximum(vdot(a, a), eps))
     return vscale(a, inv)
 
 def vwhere(m, a, b):
@@ -699,12 +699,17 @@ def _luminance(r, g, b):
     return r * 0.2126 + g * 0.7152 + b * 0.0722
 
 
+def _pow5(x):
+    x2 = x * x
+    return x2 * x2 * x
+
+
 def _fresnel_schlick(cos_theta, f0):
-    return f0 + (1.0 - f0) * jnp.power(1.0 - cos_theta, 5.0)
+    return f0 + (1.0 - f0) * _pow5(1.0 - cos_theta)
 
 
 def _fresnel3(vdoth, f0):
-    p = jnp.power(jnp.clip(1.0 - vdoth, 0.0, 1.0), 5.0)
+    p = _pow5(jnp.clip(1.0 - vdoth, 0.0, 1.0))
     return (f0[0] + (1.0 - f0[0]) * p, f0[1] + (1.0 - f0[1]) * p, f0[2] + (1.0 - f0[2]) * p)
 
 
@@ -1269,7 +1274,9 @@ def _run_sample_k(ks, cfg, xx, yy, frame, s, bn):
     # varying Mosaic hits "Invalid relayout: non-singleton dimension is
     # replicated in destination but not in source". `dirty` is a provably
     # zero but data-dependent vector that forces a varying initial layout.
-    dirty = xx >> 31  # i32 zeros (xx >= 0), varying layout
+    # xor of both iotas varies along BOTH dims, so the zero inherits the
+    # fully-varying {0,0} layout (xx alone is sublane-replicated: "{*,0}").
+    dirty = (xx ^ yy) >> 31  # i32 zeros (operands >= 0)
     dirty_f = dirty.astype(F32)
 
     def vary_i(x):

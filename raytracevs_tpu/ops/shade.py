@@ -42,14 +42,19 @@ def compute_attenuation(dist, const_term, linear_term, quad_term):
     return 1.0 / jnp.maximum(const_term + linear_term * dist + quad_term * dist * dist, 1e-4)
 
 
+def _pow5(x):
+    x2 = x * x
+    return x2 * x2 * x
+
+
 def fresnel_schlick(cos_theta, f0):
     """Scalar Fresnel-Schlick (Common.hlsli:598-601)."""
-    return f0 + (1.0 - f0) * jnp.power(1.0 - cos_theta, 5.0)
+    return f0 + (1.0 - f0) * _pow5(1.0 - cos_theta)
 
 
 def fresnel_schlick3(vdoth, f0):
     """float3 Fresnel-Schlick (Common.hlsli:662-665)."""
-    return f0 + (1.0 - f0) * jnp.power(jnp.clip(1.0 - vdoth, 0.0, 1.0), 5.0)[..., None]
+    return f0 + (1.0 - f0) * _pow5(jnp.clip(1.0 - vdoth, 0.0, 1.0))[..., None]
 
 
 def ggx_d(ndoth, roughness):
