@@ -1,0 +1,1 @@
+from . import fbx, mesh_cache, native, png, settings

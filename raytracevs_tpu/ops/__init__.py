@@ -1,1 +1,1 @@
-from . import intersect, render, sampling, shade, wavefront
+from . import bvh, intersect, photon, render, sampling, shade, wavefront

@@ -1156,6 +1156,11 @@ def _shade_and_spawn_k(ks, cfg, xx, yy, frame, s, cur, traced):
     final = (jnp.maximum(final[0], 0.0), jnp.maximum(final[1], 0.0), jnp.maximum(final[2], 0.0))
 
     color = vwhere(is_glass, glass_color, final)
+    # Photon debug 3/4 (ClosestHit.hlsl:141-157)
+    if cfg.photon_debug_mode in (3, 4):
+        v = jnp.clip(transmission if cfg.photon_debug_mode == 3 else metallic, 0.0, 1.0)
+        dbg_on = (c_depth == 0) & hit_mask
+        color = vwhere(dbg_on, (v, v, v), color)
     sky = sky_color3(c_d)
     miss_color = vscale(sky, c_boost)
     color = vwhere(hit_mask, color, miss_color)
@@ -1167,6 +1172,11 @@ def _shade_and_spawn_k(ks, cfg, xx, yy, frame, s, cur, traced):
     diff_rad = vwhere(hit_mask, diff_rad, vscale(sky, c_boost))
     spec_rad = vwhere(is_glass, highlight, ds)
     spec_rad = vwhere(hit_mask, spec_rad, vzeros(shape))
+    if cfg.photon_debug_mode in (3, 4):
+        v = jnp.clip(transmission if cfg.photon_debug_mode == 3 else metallic, 0.0, 1.0)
+        dbg_on = (c_depth == 0) & hit_mask
+        diff_rad = vwhere(dbg_on, (v, v, v), diff_rad)
+        spec_rad = vwhere(dbg_on, vzeros(shape), spec_rad)
     ng = hit_mask & ~is_glass
     rec_vis = jnp.where(ng, best_vis, 1.0)
     rec_pen = jnp.where(ng, best_pen, 0.0)

@@ -436,6 +436,13 @@ def _shade_and_spawn(scene: FlatScene, cfg: RenderConfig, px, py, sample_index, 
     final = jnp.maximum(final, 0.0)
 
     color = jnp.where(is_glass[:, None], glass_color, final)
+    # Photon debug 3/4: transmission/metallic grayscale at depth 0
+    # (ClosestHit.hlsl:141-157); secondary bounces still contribute.
+    if cfg.photon_debug_mode in (3, 4):
+        v = jnp.clip(transmission if cfg.photon_debug_mode == 3 else metallic, 0.0, 1.0)
+        dbg = jnp.stack([v, v, v], axis=-1)
+        dbg_on = (state.depth == 0) & hit_mask
+        color = jnp.where(dbg_on[:, None], dbg, color)
     # Miss: sky * pathSkyBoost (Miss.hlsl:4-16)
     sky = shade.sky_color(state.direction)
     miss_color = sky * state.sky_boost[:, None]
@@ -450,6 +457,12 @@ def _shade_and_spawn(scene: FlatScene, cfg: RenderConfig, px, py, sample_index, 
     diff_rad = jnp.where(hit_mask[:, None], diff_rad, sky * state.sky_boost[:, None])
     spec_rad = jnp.where(is_glass[:, None], highlight, direct_specular)
     spec_rad = jnp.where(hit_mask[:, None], spec_rad, 0.0)
+    if cfg.photon_debug_mode in (3, 4):
+        v = jnp.clip(transmission if cfg.photon_debug_mode == 3 else metallic, 0.0, 1.0)
+        dbg = jnp.stack([v, v, v], axis=-1)
+        dbg_on = ((state.depth == 0) & hit_mask)[:, None]
+        diff_rad = jnp.where(dbg_on, dbg, diff_rad)
+        spec_rad = jnp.where(dbg_on, 0.0, spec_rad)
     rec_vis = jnp.where(hit_mask & ~is_glass, best_vis, 1.0)
     rec_pen = jnp.where(hit_mask & ~is_glass, best_pen, 0.0)
     rec_dist = jnp.where(hit_mask & ~is_glass, best_dist, C.NRD_FP16_MAX)

@@ -1,1 +1,1 @@
-from . import composite, tonemap
+from . import composite, debug_modes, denoise, tonemap

@@ -159,8 +159,30 @@ class Engine:
         self.update_scene(evaluate_scene(graph), **config_overrides)
 
     # -- rendering --------------------------------------------------------
-    def render(self) -> np.ndarray:
-        """Render a frame; returns RGBA8 np.uint8 [H, W, 4] (readback analog)."""
+    def _sentinel(self, rgb) -> np.ndarray:
+        """Color-coded failure fill (NativeBridge.cpp:266-356)."""
+        img = np.zeros((self.height, self.width, 4), np.uint8)
+        img[..., 0], img[..., 1], img[..., 2], img[..., 3] = (*rgb, 255)
+        return img
+
+    def render(self, fail_safe: bool = False) -> np.ndarray:
+        """Render a frame; returns RGBA8 np.uint8 [H, W, 4] (readback analog).
+
+        With fail_safe=True, failures return the reference's color-coded
+        sentinel fills instead of raising: magenta = exception during
+        render, orange = all-zero output (NativeBridge.cpp:266-356).
+        """
+        if fail_safe:
+            try:
+                img = self.render(fail_safe=False)
+            except Exception:
+                from ..utils.logging import log_error
+
+                log_error("render failed; returning magenta sentinel")
+                return self._sentinel((255, 0, 255))
+            if not img[..., :3].any():
+                return self._sentinel((255, 165, 0))
+            return img
         if self._flat is None:
             raise RuntimeError("update_scene() must be called before render()")
         backend = self.backend if self.backend != "auto" else _pick_backend(self._flat)

@@ -1,1 +1,1 @@
-from . import data, evaluator, flatten, graph, nodes, rtvs, sanitize, transform
+from . import commands, data, evaluator, flatten, graph, nodes, rtvs, sanitize, transform
