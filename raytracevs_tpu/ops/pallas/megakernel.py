@@ -397,6 +397,8 @@ class KScene(NamedTuple):
     absorb_scale: object
     cam_pos: tuple
     cam_fwd: tuple
+    i_cap: int = 0  # mesh instance count (material rows after boxes)
+    mesh: object = None  # KMesh when the scene has triangle geometry
 
 
 def _atten(ks, dist):
@@ -481,10 +483,28 @@ def intersect_closest_k(ks: KScene, o, d, tmin, tmax, skip_type, skip_index):
         w_ay = vwhere(better, vbroadcast(shape, bay[0], bay[1], bay[2]), w_ay)
         w_az = vwhere(better, vbroadcast(shape, baz[0], baz[1], baz[2]), w_az)
 
+    # Triangle meshes: packet BVH traversal, pruned by the analytic best_t
+    is_mesh = jnp.zeros(shape, bool)
+    mesh_nrm = vconst(shape, 0.0, 1.0, 0.0)
+    mesh_front = jnp.zeros(shape, bool)
+    if ks.mesh is not None and "mesh_closest" not in _DEBUG_DISABLE:
+        skip_m = (skip_type == C.OBJECT_TYPE_MESH)
+        mres = mesh_closest_k(ks.mesh, o, d, tmin, tmax, skip_m, skip_index)
+        better = mres["hit"] & (mres["t"] < best_t)
+        best_t = jnp.where(better, mres["t"], best_t)
+        best_type = jnp.where(better, C.OBJECT_TYPE_MESH, best_type)
+        best_idx = jnp.where(better, mres["inst"], best_idx)
+        best_slot = jnp.where(better, ks.s_cap + ks.p_cap + ks.b_cap + mres["inst"], best_slot)
+        is_mesh = better
+        # Geometric normal decides front/back; smooth normal shades
+        # (ops/intersect.py surface_normal, ClosestHit_Triangle.hlsl:122-126)
+        mesh_front = vdot(d, mres["geo"]) < 0.0
+        mesh_nrm = vwhere(mesh_front, mres["smooth"], vscale(mres["smooth"], -1.0))
+
     hit = best_t < 1e29
 
     # Material via static loop over slots (M small)
-    m_cap = ks.s_cap + ks.p_cap + ks.b_cap
+    m_cap = ks.s_cap + ks.p_cap + ks.b_cap + ks.i_cap
     albedo = vzeros(shape)
     metallic = jnp.zeros(shape, F32)
     roughness = jnp.full(shape, 0.5, F32)
@@ -549,6 +569,9 @@ def intersect_closest_k(ks: KScene, o, d, tmin, tmax, skip_type, skip_index):
         "pos": pos,
         "n_out": n_out,
         "is_plane": is_pln,
+        "is_mesh": is_mesh,
+        "mesh_nrm": mesh_nrm,
+        "mesh_front": mesh_front,
         "albedo": albedo,
         "metallic": metallic,
         "roughness": roughness,
@@ -655,6 +678,13 @@ def shadow_trace_k(ks: KScene, o, d, max_dist):
     vis = jnp.where(blocked, 0.0, vis)
     color = vwhere(blocked, vzeros(shape), color)
     occ = jnp.where(any_hit, occ, F32(C.NRD_FP16_MAX))
+    if ks.mesh is not None and "mesh_shadow" not in _DEBUG_DISABLE:
+        # Fold mesh transmission in (ops/intersect.py _merge_mesh_shadow)
+        scale = F32(C.SHADOW_ABSORPTION_THICKNESS) * ks.absorb_scale
+        mvis, mcol, mocc = mesh_shadow_k(ks.mesh, o, d, max_dist, scale)
+        vis = vis * mvis
+        color = vmul(color, mcol)
+        occ = jnp.minimum(occ, mocc)
     return vis, color, occ
 
 
@@ -689,7 +719,15 @@ def thickness_trace_k(ks: KScene, o, d, obj_type, obj_index):
         ok = sel & (t < 1e19)
         t_out = jnp.where(ok, t, t_out)
     hit = t_out < 1e29
-    return hit, jnp.where(hit, t_out, F32(C.NRD_FP16_MAX))
+    t_fin = jnp.where(hit, t_out, F32(C.NRD_FP16_MAX))
+    if ks.mesh is not None and "mesh_thick" not in _DEBUG_DISABLE:
+        mh, mt = mesh_thickness_k(ks.mesh, o, d, obj_index)
+        sel_m = obj_type == C.OBJECT_TYPE_MESH
+        # logical merge, not jnp.where: Mosaic cannot lower select with i1
+        # value operands (extends to i8, then fails the i8->i1 trunc)
+        hit = (sel_m & mh) | (~sel_m & hit)
+        t_fin = jnp.where(sel_m, mt, t_fin)
+    return hit, t_fin
 
 
 # ---------------------------------------------------------------------------
@@ -971,6 +1009,11 @@ def _shade_and_spawn_k(ks, cfg, xx, yy, frame, s, cur, traced):
     n_out = isect["n_out"]
     front_face = vdot(c_d, n_out) < 0.0
     nrm = vwhere(front_face, n_out, vscale(n_out, -1.0))
+    if ks.mesh is not None:
+        im = isect["is_mesh"]
+        # logical merge: select with i1 value operands doesn't lower on TPU
+        front_face = (im & isect["mesh_front"]) | (~im & front_face)
+        nrm = vwhere(im, isect["mesh_nrm"], nrm)
 
     albedo = isect["albedo"]
     metallic = isect["metallic"]
@@ -1585,10 +1628,18 @@ def _run_sample_k(ks, cfg, xx, yy, frame, s, bn):
 
 
 def make_kernel(cfg: RenderConfig, caps):
-    """Build the tile kernel for static (config, table capacities)."""
-    s_cap, p_cap, b_cap, l_cap = caps
+    """Build the tile kernel for static (config, table capacities).
 
-    def kernel(sph_ref, pln_ref, box_ref, mat_ref, lts_ref, fp_ref, ip_ref, bn_ref, out_ref):
+    caps = (s, p, b, l) for analytic-only scenes, or
+    (s, p, b, l, num_nodes, num_tris, leaf_size, num_inst) with a mesh —
+    the mesh variant takes five extra table refs.
+    """
+    s_cap, p_cap, b_cap, l_cap = caps[:4]
+    has_mesh = len(caps) > 4
+
+    def kernel(sph_ref, pln_ref, box_ref, mat_ref, lts_ref, fp_ref, ip_ref, bn_ref,
+               *rest):
+        out_ref = rest[-1]
         shape = (TILE_H, TILE_W)
         ti = pl.program_id(0)
         tj = pl.program_id(1)
@@ -1618,6 +1669,13 @@ def make_kernel(cfg: RenderConfig, caps):
         kk.tanfov = fp_ref[0, FP_TANFOV]
         kk.aperture = fp_ref[0, FP_APERTURE]
         kk.focus = fp_ref[0, FP_FOCUS]
+        kk.i_cap = 0
+        kk.mesh = None
+        if has_mesh:
+            num_nodes, num_tris, leaf_size, num_inst = caps[4:]
+            kk.mesh = KMesh(rest[0], rest[1], rest[2], rest[3], rest[4],
+                            num_nodes, num_tris, leaf_size, num_inst)
+            kk.i_cap = num_inst
 
         def sample_body(s, accs):
             bn = _blue_noise_tile_channels(bn_ref, frame, s, row0)
@@ -1711,6 +1769,15 @@ def render_accum_pallas(scene: FlatScene, cfg: RenderConfig, row_start, num_rows
     grid_w = _cdiv(cfg.width, TILE_W)
     caps = (scene.sphere_capacity, scene.plane_capacity, scene.box_capacity,
             scene.light_capacity)
+    args = [pack.sph, pack.pln, pack.box, pack.mat, pack.lts, pack.fparams,
+            pack.iparams, pack.bnoise]
+    if scene.mesh is not None:
+        from .. import bvh as bvh_mod
+
+        mesh = scene.mesh
+        caps = caps + (mesh.num_nodes, mesh.num_tris, bvh_mod.LEAF_SIZE,
+                       mesh.inst_transmission.shape[0])
+        args += list(pack_mesh(mesh))
 
     def table_spec(arr):
         return pl.BlockSpec(arr.shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM)
@@ -1719,17 +1786,12 @@ def render_accum_pallas(scene: FlatScene, cfg: RenderConfig, row_start, num_rows
         make_kernel(cfg, caps),
         out_shape=jax.ShapeDtypeStruct((NUM_CH, grid_h * TILE_H, grid_w * TILE_W), F32),
         grid=(grid_h, grid_w),
-        in_specs=[
-            table_spec(pack.sph), table_spec(pack.pln), table_spec(pack.box),
-            table_spec(pack.mat), table_spec(pack.lts), table_spec(pack.fparams),
-            table_spec(pack.iparams), table_spec(pack.bnoise),
-        ],
+        in_specs=[table_spec(a) for a in args],
         out_specs=pl.BlockSpec(
             (NUM_CH, TILE_H, TILE_W), lambda i, j: (0, i, j), memory_space=pltpu.VMEM
         ),
         interpret=interpret,
-    )(pack.sph, pack.pln, pack.box, pack.mat, pack.lts, pack.fparams, pack.iparams,
-      pack.bnoise)
+    )(*args)
 
     # Crop padding and flatten to lanes
     out = out[:, :num_rows, : cfg.width]
@@ -1761,3 +1823,284 @@ def render_accum_pallas(scene: FlatScene, cfg: RenderConfig, row_start, num_rows
         shadow_dist=ch(CH_SHADOW_DIST),
         obj_id=ch(CH_OBJ_ID).astype(jnp.int32),
     )
+
+
+# ---------------------------------------------------------------------------
+# Triangle-mesh packet traversal (threaded BVH, scalar pointer chase)
+# ---------------------------------------------------------------------------
+# The BVH is threaded (hit_next / miss_next, ops/bvh.py), so the whole tile
+# walks it with ONE scalar node pointer: descend when ANY lane's ray enters
+# the node's AABB (classic packet traversal — rays in a tile are coherent),
+# test leaf triangles across all lanes on the VPU, and capture the winning
+# triangle's data into per-lane registers with masked selects. No per-lane
+# stacks, no gathers.
+
+def _ray_aabb_k(o, inv_d, bb_lo, bb_hi, tmin, tmax):
+    t_near = tmin
+    t_far = tmax
+    for c in range(3):
+        t0 = (bb_lo[c] - o[c]) * inv_d[c]
+        t1 = (bb_hi[c] - o[c]) * inv_d[c]
+        t_near = jnp.maximum(t_near, jnp.minimum(t0, t1))
+        t_far = jnp.minimum(t_far, jnp.maximum(t0, t1))
+    return t_near <= t_far
+
+
+def _safe_inv(d):
+    tiny = 1e-12
+    return tuple(
+        1.0 / jnp.where(jnp.abs(c) < tiny, jnp.where(c < 0, -tiny, tiny), c) for c in d
+    )
+
+
+def _tri_hit_k(o, d, v0, e1, e2, tmin, tmax):
+    """Moller-Trumbore against one triangle (scalar data) across all lanes."""
+    pvec = vcross(d, e2)
+    det = vdot(e1, pvec)
+    ok = jnp.abs(det) > 1e-9  # TRIANGLE_CULL_DISABLE: both windings hit
+    inv_det = 1.0 / jnp.where(ok, det, 1.0)
+    tvec = vsub(o, v0)
+    u = vdot(tvec, pvec) * inv_det
+    qvec = vcross(tvec, e1)
+    v = vdot(d, qvec) * inv_det
+    t = vdot(e2, qvec) * inv_det
+    hit = ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t >= tmin) & (t <= tmax)
+    return hit, t, u, v
+
+
+class KMesh:
+    """Kernel-side mesh refs + static sizes."""
+
+    def __init__(self, nodes_f, nodes_i, tri_geo, tri_extra, inst_tbl,
+                 num_nodes, num_tris, leaf_size, num_inst):
+        self.nodes_f = nodes_f  # [Nn,8]: bbmin3 bbmax3 pad2
+        self.nodes_i = nodes_i  # [Nn,4]: hit_next miss_next tri_start tri_count
+        self.tri_geo = tri_geo  # [T,12]: v0 e1 e2 inst(asf32) pad2  (10 used)
+        self.tri_extra = tri_extra  # [T,12]: n0 n1 n2 pad3 (9 used)
+        self.inst_tbl = inst_tbl  # [I,8]: transmission absorb3 pad
+        self.num_nodes = num_nodes
+        self.num_tris = num_tris
+        self.leaf_size = leaf_size
+        self.num_inst = num_inst
+
+
+def _node_row(km, node):
+    nf = km.nodes_f[pl.ds(node, 1), :]  # (1,8)
+    ni = km.nodes_i[pl.ds(node, 1), :]  # (1,4)
+    bb_lo = (nf[0, 0], nf[0, 1], nf[0, 2])
+    bb_hi = (nf[0, 3], nf[0, 4], nf[0, 5])
+    return bb_lo, bb_hi, ni[0, 0], ni[0, 1], ni[0, 2], ni[0, 3]
+
+
+def _tri_row(km, ti):
+    g = km.tri_geo[pl.ds(ti, 1), :]  # (1,12)
+    v0 = (g[0, 0], g[0, 1], g[0, 2])
+    e1 = (g[0, 3], g[0, 4], g[0, 5])
+    e2 = (g[0, 6], g[0, 7], g[0, 8])
+    inst = g[0, 9].astype(I32)
+    return v0, e1, e2, inst
+
+
+def mesh_closest_k(km: KMesh, o, d, tmin, tmax, skip_active, skip_inst):
+    """Packet closest-hit over the threaded BVH.
+
+    Mosaic-safe: all while carries are f32/i32 (no i1), and lane-varying
+    carries are initialised from a lane-varying zero (`o[0]*0`) so the
+    layout stays varying from iteration 0 (see the dirty-init note in
+    _run_sample_k).
+    """
+    shape = o[0].shape
+    inv_d = _safe_inv(d)
+    zero = o[0] * 0.0  # lane-varying zero (dirty init)
+    izero = zero.astype(I32)
+    skip_i = jnp.where(skip_active, skip_inst, -1)
+
+    def cond(c):
+        return c[0] >= 0
+
+    def body(c):
+        (node, best_t, best_u, best_v, best_inst, n0x, n0y, n0z, n1x, n1y, n1z,
+         n2x, n2y, n2z, gx, gy, gz) = c
+        bb_lo, bb_hi, hit_next, miss_next, tri_start, tri_count = _node_row(km, node)
+        lane_hit = _ray_aabb_k(o, inv_d, bb_lo, bb_hi, tmin, best_t)
+        any_hit = jnp.any(lane_hit)
+        is_leaf = tri_count > 0
+        # capture the box mask as i32 — Mosaic cannot pass i1 vectors
+        # across scf.if region boundaries (promotes to i8, then fails
+        # the i8->i1 trunc)
+        lh_i = lane_hit.astype(I32)
+
+        def leaf_tests(carry):
+            (best_t, best_u, best_v, best_inst, n0x, n0y, n0z, n1x, n1y, n1z,
+             n2x, n2y, n2z, gx, gy, gz) = carry
+            for k in range(km.leaf_size):
+                ti = jnp.minimum(tri_start + k, km.num_tris - 1)
+                v0, e1, e2, inst = _tri_row(km, ti)
+                th, tt, tu, tv = _tri_hit_k(o, d, v0, e1, e2, tmin, best_t)
+                th = th & (lh_i != 0) & (k < tri_count) & (inst != skip_i)
+                better = th & (tt < best_t)
+                best_t = jnp.where(better, tt, best_t)
+                best_u = jnp.where(better, tu, best_u)
+                best_v = jnp.where(better, tv, best_v)
+                best_inst = jnp.where(better, inst, best_inst)
+                ex = km.tri_extra[pl.ds(ti, 1), :]
+                n0x = jnp.where(better, ex[0, 0], n0x)
+                n0y = jnp.where(better, ex[0, 1], n0y)
+                n0z = jnp.where(better, ex[0, 2], n0z)
+                n1x = jnp.where(better, ex[0, 3], n1x)
+                n1y = jnp.where(better, ex[0, 4], n1y)
+                n1z = jnp.where(better, ex[0, 5], n1z)
+                n2x = jnp.where(better, ex[0, 6], n2x)
+                n2y = jnp.where(better, ex[0, 7], n2y)
+                n2z = jnp.where(better, ex[0, 8], n2z)
+                geo = vcross(e1, e2)
+                gx = jnp.where(better, geo[0], gx)
+                gy = jnp.where(better, geo[1], gy)
+                gz = jnp.where(better, geo[2], gz)
+            return (best_t, best_u, best_v, best_inst, n0x, n0y, n0z,
+                    n1x, n1y, n1z, n2x, n2y, n2z, gx, gy, gz)
+
+        leaf_now = any_hit & is_leaf
+        updated = jax.lax.cond(
+            leaf_now, leaf_tests, lambda x: x,
+            (best_t, best_u, best_v, best_inst, n0x, n0y, n0z, n1x, n1y, n1z,
+             n2x, n2y, n2z, gx, gy, gz),
+        )
+        nxt = jnp.where(any_hit, hit_next, miss_next)
+        return (nxt, *updated)
+
+    init = (
+        jnp.int32(0), tmax + zero, zero, zero, izero,
+        zero, zero, zero, zero, zero, zero, zero, zero, zero, zero, zero, zero,
+    )
+    out = jax.lax.while_loop(cond, body, init)
+    (_, best_t, best_u, best_v, best_inst, n0x, n0y, n0z, n1x, n1y, n1z,
+     n2x, n2y, n2z, gx, gy, gz) = out
+    hit = best_t < tmax * 0.9999  # same criterion as ops/bvh.py traverse_closest
+    w = 1.0 - best_u - best_v
+    smooth = vnorm((n0x * w + n1x * best_u + n2x * best_v,
+                    n0y * w + n1y * best_u + n2y * best_v,
+                    n0z * w + n1z * best_u + n2z * best_v))
+    geo = vnorm((gx, gy, gz))
+    return dict(hit=hit, t=best_t, inst=best_inst, smooth=smooth, geo=geo)
+
+
+def mesh_shadow_k(km: KMesh, o, d, max_dist, absorb_scale):
+    """Packet shadow traversal: transmission product over every crossing
+    (AnyHit_Shadow_Triangle semantics, ops/bvh.py traverse_shadow)."""
+    shape = o[0].shape
+    inv_d = _safe_inv(d)
+    zero = o[0] * 0.0
+    tmin = F32(C.RAY_TMIN)
+
+    def cond(c):
+        return c[0] >= 0
+
+    def body(c):
+        node, vis, cr, cg, cb, occ, blocked_i = c
+        bb_lo, bb_hi, hit_next, miss_next, tri_start, tri_count = _node_row(km, node)
+        lane_hit = _ray_aabb_k(o, inv_d, bb_lo, bb_hi, tmin, max_dist)
+        any_hit = jnp.any(lane_hit)
+        is_leaf = tri_count > 0
+        lh_i = lane_hit.astype(I32)
+
+        def leaf_tests(carry):
+            vis, cr, cg, cb, occ, blocked_i = carry
+            for k in range(km.leaf_size):
+                ti = jnp.minimum(tri_start + k, km.num_tris - 1)
+                v0, e1, e2, inst = _tri_row(km, ti)
+                th, tt, _, _ = _tri_hit_k(o, d, v0, e1, e2, tmin, max_dist)
+                th = th & (lh_i != 0) & (k < tri_count)
+                it = km.inst_tbl[pl.ds(inst, 1), :]
+                trans = it[0, 0]
+                opaque = th & (trans < 0.01)
+                blocked_i = blocked_i | opaque.astype(I32)
+                translucent = th & (trans >= 0.01)
+                vis = jnp.where(translucent, vis * trans, vis)
+                has_ab = (it[0, 1] > 0.0) | (it[0, 2] > 0.0) | (it[0, 3] > 0.0)
+                br = jnp.where(has_ab, jnp.exp(-it[0, 1] * absorb_scale), 1.0)
+                bg = jnp.where(has_ab, jnp.exp(-it[0, 2] * absorb_scale), 1.0)
+                bb = jnp.where(has_ab, jnp.exp(-it[0, 3] * absorb_scale), 1.0)
+                cr = jnp.where(translucent, cr * br, cr)
+                cg = jnp.where(translucent, cg * bg, cg)
+                cb = jnp.where(translucent, cb * bb, cb)
+                occ = jnp.where(th, jnp.minimum(occ, tt), occ)
+            return vis, cr, cg, cb, occ, blocked_i
+
+        leaf_now = any_hit & is_leaf
+        vis, cr, cg, cb, occ, blocked_i = jax.lax.cond(
+            leaf_now, leaf_tests, lambda x: x, (vis, cr, cg, cb, occ, blocked_i)
+        )
+        nxt = jnp.where(any_hit, hit_next, miss_next)
+        return (nxt, vis, cr, cg, cb, occ, blocked_i)
+
+    one = 1.0 + zero
+    init = (jnp.int32(0), one, one, one, one,
+            zero + F32(C.NRD_FP16_MAX), izero_like(zero))
+    _, vis, cr, cg, cb, occ, blocked_i = jax.lax.while_loop(cond, body, init)
+    blocked = blocked_i != 0
+    vis = jnp.where(blocked, 0.0, vis)
+    color = vwhere(blocked, vzeros(shape), (cr, cg, cb))
+    return vis, color, occ
+
+
+def izero_like(zero_f32):
+    return zero_f32.astype(I32)
+
+
+def mesh_thickness_k(km: KMesh, o, d, inst_id):
+    """Packet same-instance thickness query (AnyHit_Thickness_Triangle,
+    ops/bvh.py traverse_thickness)."""
+    inv_d = _safe_inv(d)
+    zero = o[0] * 0.0
+    tmin = F32(C.RAY_TMIN)
+    big = F32(C.NRD_FP16_MAX)
+
+    def cond(c):
+        return c[0] >= 0
+
+    def body(c):
+        node, best_t = c
+        bb_lo, bb_hi, hit_next, miss_next, tri_start, tri_count = _node_row(km, node)
+        lane_hit = _ray_aabb_k(o, inv_d, bb_lo, bb_hi, tmin, best_t)
+        any_hit = jnp.any(lane_hit)
+        is_leaf = tri_count > 0
+        lh_i = lane_hit.astype(I32)
+
+        def leaf_tests(best_t):
+            for k in range(km.leaf_size):
+                ti = jnp.minimum(tri_start + k, km.num_tris - 1)
+                v0, e1, e2, inst = _tri_row(km, ti)
+                th, tt, _, _ = _tri_hit_k(o, d, v0, e1, e2, tmin, best_t)
+                th = th & (lh_i != 0) & (k < tri_count) & (inst == inst_id)
+                best_t = jnp.where(th & (tt < best_t), tt, best_t)
+            return best_t
+
+        best_t = jax.lax.cond(any_hit & is_leaf, leaf_tests, lambda x: x, best_t)
+        return (jnp.where(any_hit, hit_next, miss_next), best_t)
+
+    _, best_t = jax.lax.while_loop(cond, body, (jnp.int32(0), zero + big))
+    hit = best_t < big * 0.999  # ops/bvh.py traverse_thickness criterion
+    return hit, jnp.where(hit, best_t, big)
+
+
+def pack_mesh(mesh) -> tuple:
+    """MeshArrays -> kernel tables (device-side)."""
+    nn = mesh.num_nodes
+    nt = mesh.num_tris
+    nodes_f = jnp.zeros((nn, 8), F32)
+    nodes_f = nodes_f.at[:, 0:3].set(mesh.bbox_min).at[:, 3:6].set(mesh.bbox_max)
+    nodes_i = jnp.stack(
+        [mesh.hit_next, mesh.miss_next, mesh.tri_start, mesh.tri_count], axis=1
+    ).astype(I32)
+    tri_geo = jnp.zeros((nt, 12), F32)
+    tri_geo = (tri_geo.at[:, 0:3].set(mesh.v0).at[:, 3:6].set(mesh.edge1)
+               .at[:, 6:9].set(mesh.edge2).at[:, 9].set(mesh.inst.astype(F32)))
+    tri_extra = jnp.zeros((nt, 12), F32)
+    tri_extra = (tri_extra.at[:, 0:3].set(mesh.n0).at[:, 3:6].set(mesh.n1)
+                 .at[:, 6:9].set(mesh.n2))
+    ni = mesh.inst_transmission.shape[0]
+    inst_tbl = jnp.zeros((max(ni, 1), 8), F32)
+    inst_tbl = (inst_tbl.at[:ni, 0].set(mesh.inst_transmission)
+                .at[:ni, 1:4].set(mesh.inst_absorption))
+    return nodes_f, nodes_i, tri_geo, tri_extra, inst_tbl

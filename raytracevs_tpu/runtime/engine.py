@@ -73,10 +73,11 @@ def _render_pipeline(scene: FlatScene, cfg: RenderConfig, backend: str, denoise_
 
 
 def _pick_backend(flat: FlatScene) -> str:
-    """Megakernel on real TPUs for analytic scenes; jnp elsewhere.
+    """Megakernel on real TPUs; jnp on CPU and for meshes too big for VMEM.
 
-    The Pallas tile kernel does not traverse mesh BVHs yet; scenes with
-    triangle meshes take the jnp wavefront (XLA gathers).
+    Mesh scenes use in-kernel packet BVH traversal; the node/triangle
+    tables live in VMEM, so very large meshes (tables beyond ~6 MB) fall
+    back to the jnp wavefront.
     """
     try:
         platform = jax.devices()[0].platform
@@ -84,7 +85,11 @@ def _pick_backend(flat: FlatScene) -> str:
         platform = "cpu"
     if platform == "cpu":
         return "jnp"
-    return "jnp" if flat.mesh is not None else "pallas"
+    if flat.mesh is not None:
+        mesh_bytes = flat.mesh.num_nodes * (8 + 4) * 4 + flat.mesh.num_tris * 24 * 4
+        if mesh_bytes > 6 * 1024 * 1024:
+            return "jnp"
+    return "pallas"
 
 
 class Engine:

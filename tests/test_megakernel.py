@@ -41,3 +41,62 @@ def test_megakernel_matches_jnp_wavefront(sample_flat):
         np.asarray(pal.gbuffer.shadow_data), np.asarray(ref.gbuffer.shadow_data),
         atol=2e-3,
     )
+
+
+def test_megakernel_mesh_matches_jnp_wavefront():
+    """Packet BVH traversal (closest/shadow/thickness) vs the jnp path."""
+    import tempfile
+
+    from raytracevs_tpu.io.mesh_cache import MeshCacheService
+    from raytracevs_tpu.scene.data import (
+        LightData, LightType, MaterialData, MeshObjectData, PlaneData, SceneData,
+    )
+    from raytracevs_tpu.scene.transform import Transform
+
+    ms = MeshCacheService(
+        "/root/reference/Resource/Model", cache_dir=tempfile.mkdtemp()
+    )
+    ms.initialize()
+    scene = SceneData()
+    scene.camera.position = np.array([0.0, 1.5, -3.5])
+    scene.camera.look_at = np.array([0.0, 0.9, 0.0])
+    scene.settings.samples_per_pixel = 1
+    scene.settings.max_bounces = 6
+    glass = MaterialData(
+        base_color=np.array([0.95, 0.95, 0.95, 1.0]), transmission=1.0,
+        ior=1.05, roughness=0.1,
+    )
+    t = Transform(scale=np.array([2.0, 2.0, 2.0]))
+    scene.objects += [
+        MeshObjectData(mesh_name="WineGlass", transform=t, material=glass),
+        PlaneData(),
+    ]
+    scene.lights += [
+        LightData(type=LightType.POINT, position=np.array([3.0, 5.0, -3.0]),
+                  intensity=10.0),
+        LightData(type=LightType.AMBIENT, color=np.array([0.3, 0.3, 0.3, 1.0])),
+    ]
+    flat = flatten_scene(scene, 64, 64, mesh_service=ms)
+    cfg = make_config(scene, 64, 64)
+    assert flat.mesh is not None
+
+    ref = render_rows(flat, cfg, jnp.int32(0), 64)
+    pal = render_rows(flat, cfg, jnp.int32(0), 64, backend="pallas", interpret=True)
+    # Triangle t values agree only to ~1 ULP between the two formulations
+    # (XLA fuses FMAs differently), so grazing glass paths can flip
+    # discrete decisions: allow a small ray-count delta and a handful of
+    # chaotic pixels rather than bit-exactness (analytic scenes ARE exact,
+    # see test_megakernel_matches_jnp_wavefront).
+    r_ref = float(np.asarray(ref.rays))
+    r_pal = float(np.asarray(pal.rays))
+    assert abs(r_pal - r_ref) / r_ref < 2e-3
+    cd = np.abs(np.asarray(pal.color) - np.asarray(ref.color)).max(axis=-1)
+    assert (cd > 1e-3).mean() < 0.02, f"{(cd > 1e-3).mean():.4f} of pixels diverge"
+    np.testing.assert_array_equal(
+        np.asarray(pal.gbuffer.obj_id), np.asarray(ref.gbuffer.obj_id)
+    )
+    nd = np.abs(
+        np.asarray(pal.gbuffer.normal_roughness)
+        - np.asarray(ref.gbuffer.normal_roughness)
+    )
+    assert np.percentile(nd, 99.9) < 2e-3
