@@ -23,6 +23,16 @@ def main(argv=None) -> int:
     p.add_argument("--spp", type=int, default=None, help="override samples per pixel")
     p.add_argument("--bounces", type=int, default=None, help="override max bounces")
     p.add_argument("--frames", type=int, default=1, help="frames to render (timing)")
+    p.add_argument("--caustics", action="store_true",
+                   help="enable photon-mapped caustics (the reference's "
+                        "causticsEnabled runtime toggle)")
+    p.add_argument("--photon-debug", type=int, default=None, metavar="MODE",
+                   help="photon debug visualization mode 0-12 (the reference "
+                        "UI's P-key cycle, RenderWindow.xaml.cs:628)")
+    p.add_argument("--photon-scale", type=float, default=None,
+                   help="photon debug brightness scale (reference cycles "
+                        "1/4/16)")
+    p.add_argument("--denoise", action="store_true", help="enable the denoiser")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     p.add_argument("--json", action="store_true", help="print timing stats as JSON")
     args = p.parse_args(argv)
@@ -39,6 +49,17 @@ def main(argv=None) -> int:
         overrides["samples_per_pixel"] = args.spp
     if args.bounces is not None:
         overrides["max_bounces"] = args.bounces
+    if args.caustics:
+        overrides["enable_caustics"] = True
+    if args.photon_debug is not None:
+        if not 0 <= args.photon_debug <= 12:
+            print("error: --photon-debug must be 0-12", file=sys.stderr)
+            return 1
+        overrides["photon_debug_mode"] = args.photon_debug
+    if args.photon_scale is not None:
+        overrides["photon_debug_scale"] = args.photon_scale
+    if args.denoise:
+        overrides["enable_denoiser"] = True
 
     engine = Engine(args.width, args.height)
     try:

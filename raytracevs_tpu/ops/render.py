@@ -156,15 +156,20 @@ def render_rows(scene: FlatScene, cfg: RenderConfig, row_start, num_rows: int,
         from .pallas import megakernel
 
         a = megakernel.render_accum_pallas(scene, cfg, row_start, num_rows, interpret)
-        acc_color, acc_diffuse = _apply_caustics(
-            scene, cfg, row_start, num_rows, a["color"], a["diffuse"]
+        c = _apply_caustics(
+            scene, cfg, row_start, num_rows,
+            dict(acc_color=a["color"], acc_primary=a["primary"],
+                 acc_diffuse=a["diffuse"], acc_specular=a["specular"],
+                 shadow_vis=a["shadow_vis"], shadow_pen=a["shadow_pen"],
+                 shadow_dist=a["shadow_dist"]),
         )
         return _assemble_frame(
             scene, cfg, n,
-            acc_color, a["primary"], acc_diffuse, a["specular"], a["hitdist"],
+            c["acc_color"], c["acc_primary"], c["acc_diffuse"], c["acc_specular"],
+            a["hitdist"],
             a["bounce"], a["rays"], a["prim_hit"], a["prim_normal"], a["prim_rough"],
             a["prim_albedo"], a["prim_metallic"], a["prim_transmission"], a["prim_pos"],
-            a["shadow_vis"], a["shadow_pen"], a["shadow_dist"], a["obj_id"],
+            c["shadow_vis"], c["shadow_pen"], c["shadow_dist"], a["obj_id"],
         )
     idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
     px = idx % cfg.width
@@ -224,22 +229,37 @@ def render_rows(scene: FlatScene, cfg: RenderConfig, row_start, num_rows: int,
      rays_total, prim_hit, prim_normal, prim_rough, prim_albedo, prim_metallic,
      prim_transmission, prim_pos, prim_shadow_vis, prim_shadow_pen,
      prim_shadow_dist, prim_obj_id) = carry
-    acc_color, acc_diffuse = _apply_caustics(
-        scene, cfg, row_start, num_rows, acc_color, acc_diffuse
+    c = _apply_caustics(
+        scene, cfg, row_start, num_rows,
+        dict(acc_color=acc_color, acc_primary=acc_primary, acc_diffuse=acc_diffuse,
+             acc_specular=acc_specular, shadow_vis=prim_shadow_vis,
+             shadow_pen=prim_shadow_pen, shadow_dist=prim_shadow_dist),
     )
     return _assemble_frame(
-        scene, cfg, n, acc_color, acc_primary, acc_diffuse, acc_specular, acc_hitdist,
+        scene, cfg, n, c["acc_color"], c["acc_primary"], c["acc_diffuse"],
+        c["acc_specular"], acc_hitdist,
         acc_bounce, rays_total, prim_hit, prim_normal, prim_rough, prim_albedo,
-        prim_metallic, prim_transmission, prim_pos, prim_shadow_vis, prim_shadow_pen,
-        prim_shadow_dist, prim_obj_id,
+        prim_metallic, prim_transmission, prim_pos, c["shadow_vis"], c["shadow_pen"],
+        c["shadow_dist"], prim_obj_id,
     )
 
 
-def _apply_caustics(scene, cfg, row_start, num_rows, acc_color, acc_diffuse):
-    """Photon pass: emit/trace/hash photons, add the gathered caustic at
-    primary hits into color and diffuse (RayGen.hlsl:505-533)."""
+def _apply_caustics(scene, cfg, row_start, num_rows, accs):
+    """Photon pass: emit/trace/hash photons, fold the gathered caustic into
+    the accumulators (RayGen.hlsl:505-533).
+
+    accs is a dict with acc_color / acc_primary / acc_diffuse / acc_specular
+    / shadow_vis / shadow_pen / shadow_dist; returns the same dict.
+
+    PhotonDebugMode == 0 adds the caustic at eligible primary hits into
+    color and diffuse. PhotonDebugMode > 0 instead REPLACES the primary
+    contribution with caustic * PhotonDebugScale, zeroes specular, and
+    clears the SIGMA shadow record (RayGen.hlsl:509-518). The replacement
+    is applied per pixel rather than per sample: a pixel whose AA samples
+    straddle an eligibility edge differs from the reference in those border
+    samples only (debug visualization)."""
     if cfg.num_photons <= 0:
-        return acc_color, acc_diffuse
+        return accs
     from . import photon as photon_mod
 
     pmap = photon_mod.emit_and_trace(scene, cfg.num_photons)
@@ -248,8 +268,26 @@ def _apply_caustics(scene, cfg, row_start, num_rows, acc_color, acc_diffuse):
     px = idx % cfg.width
     py = jnp.asarray(row_start, jnp.int32) + idx // cfg.width
     tile = sampling.blue_noise_tile()
-    delta, _mask = caustics_delta(scene, cfg, pmap, px, py, tile)
-    return acc_color + delta, acc_diffuse + delta
+    delta, mask = caustics_delta(scene, cfg, pmap, px, py, tile)
+    out = dict(accs)
+    if cfg.photon_debug_mode == 0:
+        out["acc_color"] = accs["acc_color"] + delta
+        out["acc_diffuse"] = accs["acc_diffuse"] + delta
+        return out
+    dbg = delta * F32(cfg.photon_debug_scale)
+    m = mask[:, None]
+    # acc_primary is the summed depth-0 contribution, so subtracting it and
+    # adding the debug color reproduces the per-sample payload replacement
+    # while keeping secondary-bounce terms (mode 1 shows acc - primary).
+    out["acc_color"] = jnp.where(m, accs["acc_color"] - accs["acc_primary"] + dbg,
+                                 accs["acc_color"])
+    out["acc_primary"] = jnp.where(m, dbg, accs["acc_primary"])
+    out["acc_diffuse"] = jnp.where(m, dbg, accs["acc_diffuse"])
+    out["acc_specular"] = jnp.where(m, 0.0, accs["acc_specular"])
+    out["shadow_vis"] = jnp.where(mask, 1.0, accs["shadow_vis"])
+    out["shadow_pen"] = jnp.where(mask, 0.0, accs["shadow_pen"])
+    out["shadow_dist"] = jnp.where(mask, F32(C.NRD_FP16_MAX), accs["shadow_dist"])
+    return out
 
 
 def _assemble_frame(scene, cfg, n, acc_color, acc_primary, acc_diffuse, acc_specular,

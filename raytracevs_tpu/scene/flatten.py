@@ -130,6 +130,7 @@ class RenderConfig(NamedTuple):
     max_queue_iters: int = 64  # safety bound on the wavefront loop
     enable_denoiser: bool = False
     photon_debug_mode: int = 0
+    photon_debug_scale: float = 1.0  # Scene.PhotonDebugScale (RayGen.hlsl:511)
     # Photon mapping (M4): 0 disables the pass entirely
     num_photons: int = 0
     # Static scene-shape facts; like the reference's shader permutations,
@@ -424,8 +425,12 @@ def make_config(scene: SceneData, width: int, height: int, **overrides) -> Rende
             # flatten clamps samples to 1 (DXRPipeline.cpp:928); keep the
             # unroll bound in sync with that clamp.
             max_soft = max(max_soft, int(min(lt.soft_shadow_samples, 1.0)))
+    # enable_caustics is a semantic override (the reference's runtime
+    # causticsEnabled toggle, DXRPipeline.cpp:985): it selects the photon
+    # budget rather than being a RenderConfig field itself.
+    caustics_on = bool(overrides.pop("enable_caustics", scene.settings.enable_caustics))
     num_photons = 0
-    if scene.settings.enable_caustics:
+    if caustics_on:
         from ..ops.photon import photon_budget
 
         num_photons = photon_budget(scene)
@@ -437,6 +442,7 @@ def make_config(scene: SceneData, width: int, height: int, **overrides) -> Rende
         max_queue_iters=max_iters,
         enable_denoiser=bool(scene.settings.enable_denoiser),
         photon_debug_mode=int(scene.settings.photon_debug_mode),
+        photon_debug_scale=float(scene.settings.photon_debug_scale),
         num_photons=num_photons,
         has_lights=len(scene.lights) > 0,
         any_glass=any_glass,

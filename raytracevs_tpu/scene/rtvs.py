@@ -242,9 +242,9 @@ def load_graph(path_or_dict, mesh_resolver=None) -> NodeGraph:
         node.position = (float(nd.get("PositionX", 0.0)), float(nd.get("PositionY", 0.0)))
         _apply_properties(node, nd.get("Properties") or {})
         try:
-            node.id = uuid.UUID(nd["Id"])
+            node.id = uuid.UUID(str(nd["Id"]))
         except (KeyError, ValueError):
-            pass
+            pass  # non-GUID ids keep the generated one (connections resolve by string)
         # Drop FBX nodes whose mesh is missing from the cache
         # (SceneFileService.cs:52-62).
         if isinstance(node, N.FBXMeshNode) and mesh_resolver is not None:

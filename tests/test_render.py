@@ -169,3 +169,43 @@ def test_sample_scene_renders(sample_scene_path):
     rgb = img[..., :3].astype(float)
     assert 40 < rgb.mean() < 240  # neither black nor blown out
     assert rgb.std() > 20  # has structure
+
+
+def test_photon_debug_replace():
+    """PhotonDebugMode > 0 with caustics replaces the primary contribution
+    with caustic * PhotonDebugScale and clears specular + SIGMA shadow
+    (RayGen.hlsl:505-518)."""
+    import jax.numpy as jnp
+
+    from raytracevs_tpu.ops.render import render_rows
+    from raytracevs_tpu.scene.flatten import flatten_scene, make_config
+
+    scene = _simple_scene(enable_caustics=True)
+    glass = MaterialData(transmission=0.9, ior=1.5)
+    scene.objects[0] = SphereData(position=np.array([0.0, 1.2, 0.0]), radius=0.8,
+                                  material=glass)
+    scene.settings.photon_debug_mode = 5
+    scene.settings.photon_debug_scale = 2.0
+    flat = flatten_scene(scene, 48, 48)
+    cfg = make_config(scene, 48, 48)
+    assert cfg.num_photons > 0
+    out = render_rows(flat, cfg, jnp.int32(0), 48)
+
+    oid = np.asarray(out.gbuffer.obj_id)
+    # plane lanes (type 1) are diffuse -> replaced
+    plane_lanes = oid == 1 * 65536
+    assert plane_lanes.any()
+    spec = np.asarray(out.gbuffer.specular_hitdist)[:, :3]
+    assert np.abs(spec[plane_lanes]).max() == 0.0
+    sdata = np.asarray(out.gbuffer.shadow_data)
+    assert np.all(sdata[plane_lanes, 1] == 1.0)  # visibility cleared to lit
+
+    # the debug view replaces color: scale=2 frame == 2 * scale=1 frame at
+    # replaced lanes (pure caustic, linear in PhotonDebugScale)
+    scene.settings.photon_debug_scale = 1.0
+    cfg1 = make_config(scene, 48, 48)
+    flat1 = flatten_scene(scene, 48, 48)
+    out1 = render_rows(flat1, cfg1, jnp.int32(0), 48)
+    c2 = np.asarray(out.color)[plane_lanes]
+    c1 = np.asarray(out1.color)[plane_lanes]
+    np.testing.assert_allclose(c2, 2.0 * c1, atol=1e-5)
