@@ -117,6 +117,17 @@ class Engine:
         """Sanitize + flatten a SceneData (EngineWrapper::UpdateScene)."""
         clean = sanitize_scene(scene)
         self._scene = clean
+        # Verbose per-object scene dump at the interop boundary
+        # (EngineWrapper.cpp:222-230), gated by log level like the reference.
+        from ..utils.logging import log_debug
+
+        log_debug(
+            "UpdateScene: %d objects (%s), %d lights, spp=%d bounces=%d",
+            len(clean.objects),
+            ", ".join(type(o).__name__ for o in clean.objects) or "empty",
+            len(clean.lights), clean.settings.samples_per_pixel,
+            clean.settings.max_bounces,
+        )
         aspect = self.width / self.height
         new_checksum = scene_data_checksum(clean)
         if new_checksum != self._checksum:
@@ -210,11 +221,104 @@ class Engine:
         )
         return rgba
 
+    @property
+    def last_hdr(self) -> Optional[np.ndarray]:
+        """Linear HDR color of the last frame, before composite/tonemap —
+        the `debugSkipPostFX` analog (DXRPipeline.cpp:2736)."""
+        return self._last_hdr
+
+    def validate_frame(self) -> dict:
+        """Debug-layer analog (SURVEY §5.2): render one frame and audit every
+        output channel for NaN/Inf and contract violations.
+
+        The reference enables the D3D12 debug layer + GPU-based validation in
+        Debug builds (DXContext.cpp:33-40); on TPU the compiled pipeline is
+        race-free by construction, so validation means checking the numeric
+        contracts of the outputs. Returns {"ok": bool, "violations": [str]}.
+        """
+        from ..ops.render import render_rows
+        from ..post import composite as composite_mod
+        from .. import constants as C
+
+        out = render_rows(self._flat, self._cfg, jnp.int32(0), self.height,
+                          backend="jnp")
+        g = out.gbuffer
+        v = []
+
+        def finite(name, a):
+            if not np.isfinite(np.asarray(a)).all():
+                v.append(f"{name}: non-finite values")
+
+        def in_range(name, a, lo, hi):
+            a = np.asarray(a)
+            if a.size and (a.min() < lo or a.max() > hi):
+                v.append(f"{name}: out of [{lo}, {hi}] (min {a.min()}, max {a.max()})")
+
+        finite("color", out.color)
+        in_range("color", out.color, 0.0, np.inf)
+        finite("raw_specular", out.raw_specular)
+        finite("normal_roughness", g.normal_roughness)
+        in_range("normal_roughness", g.normal_roughness, 0.0, 1.0)
+        in_range("view_z", g.view_z, C.VIEWZ_MIN, C.VIEWZ_SKY)
+        in_range("motion", g.motion, -C.MV_CLAMP_PIXELS, C.MV_CLAMP_PIXELS)
+        in_range("albedo", g.albedo, 0.0, 1.0)
+        in_range("shadow visibility", np.asarray(g.shadow_data)[:, 1], 0.0, 1.0)
+        oid = np.asarray(g.obj_id)
+        if oid.size and oid.min() < -1:
+            v.append(f"obj_id: below -1 (min {oid.min()})")
+        color01 = composite_mod.composite(
+            g, out.raw_specular, self._flat.exposure, self._flat.tone_map_operator,
+            self._flat.gamma, use_denoised=False,
+        )
+        finite("composite", color01)
+        in_range("composite", color01, 0.0, 1.0)
+        return {"ok": not v, "violations": v}
+
     def get_pixel_data(self) -> bytes:
         """Raw RGBA bytes of the last frame (EngineWrapper::GetPixelData)."""
         if self._last_rgba is None:
             raise RuntimeError("render() must be called before get_pixel_data()")
         return self._last_rgba.tobytes()
+
+    def copy_pixels_into(self, buffer) -> bool:
+        """Fill a caller-provided writable buffer with the last frame's RGBA.
+
+        The readback analog of NativeBridge::GetPixelData with its full set
+        of color-coded failure fills (NativeBridge.cpp:266-356):
+        green = pixel read failed, red = zero-size frame, yellow = buffer
+        too small, orange = output was all zeros, magenta = exception.
+        Returns True only on a clean copy.
+        """
+        mv = memoryview(buffer).cast("B")
+        needed = self.width * self.height * 4
+
+        def fill(rgb):
+            n = min(len(mv), needed) if needed else len(mv)
+            arr = np.frombuffer(mv, dtype=np.uint8, count=len(mv))
+            px = arr[: n - n % 4].reshape(-1, 4)
+            px[:, 0], px[:, 1], px[:, 2], px[:, 3] = (*rgb, 255)
+            return False
+
+        try:
+            if needed == 0:
+                return fill((255, 0, 0))  # red: zero-size frame
+            if len(mv) < needed:
+                return fill((255, 255, 0))  # yellow: buffer too small
+            if self._last_rgba is None:
+                return fill((0, 255, 0))  # green: no pixels to read
+            data = self._last_rgba
+            if not data[..., :3].any():
+                return fill((255, 165, 0))  # orange: all-zero output
+            np.frombuffer(mv, dtype=np.uint8, count=needed)[:] = data.reshape(-1)
+            return True
+        except Exception:
+            from ..utils.logging import log_error
+
+            log_error("copy_pixels_into failed; filling magenta sentinel")
+            try:
+                return fill((255, 0, 255))  # magenta: exception
+            except Exception:
+                return False
 
     # -- metrics ----------------------------------------------------------
     @property

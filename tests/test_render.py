@@ -209,3 +209,35 @@ def test_photon_debug_replace():
     c2 = np.asarray(out.color)[plane_lanes]
     c1 = np.asarray(out1.color)[plane_lanes]
     np.testing.assert_allclose(c2, 2.0 * c1, atol=1e-5)
+
+
+def test_copy_pixels_into_failure_fills(small_frame):
+    """NativeBridge.cpp:266-356 color-coded readback sentinels."""
+    eng, img = small_frame
+    needed = eng.width * eng.height * 4
+
+    buf = bytearray(needed)
+    assert eng.copy_pixels_into(buf) is True
+    assert bytes(buf) == eng.get_pixel_data()
+
+    small = bytearray(needed // 2)
+    assert eng.copy_pixels_into(small) is False
+    assert small[0:4] == bytes([255, 255, 0, 255])  # yellow: too small
+
+    fresh = Engine(8, 8)
+    buf8 = bytearray(8 * 8 * 4)
+    assert fresh.copy_pixels_into(buf8) is False
+    assert buf8[0:4] == bytes([0, 255, 0, 255])  # green: nothing rendered
+
+    zero = Engine(0, 0)
+    z = bytearray(16)
+    assert zero.copy_pixels_into(z) is False
+    assert z[0:4] == bytes([255, 0, 0, 255])  # red: zero-size frame
+
+
+def test_validate_frame(small_frame):
+    """Debug-layer analog: output-contract audit comes back clean."""
+    eng, _ = small_frame
+    report = eng.validate_frame()
+    assert report["ok"], report["violations"]
+    assert eng.last_hdr is not None and eng.last_hdr.shape[-1] == 3
