@@ -47,7 +47,8 @@ _DEBUG_DISABLE = frozenset(
     x for x in os.environ.get("RTVS_MK_DISABLE", "").split(",") if x
 )
 
-TILE_H = 32
+TILE_H = int(os.environ.get("RTVS_MK_TILE_H", "32"))
+assert TILE_H % 16 == 0, "TILE_H must be a multiple of the 16-px blue-noise tile"
 TILE_W = 128
 _INVALID = 0x7FFFFFF
 STACK_DEPTH = C.WORK_QUEUE_STRIDE

@@ -447,3 +447,70 @@ def save_graph(graph: NodeGraph, path: str, viewport: Optional[dict] = None) -> 
     }
     with open(path, "w", encoding="utf-8") as f:
         json.dump(doc, f, indent=2, default=float)
+
+
+def copy_nodes(graph: NodeGraph, nodes) -> dict:
+    """Serialize a node selection + intra-selection connections to a
+    clipboard document (NodeEditorView.xaml.cs:742-797 HandleCopy)."""
+    selected = set(n.id for n in nodes)
+    return {
+        "Nodes": [
+            {
+                "Id": str(n.id),
+                "Type": n.type_name,
+                "Title": n.title,
+                "PositionX": n.position[0],
+                "PositionY": n.position[1],
+                "Properties": _serialize_properties(n),
+            }
+            for n in nodes
+        ],
+        "Connections": [
+            {
+                "OutputNodeId": str(c.output_node.id),
+                "OutputSocketName": c.output_socket.name,
+                "InputNodeId": str(c.input_node.id),
+                "InputSocketName": c.input_socket.name,
+            }
+            for c in graph.connections
+            if c.output_node.id in selected and c.input_node.id in selected
+        ],
+    }
+
+
+def paste_nodes(graph: NodeGraph, clipboard: dict, offset=(30.0, 30.0)):
+    """Instantiate clipboard nodes with fresh ids + a position offset and
+    rebuild the intra-selection connections
+    (NodeEditorView.xaml.cs:806-900 HandlePaste). Returns the new nodes."""
+    from . import nodes as N  # noqa: F811 (module alias used by helpers)
+
+    id_map = {}
+    new_nodes = []
+    for nd in clipboard.get("Nodes", []):
+        type_name = _LEGACY_TYPE_MAP.get(nd.get("Type", ""), nd.get("Type", ""))
+        cls = N.NODE_TYPES.get(type_name)
+        if cls is None:
+            continue
+        node = cls()
+        node.title = nd.get("Title", node.title)
+        node.position = (
+            float(nd.get("PositionX", 0.0)) + offset[0],
+            float(nd.get("PositionY", 0.0)) + offset[1],
+        )
+        _apply_properties(node, nd.get("Properties") or {})
+        graph.add_node(node)  # keeps the freshly generated id
+        id_map[str(nd.get("Id", "")).lower()] = node
+        new_nodes.append(node)
+    for cd in clipboard.get("Connections", []):
+        out_node = id_map.get(str(cd.get("OutputNodeId", "")).lower())
+        in_node = id_map.get(str(cd.get("InputNodeId", "")).lower())
+        if out_node is None or in_node is None:
+            continue
+        out_sock = out_node.find_output(cd.get("OutputSocketName", ""))
+        in_sock = in_node.find_input(cd.get("InputSocketName", ""))
+        if out_sock is not None and in_sock is not None:
+            try:
+                graph.connect(out_sock, in_sock)
+            except ValueError:
+                pass  # incompatible after property edits; skip like the editor
+    return new_nodes

@@ -148,3 +148,40 @@ def test_sphere_radius_scale():
     s.object_transform = Transform(scale=np.array([1.0, 3.0, 2.0]))
     r = g.evaluate()[s.id]
     assert r.radius == 6.0  # radius * max scale component (SphereNode.cs:72)
+
+
+def test_copy_paste_nodes():
+    """Clipboard copy/paste duplicates nodes + intra-selection connections
+    with fresh ids and an offset (NodeEditorView.xaml.cs:725-900)."""
+    from raytracevs_tpu.scene.graph import NodeGraph
+    from raytracevs_tpu.scene.nodes import MaterialBSDFNode, SphereNode
+    from raytracevs_tpu.scene.rtvs import copy_nodes, paste_nodes
+
+    g = NodeGraph()
+    mat = MaterialBSDFNode()
+    mat.transmission = 0.7
+    sph = SphereNode()
+    sph.radius = 2.5
+    sph.position = (100.0, 50.0)
+    g.add_node(mat)
+    g.add_node(sph)
+    g.connect(mat.find_output("Material"), sph.find_input("Material"))
+
+    clip = copy_nodes(g, [mat, sph])
+    new = paste_nodes(g, clip)
+    assert len(new) == 2
+    assert len(g.nodes) == 4
+    assert len(g.connections) == 2
+    ids = {n.id for n in g.nodes}
+    assert len(ids) == 4  # fresh ids
+    new_sph = next(n for n in new if isinstance(n, SphereNode))
+    assert new_sph.radius == 2.5
+    assert new_sph.position == (130.0, 80.0)  # +30 offset
+    new_mat = next(n for n in new if isinstance(n, MaterialBSDFNode))
+    # the pasted connection links the NEW pair, not the originals
+    pasted_conn = [c for c in g.connections if c.output_node is new_mat]
+    assert len(pasted_conn) == 1 and pasted_conn[0].input_node is new_sph
+
+    # copying one node of a connected pair drops the dangling connection
+    clip2 = copy_nodes(g, [sph])
+    assert clip2["Connections"] == []
