@@ -722,7 +722,8 @@ def thickness_trace_k(ks: KScene, o, d, obj_type, obj_index):
     hit = t_out < 1e29
     t_fin = jnp.where(hit, t_out, F32(C.NRD_FP16_MAX))
     if ks.mesh is not None and "mesh_thick" not in _DEBUG_DISABLE:
-        mh, mt = mesh_thickness_k(ks.mesh, o, d, obj_index)
+        mh, mt = mesh_thickness_k(ks.mesh, o, d, obj_index,
+                                  active=obj_type == C.OBJECT_TYPE_MESH)
         sel_m = obj_type == C.OBJECT_TYPE_MESH
         # logical merge, not jnp.where: Mosaic cannot lower select with i1
         # value operands (extends to i8, then fails the i8->i1 trunc)
@@ -877,6 +878,7 @@ def _soft_shadow_k(ks, cfg, pos, nrm, active, lt, lp, lrad, lsamp, seed):
         trace_max = jnp.where(soft, samp_max, hard_dist)
         above = vdot(samp_dir, nrm) > 0.0
         do_trace = (iter_soft & above) | iter_hard
+        trace_max = jnp.where(do_trace, trace_max, 0.0)  # keep idle lanes out of the walk
         sv, sc, so = shadow_trace_k(ks, origin, trace_dir, trace_max)
         rays = rays + do_trace.astype(I32)
 
@@ -1002,7 +1004,10 @@ def _shade_and_spawn_k(ks, cfg, xx, yy, frame, s, cur, traced):
     skip_t = jnp.where(skip_on, c_stype, _INVALID)
     skip_i = jnp.where(skip_on, c_sidx, 0)
     tmin = jnp.full(shape, C.RAY_TMIN, F32)
-    tmax = jnp.full(shape, C.RAY_TMAX, F32)
+    # Inactive lanes trace an empty interval: their results were always
+    # masked, but with a mesh they must also stop steering the packet walk
+    # (a stale ray would drag the whole tile through its BVH nodes).
+    tmax = jnp.where(traced, F32(C.RAY_TMAX), 0.0)
     isect = intersect_closest_k(ks, c_o, c_d, tmin, tmax, skip_t, skip_i)
 
     hit_mask = isect["hit"] & traced
@@ -1167,7 +1172,9 @@ def _shade_and_spawn_k(ks, cfg, xx, yy, frame, s, cur, traced):
         fb_ndotl = jnp.maximum(vdot(nrm, fb_l), 0.0)
         fb_active = shade_mask & fb_needed
         origin = vadd(pos, vscale(nrm, F32(C.SHADOW_NORMAL_OFFSET)))
-        fb_vis, fb_scol, fb_occ = shadow_trace_k(ks, origin, fb_l, fb_dist)
+        fb_vis, fb_scol, fb_occ = shadow_trace_k(
+            ks, origin, fb_l, jnp.where(fb_active, fb_dist, 0.0)
+        )
         ray_count = ray_count + fb_active.astype(I32)
         fb_amount = jnp.clip((1.0 - fb_vis) * ks.shadow_strength, 0.0, 1.0)
         adj = F32(1.5) * fb_atten * (1.0 - fb_amount)
@@ -1259,8 +1266,14 @@ def _shade_and_spawn_k(ks, cfg, xx, yy, frame, s, cur, traced):
 
         glass_spawn = hit_mask & is_glass
         th_o = vadd(pos, vscale(g_refract, F32(C.SELF_OFFSET)))
-        th_hit, th_t = thickness_trace_k(ks, th_o, g_refract, isect["type"], isect["index"])
         do_th = glass_spawn & ~tir
+        # idle lanes query a type that matches nothing so the mesh walk
+        # only follows lanes that actually need a thickness
+        th_hit, th_t = thickness_trace_k(
+            ks, th_o, g_refract,
+            jnp.where(do_th, isect["type"], _INVALID),
+            isect["index"],
+        )
         ray_count = ray_count + do_th.astype(I32)
         thickness = jnp.where(do_th & th_hit, th_t, 0.0)
         tscale = thickness * F32(C.GLASS_ABSORPTION_SCALE)
@@ -2049,9 +2062,13 @@ def izero_like(zero_f32):
     return zero_f32.astype(I32)
 
 
-def mesh_thickness_k(km: KMesh, o, d, inst_id):
+def mesh_thickness_k(km: KMesh, o, d, inst_id, active=None):
     """Packet same-instance thickness query (AnyHit_Thickness_Triangle,
-    ops/bvh.py traverse_thickness)."""
+    ops/bvh.py traverse_thickness).
+
+    Lanes with active=False start with an empty (tmin, 0) interval so they
+    don't steer the packet walk; their (hit, t) outputs are garbage the
+    caller must mask."""
     inv_d = _safe_inv(d)
     zero = o[0] * 0.0
     tmin = F32(C.RAY_TMIN)
@@ -2080,7 +2097,8 @@ def mesh_thickness_k(km: KMesh, o, d, inst_id):
         best_t = jax.lax.cond(any_hit & is_leaf, leaf_tests, lambda x: x, best_t)
         return (jnp.where(any_hit, hit_next, miss_next), best_t)
 
-    _, best_t = jax.lax.while_loop(cond, body, (jnp.int32(0), zero + big))
+    init_t = zero + big if active is None else jnp.where(active, big, 0.0) + zero
+    _, best_t = jax.lax.while_loop(cond, body, (jnp.int32(0), init_t))
     hit = best_t < big * 0.999  # ops/bvh.py traverse_thickness criterion
     return hit, jnp.where(hit, best_t, big)
 
