@@ -241,3 +241,32 @@ def test_validate_frame(small_frame):
     report = eng.validate_frame()
     assert report["ok"], report["violations"]
     assert eng.last_hdr is not None and eng.last_hdr.shape[-1] == 3
+
+
+def test_render_loop_coalesces_updates():
+    """Async loop: rapid scene submissions coalesce latest-wins
+    (RenderWindow.xaml.cs:347-451)."""
+    import time
+
+    from raytracevs_tpu.runtime.render_loop import RenderLoop
+
+    eng = Engine(32, 32)
+    frames = []
+    loop = RenderLoop(eng, on_frame=lambda img, ms: frames.append((img, ms)))
+    # queue several scenes BEFORE starting: only the newest should render
+    for r in (0.5, 0.7, 0.9, 1.1, 1.3):
+        scene = _simple_scene()
+        scene.objects[0] = SphereData(position=np.array([0.0, 1.0, 0.0]),
+                                      radius=r, material=MaterialData())
+        loop.submit_scene(scene)
+    assert loop.frames_coalesced == 4
+    loop.start()
+    deadline = time.time() + 120
+    while not frames and time.time() < deadline:
+        time.sleep(0.1)
+    loop.stop()
+    assert frames, "no frame rendered"
+    img, ms = frames[0]
+    assert img.shape == (32, 32, 4) and ms > 0
+    # the engine holds the LAST submitted scene (radius 1.3)
+    assert eng._scene.objects[0].radius == 1.3
