@@ -23,7 +23,6 @@ arrays (SoA over the VPU's (8,128) lanes).
 """
 from __future__ import annotations
 
-import functools
 import os
 from typing import NamedTuple
 

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 
 from .. import constants as C
 from ..scene.flatten import FlatScene, RenderConfig
-from . import sampling, shade, wavefront
+from . import sampling, wavefront
 
 F32 = jnp.float32
 I32 = jnp.int32

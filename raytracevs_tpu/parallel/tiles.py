@@ -17,7 +17,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import shard_map
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.render import FrameOutput, render_rows
 from ..scene.flatten import FlatScene, RenderConfig

@@ -30,7 +30,6 @@ from ..scene.evaluator import evaluate_scene
 from ..scene.flatten import FlatScene, RenderConfig, flatten_scene, make_config
 from ..scene.rtvs import load_graph
 from ..scene.sanitize import sanitize_scene
-from ..ops.render import render_frame
 from ..utils.checksum import scene_data_checksum
 
 

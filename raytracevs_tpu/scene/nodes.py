@@ -7,7 +7,7 @@ semantics, so `.rtvs` files evaluate to identical scenes.
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, Optional
+from typing import Dict, Optional
 
 import numpy as np
 

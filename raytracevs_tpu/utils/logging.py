@@ -7,7 +7,6 @@ working directory plus standard `logging` handlers.
 from __future__ import annotations
 
 import logging
-import os
 
 _logger = logging.getLogger("raytracevs_tpu")
 _enabled = False
