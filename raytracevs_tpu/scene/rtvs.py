@@ -287,6 +287,8 @@ def load_graph(path_or_dict, mesh_resolver=None) -> NodeGraph:
     # touch the scene nodes so first evaluation is full
     for sn in scene_nodes:
         sn.mark_dirty()
+    # Preserve the editor viewport for round-trips (SceneFileService.cs:20-33)
+    graph.viewport = doc.get("Viewport") or {}
     return graph
 
 
@@ -420,6 +422,8 @@ def _serialize_properties(node: Node) -> dict:
 
 
 def save_graph(graph: NodeGraph, path: str, viewport: Optional[dict] = None) -> None:
+    if viewport is None:
+        viewport = getattr(graph, "viewport", None)
     """Save a NodeGraph to a .rtvs JSON file (SceneFileService.cs:20-33)."""
     doc = {
         "Version": "1.0",
