@@ -151,6 +151,8 @@ def render_rows(scene: FlatScene, cfg: RenderConfig, row_start, num_rows: int,
     (ops/pallas/megakernel.py) — the fast path on real TPUs; "jnp" is the
     portable reference implementation.
     """
+    if backend not in ("jnp", "pallas"):
+        raise ValueError(f"unknown backend {backend!r}; expected 'jnp' or 'pallas'")
     n = cfg.width * num_rows
     if backend == "pallas":
         from .pallas import megakernel

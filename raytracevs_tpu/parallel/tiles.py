@@ -31,14 +31,15 @@ def make_mesh(devices=None) -> Mesh:
     return Mesh(devices.reshape(-1), (TILE_AXIS,))
 
 
-@partial(jax.jit, static_argnums=(1, 2))
-def _render_sharded(scene: FlatScene, cfg: RenderConfig, mesh: Mesh) -> FrameOutput:
+@partial(jax.jit, static_argnums=(1, 2, 3))
+def _render_sharded(scene: FlatScene, cfg: RenderConfig, mesh: Mesh,
+                    backend: str = "jnp") -> FrameOutput:
     n_dev = mesh.devices.size
     rows_per = cfg.height // n_dev
 
     def shard_fn(scene_rep):
         i = jax.lax.axis_index(TILE_AXIS)
-        out = render_rows(scene_rep, cfg, i * rows_per, rows_per)
+        out = render_rows(scene_rep, cfg, i * rows_per, rows_per, backend=backend)
         # scalar ray count -> [1] so it can carry a sharded axis
         return out._replace(rays=out.rays.reshape(1))
 
@@ -77,16 +78,24 @@ def _gbuffer_spec():
     )
 
 
-def render_frame_sharded(scene: FlatScene, cfg: RenderConfig, mesh: Optional[Mesh] = None):
+def render_frame_sharded(scene: FlatScene, cfg: RenderConfig, mesh: Optional[Mesh] = None,
+                         backend: str = "auto"):
     """Render a frame with rows sharded across the mesh devices.
 
     `cfg.height` must divide evenly by the device count. Returns a
     FrameOutput whose arrays are jax.Arrays sharded over the mesh
-    (scalar `rays` is per-shard, shape [n_dev]).
+    (scalar `rays` is per-shard, shape [n_dev]). backend="auto" runs the
+    Pallas megakernel per device on TPU meshes and the portable jnp
+    wavefront elsewhere; each shard's row slab must be a multiple of the
+    32-row tile height for the megakernel.
     """
     if mesh is None:
         mesh = make_mesh()
     n_dev = mesh.devices.size
     if cfg.height % n_dev != 0:
         raise ValueError(f"height {cfg.height} not divisible by {n_dev} devices")
-    return _render_sharded(scene, cfg, mesh)
+    if backend == "auto":
+        is_tpu = all(d.platform == "tpu" for d in mesh.devices.flat)
+        rows_per = cfg.height // n_dev
+        backend = "pallas" if (is_tpu and rows_per % 32 == 0) else "jnp"
+    return _render_sharded(scene, cfg, mesh, backend)
