@@ -823,6 +823,10 @@ def _sigma_pack_dir(d_occ, tan_ang):
 def _soft_shadow_k(ks, cfg, pos, nrm, active, lt, lp, lrad, lsamp, seed):
     """CalculateSoftShadow for one gathered light per lane (Common.hlsli:1199+)."""
     shape = pos[0].shape
+    if "shadow" in _DEBUG_DISABLE:  # perf-bisect kill switch: fully lit
+        return (seed, jnp.ones(shape, F32), jnp.zeros(shape, F32),
+                jnp.full(shape, C.NRD_FP16_MAX, F32),
+                vconst(shape, 1.0, 1.0, 1.0), jnp.zeros(shape, I32))
     is_dir = lt == C.LIGHT_TYPE_DIRECTIONAL
     is_ambient = lt == C.LIGHT_TYPE_AMBIENT
     soft = lrad > 0.001
