@@ -121,6 +121,7 @@ def _engine_for(config_name):
 
 
 CONFIGS = [
+    "config0_sample_scene",
     "config1_hard_shadows",
     "config2_obb_mirror",
     "config3_glass_soft",
@@ -130,6 +131,13 @@ CONFIGS = [
 
 
 def _render(config_name):
+    if config_name == "config0_sample_scene":
+        from raytracevs_tpu import Engine
+
+        engine = Engine(RES, RES)
+        engine.load_rtvs("/root/reference/sample_scene.rtvs",
+                         samples_per_pixel=2, max_bounces=6)
+        return engine.render()
     engine = _engine_for(config_name)
     img = engine.render()
     if config_name == "config5_caustics_denoise":

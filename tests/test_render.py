@@ -270,3 +270,47 @@ def test_render_loop_coalesces_updates():
     assert img.shape == (32, 32, 4) and ms > 0
     # the engine holds the LAST submitted scene (radius 1.3)
     assert eng._scene.objects[0].radius == 1.3
+
+
+def test_random_scenes_render_finite():
+    """Robustness fuzz: random small scenes always produce finite frames
+    (the reference's resilience story, SURVEY §4/§5.3)."""
+    from raytracevs_tpu.scene.data import BoxData, SceneData
+
+    rng = np.random.RandomState(7)
+    for seed in range(4):
+        scene = SceneData()
+        for _ in range(rng.randint(1, 4)):
+            kind = rng.randint(3)
+            mat = MaterialData(
+                base_color=np.append(rng.rand(3), 1.0),
+                metallic=float(rng.rand()), roughness=float(rng.rand()),
+                transmission=float(rng.rand() * rng.randint(2)),
+                ior=float(1.0 + rng.rand()),
+            )
+            pos = rng.uniform(-3, 3, 3); pos[1] = abs(pos[1])
+            if kind == 0:
+                scene.objects.append(SphereData(position=pos,
+                                                radius=float(rng.rand() * 2),
+                                                material=mat))
+            elif kind == 1:
+                scene.objects.append(BoxData(center=pos,
+                                             size=rng.rand(3) * 2 + 0.1,
+                                             material=mat))
+            else:
+                scene.objects.append(PlaneData())
+        for _ in range(rng.randint(0, 3)):
+            scene.lights.append(LightData(
+                type=LightType(rng.randint(3)),
+                position=rng.uniform(-5, 8, 3),
+                intensity=float(rng.rand() * 20),
+                radius=float(rng.rand() * 0.5),
+            ))
+        scene.camera.position = np.array([0.0, 2.0, -5.0])
+        scene.settings.samples_per_pixel = 1
+        scene.settings.max_bounces = 4
+        eng = Engine(24, 24)
+        eng.update_scene(scene)
+        img = eng.render()
+        assert np.isfinite(np.asarray(eng.last_hdr)).all(), f"seed {seed}: non-finite HDR"
+        assert img.shape == (24, 24, 4)
