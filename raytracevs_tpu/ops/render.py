@@ -105,37 +105,35 @@ def primary_rays(scene: FlatScene, cfg: RenderConfig, px, py, sample_index, tile
     )
 
 
-def caustics_delta(scene: FlatScene, cfg: RenderConfig, pmap, px, py, tile):
-    """Per-sample photon-caustic contribution at primary hits.
+def caustics_delta(scene: FlatScene, cfg: RenderConfig, pmap, prim_hit, prim_pos,
+                   prim_normal, prim_metallic, prim_transmission,
+                   num_rows=None, backend="jnp", interpret=False):
+    """Photon-caustic contribution at the recorded primary hits.
 
     The reference gathers photons in RayGen at depth 0 for diffuse surfaces
     (RayGen.hlsl:505-519: metallic<0.5, transmission<=0.01) and adds the
-    result to both color and diffuse radiance; contribution throughput is 1
-    at depth 0, so recomputing the (deterministic) primary hits after the
-    main pass is exactly equivalent. Returns (delta [N,3], replace_mask [N]).
+    result to both color and diffuse radiance with throughput 1. We gather
+    ONCE per pixel at the first-hit record the main pass already produced
+    and scale by spp: AA-jittered sample hits differ sub-pixel, far inside
+    the 0.5-unit Gaussian gather radius, so the per-sample gather and the
+    per-pixel gather are visually identical — and this avoids re-tracing
+    every primary ray (which made a caustics frame ~500x slower).
+    Returns (delta [N,3] summed over samples, replace_mask [N]).
     """
     from . import photon as photon_mod
 
-    n = px.shape[0]
-    delta = jnp.zeros((n, 3), F32)
-    eligible_any = jnp.zeros((n,), bool)
-    for s in range(cfg.samples_per_pixel):
-        primary = primary_rays(scene, cfg, px, py, jnp.uint32(s), tile)
-        tmin = jnp.full((n,), 0.001, F32)
-        tmax = jnp.full((n,), 10000.0, F32)
-        from . import intersect as isect
+    eligible = prim_hit & (prim_metallic < 0.5) & (prim_transmission <= 0.01)
+    if backend == "pallas" and num_rows is not None:
+        from .pallas import photon_gather
 
-        hit = isect.trace_closest(scene, primary.origin, primary.direction, tmin, tmax)
-        pos, nrm, _ff = isect.surface_normal(scene, hit, primary.origin, primary.direction)
-        metallic = scene.mat_metallic[hit.mat_slot]
-        transmission = scene.mat_transmission[hit.mat_slot]
-        is_plane = hit.obj_type == 1
-        transmission = jnp.where(is_plane, 0.0, transmission)
-        eligible = hit.hit & (metallic < 0.5) & (transmission <= 0.01)
-        caustic = photon_mod.gather(pmap, pos, nrm)
-        delta = delta + jnp.where(eligible[:, None], caustic, 0.0)
-        eligible_any = eligible_any | eligible
-    return delta, eligible_any
+        caustic = photon_gather.gather_pallas(
+            pmap, prim_pos, prim_normal, eligible, num_rows, cfg.width,
+            interpret=interpret,
+        )
+    else:
+        caustic = photon_mod.gather(pmap, prim_pos, prim_normal)
+    delta = jnp.where(eligible[:, None], caustic, 0.0) * F32(cfg.samples_per_pixel)
+    return delta, eligible
 
 
 def render_rows(scene: FlatScene, cfg: RenderConfig, row_start, num_rows: int,
@@ -159,11 +157,14 @@ def render_rows(scene: FlatScene, cfg: RenderConfig, row_start, num_rows: int,
 
         a = megakernel.render_accum_pallas(scene, cfg, row_start, num_rows, interpret)
         c = _apply_caustics(
-            scene, cfg, row_start, num_rows,
-            dict(acc_color=a["color"], acc_primary=a["primary"],
+            scene, cfg, row_start, num_rows, backend="pallas", interpret=interpret,
+            accs=dict(acc_color=a["color"], acc_primary=a["primary"],
                  acc_diffuse=a["diffuse"], acc_specular=a["specular"],
                  shadow_vis=a["shadow_vis"], shadow_pen=a["shadow_pen"],
-                 shadow_dist=a["shadow_dist"]),
+                 shadow_dist=a["shadow_dist"], prim_hit=a["prim_hit"],
+                 prim_pos=a["prim_pos"], prim_normal=a["prim_normal"],
+                 prim_metallic=a["prim_metallic"],
+                 prim_transmission=a["prim_transmission"]),
         )
         return _assemble_frame(
             scene, cfg, n,
@@ -235,7 +236,9 @@ def render_rows(scene: FlatScene, cfg: RenderConfig, row_start, num_rows: int,
         scene, cfg, row_start, num_rows,
         dict(acc_color=acc_color, acc_primary=acc_primary, acc_diffuse=acc_diffuse,
              acc_specular=acc_specular, shadow_vis=prim_shadow_vis,
-             shadow_pen=prim_shadow_pen, shadow_dist=prim_shadow_dist),
+             shadow_pen=prim_shadow_pen, shadow_dist=prim_shadow_dist,
+             prim_hit=prim_hit, prim_pos=prim_pos, prim_normal=prim_normal,
+             prim_metallic=prim_metallic, prim_transmission=prim_transmission),
     )
     return _assemble_frame(
         scene, cfg, n, c["acc_color"], c["acc_primary"], c["acc_diffuse"],
@@ -246,7 +249,8 @@ def render_rows(scene: FlatScene, cfg: RenderConfig, row_start, num_rows: int,
     )
 
 
-def _apply_caustics(scene, cfg, row_start, num_rows, accs):
+def _apply_caustics(scene, cfg, row_start, num_rows, accs, backend="jnp",
+                    interpret=False):
     """Photon pass: emit/trace/hash photons, fold the gathered caustic into
     the accumulators (RayGen.hlsl:505-533).
 
@@ -265,12 +269,12 @@ def _apply_caustics(scene, cfg, row_start, num_rows, accs):
     from . import photon as photon_mod
 
     pmap = photon_mod.emit_and_trace(scene, cfg.num_photons)
-    n = cfg.width * num_rows
-    idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
-    px = idx % cfg.width
-    py = jnp.asarray(row_start, jnp.int32) + idx // cfg.width
-    tile = sampling.blue_noise_tile()
-    delta, mask = caustics_delta(scene, cfg, pmap, px, py, tile)
+    delta, mask = caustics_delta(
+        scene, cfg, pmap, accs["prim_hit"], accs["prim_pos"], accs["prim_normal"],
+        accs["prim_metallic"], accs["prim_transmission"],
+        num_rows=num_rows, backend=backend, interpret=interpret,
+    )
+    accs = {k: v for k, v in accs.items() if not k.startswith("prim_")}
     out = dict(accs)
     if cfg.photon_debug_mode == 0:
         out["acc_color"] = accs["acc_color"] + delta

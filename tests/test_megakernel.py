@@ -100,3 +100,50 @@ def test_megakernel_mesh_matches_jnp_wavefront():
         - np.asarray(ref.gbuffer.normal_roughness)
     )
     assert np.percentile(nd, 99.9) < 2e-3
+
+
+def test_pallas_photon_gather_matches_jnp():
+    """The Pallas chunked gather agrees with the reference-semantics hash
+    walk (ops/photon.py) up to its documented deviations (corner cells,
+    collision double-counts, cap ordering)."""
+    from raytracevs_tpu.ops import photon as photon_mod
+    from raytracevs_tpu.ops.pallas import photon_gather
+    from raytracevs_tpu.scene.data import (
+        LightData, LightType, MaterialData, PlaneData, SceneData, SphereData,
+    )
+
+    scene = SceneData()
+    glass = MaterialData(transmission=0.9, ior=1.5, roughness=0.0)
+    scene.objects += [
+        SphereData(position=np.array([0.0, 1.2, 0.0]), radius=0.8, material=glass),
+        PlaneData(),
+    ]
+    scene.lights += [LightData(type=LightType.POINT,
+                               position=np.array([0.0, 6.0, 0.0]), intensity=20.0)]
+    scene.settings.enable_caustics = True
+    flat = flatten_scene(scene, 128, 96)
+    cfg = make_config(scene, 128, 96)
+    pmap = photon_mod.emit_and_trace(flat, cfg.num_photons)
+    assert int(np.asarray(pmap.count)) > 0
+
+    h, w = 96, 128
+    n = h * w
+    xs = np.linspace(-3, 3, w, dtype=np.float32)
+    zs = np.linspace(-2, 4, h, dtype=np.float32)
+    gx, gz = np.meshgrid(xs, zs)
+    pos = jnp.asarray(np.stack([gx.ravel(), np.zeros(n, np.float32), gz.ravel()], -1))
+    nrm = jnp.asarray(np.tile(np.array([0, 1, 0], np.float32), (n, 1)))
+
+    ref = np.asarray(photon_mod.gather(pmap, pos, nrm))
+    pal = np.asarray(photon_gather.gather_pallas(
+        pmap, pos, nrm, jnp.ones((n,), bool), h, w, interpret=True))
+    # totals agree closely; a small fraction of pixels differ through the
+    # documented cell-walk artifacts
+    assert abs(pal.mean() - ref.mean()) / max(ref.mean(), 1e-6) < 0.05
+    rel = np.abs(ref - pal).max(-1) / np.maximum(ref.max(-1), 1e-3)
+    assert (rel > 0.05).mean() < 0.02
+
+    # eligibility mask zeroes lanes
+    pal0 = np.asarray(photon_gather.gather_pallas(
+        pmap, pos, nrm, jnp.zeros((n,), bool), h, w, interpret=True))
+    assert np.abs(pal0).max() == 0.0
