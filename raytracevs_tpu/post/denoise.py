@@ -237,8 +237,13 @@ def denoise_frame(gbuffer, height: int, width: int, state: DenoiserState):
         diffuse, specular, motion, view_z, state
     )
     normal = _decode_oct(nr)
-    out_d = atrous(acc_d[..., :3], view_z, normal)
-    out_s = atrous(acc_s[..., :3], view_z, normal)
+    # one fused filter pass: diffuse and specular share the edge-stopping
+    # weights (depth + normal), so filtering them as 6 channels halves the
+    # weight computation and the roll traffic
+    out_ds = atrous(jnp.concatenate([acc_d[..., :3], acc_s[..., :3]], axis=-1),
+                    view_z, normal)
+    out_d = out_ds[..., 0:3]
+    out_s = out_ds[..., 3:6]
     out_shadow = shadow_denoise(shadow, obj_id, view_z, nr)
 
     new_state = DenoiserState(
