@@ -33,6 +33,9 @@ def main(argv=None) -> int:
                    help="photon debug brightness scale (reference cycles "
                         "1/4/16)")
     p.add_argument("--denoise", action="store_true", help="enable the denoiser")
+    p.add_argument("--debug-view", type=int, default=None, metavar="MODE",
+                   help="write a composite debug view 1-10 instead of the "
+                        "final frame (Composite.hlsl DebugMode)")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     p.add_argument("--json", action="store_true", help="print timing stats as JSON")
     args = p.parse_args(argv)
@@ -72,11 +75,15 @@ def main(argv=None) -> int:
         return 1
 
     img = engine.render()  # first frame includes compile
+    if args.debug_view is not None:
+        img = engine.render_debug_view(args.debug_view)
     compile_ms = engine.last_render_ms
     times = []
     for _ in range(max(0, args.frames - 1)):
         img = engine.render()
         times.append(engine.last_render_ms)
+    if args.debug_view is not None and args.frames > 1:
+        img = engine.render_debug_view(args.debug_view)
 
     try:
         from PIL import Image

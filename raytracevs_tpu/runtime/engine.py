@@ -106,6 +106,7 @@ class Engine:
         self._checksum = None
         self._last_rgba: Optional[np.ndarray] = None
         self._last_hdr: Optional[np.ndarray] = None
+        self._last_gbuffer = None
         self._last_rays = 0
         self._last_render_ms = 0.0
         self._prev_view_proj = None
@@ -206,7 +207,7 @@ class Engine:
 
             self._denoise_state = denoise_mod.init_state(self.height, self.width)
         start = time.perf_counter()
-        rgba, hdr, rays, _, self._denoise_state = _render_pipeline(
+        rgba, hdr, rays, self._last_gbuffer, self._denoise_state = _render_pipeline(
             self._flat, self._cfg, backend, self._denoise_state
         )
         rgba = np.asarray(rgba)
@@ -219,6 +220,24 @@ class Engine:
             frame_index=jnp.asarray(self._frame_index, jnp.uint32)
         )
         return rgba
+
+    def render_debug_view(self, mode: int) -> np.ndarray:
+        """Composite debug visualization of the last frame as RGBA8
+        (Composite.hlsl:184-371 — the render window's DebugMode selector:
+        1 = G-buffer tile strip, 2-4 = shadow input/denoised/split,
+        5 = magenta fill, 6-8 = diffuse taps, 9/10 = photon views)."""
+        if self._last_gbuffer is None:
+            raise RuntimeError("render() must be called before render_debug_view()")
+        from ..post.debug_modes import composite_debug
+        from ..post import tonemap as tonemap_mod
+
+        out01 = composite_debug(
+            int(mode), self._last_gbuffer, self.height, self.width,
+            exposure=float(self._scene.settings.exposure) if self._scene else 1.0,
+            photon_map_size=self._cfg.num_photons if self._cfg else 0,
+        )
+        rgba = tonemap_mod.to_rgba8(out01.reshape(-1, 3))
+        return np.asarray(rgba).reshape(self.height, self.width, 4)
 
     @property
     def last_hdr(self) -> Optional[np.ndarray]:
