@@ -314,3 +314,21 @@ def test_random_scenes_render_finite():
         img = eng.render()
         assert np.isfinite(np.asarray(eng.last_hdr)).all(), f"seed {seed}: non-finite HDR"
         assert img.shape == (24, 24, 4)
+
+
+def test_cache_dir_resolution(tmp_path, monkeypatch):
+    """Three-tier config search (DXRPipeline.cpp:191-342 analog)."""
+    from raytracevs_tpu.runtime.cache import resolve_cache_dir
+
+    sub = tmp_path / "a" / "b" / "c"
+    sub.mkdir(parents=True)
+    (tmp_path / "rtvs_config.ini").write_text("# x\njitCachePath=/tmp/mycache\n")
+    assert resolve_cache_dir(str(sub)) == "/tmp/mycache"
+
+    import tempfile
+
+    other = tempfile.mkdtemp()  # outside the ini's 6-level search reach
+    monkeypatch.setenv("RAYTRACEVS_TPU_CACHE", "/tmp/envcache")
+    assert resolve_cache_dir(other) == "/tmp/envcache"
+    monkeypatch.delenv("RAYTRACEVS_TPU_CACHE")
+    assert resolve_cache_dir(other).endswith("jit_cache")
