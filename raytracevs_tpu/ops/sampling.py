@@ -9,6 +9,8 @@ than shipped as an asset.
 """
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 import jax.numpy as jnp
@@ -215,17 +217,35 @@ def _void_and_cluster(size: int, seed: int) -> np.ndarray:
 
 _BLUE_NOISE_CACHE = None
 
+# The reference's actual asset (Resource/Texture/BlueNoise16.png), vendored
+# so per-pixel sample positions match it bit-for-bit. Loaded as
+# R8G8B8A8_UNORM (DXRPipeline.cpp:1613) -> float = v/255.
+_BLUE_NOISE_ASSET = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "resources",
+    "BlueNoise16.png",
+)
+
 
 def blue_noise_tile() -> jnp.ndarray:
-    """16x16x4 blue-noise tile, channels independently generated.
+    """16x16x4 blue-noise tile: the reference's BlueNoise16.png asset.
 
-    The cache holds host numpy (never a traced value) so calling this inside
-    jit/shard_map traces embeds it as a constant instead of leaking a tracer.
+    Falls back to a void-and-cluster generated tile if the asset is
+    missing. The cache holds host numpy (never a traced value) so calling
+    this inside jit/shard_map traces embeds it as a constant instead of
+    leaking a tracer.
     """
     global _BLUE_NOISE_CACHE
     if _BLUE_NOISE_CACHE is None:
-        chans = [_void_and_cluster(16, seed) for seed in (12345, 54321, 98765, 13579)]
-        _BLUE_NOISE_CACHE = np.stack(chans, axis=-1).astype(np.float32)
+        try:
+            from ..io.png import read_png
+
+            rgba = read_png(_BLUE_NOISE_ASSET)
+            assert rgba.shape == (16, 16, 4), rgba.shape
+            _BLUE_NOISE_CACHE = rgba.astype(np.float32) / np.float32(255.0)
+        except (OSError, ValueError, AssertionError):
+            chans = [_void_and_cluster(16, seed) for seed in (12345, 54321, 98765, 13579)]
+            _BLUE_NOISE_CACHE = np.stack(chans, axis=-1).astype(np.float32)
     return jnp.asarray(_BLUE_NOISE_CACHE)
 
 

@@ -97,10 +97,13 @@ def test_blue_noise_tile_properties():
     tile = np.asarray(sampling.blue_noise_tile())
     assert tile.shape == (16, 16, 4)
     assert tile.min() >= 0.0 and tile.max() <= 1.0
-    # Each channel is a permutation of ranks -> near-uniform histogram
+    # Each channel is a permutation of 256 distinct ranks -> near-uniform
+    # histogram. The real asset stores rank/255 (u8 UNORM); the generated
+    # fallback stores (rank+0.5)/256 — accept either quantization.
     for c in range(4):
         vals = np.sort(tile[..., c].ravel())
-        np.testing.assert_allclose(vals, (np.arange(256) + 0.5) / 256.0, atol=1e-6)
+        assert len(np.unique(vals)) == 256
+        np.testing.assert_allclose(vals, np.arange(256) / 255.0, atol=1.0 / 255.0)
 
 
 def test_perturb_reflection_smooth_passthrough():
