@@ -40,10 +40,12 @@ def _render_pipeline(scene: FlatScene, cfg: RenderConfig, backend: str, denoise_
     from ..post import denoise as denoise_mod
 
     out = render_rows(scene, cfg, jnp.int32(0), cfg.height, backend=backend)
+    denoised = None
     if cfg.enable_denoiser and denoise_state is not None:
-        dd, ds, _dshadow, new_state = denoise_mod.denoise_frame(
+        dd, ds, dshadow, new_state = denoise_mod.denoise_frame(
             out.gbuffer, cfg.height, cfg.width, denoise_state
         )
+        denoised = (dd, ds, dshadow)
         color01 = composite_mod.composite(
             out.gbuffer,
             out.raw_specular,
@@ -68,7 +70,7 @@ def _render_pipeline(scene: FlatScene, cfg: RenderConfig, backend: str, denoise_
         )
     rgba = tonemap.to_rgba8(color01).reshape(cfg.height, cfg.width, 4)
     hdr = out.color.reshape(cfg.height, cfg.width, 3)
-    return rgba, hdr, out.rays, out.gbuffer, new_state
+    return rgba, hdr, out.rays, out.gbuffer, new_state, denoised
 
 
 def _pick_backend(flat: FlatScene) -> str:
@@ -107,6 +109,7 @@ class Engine:
         self._last_rgba: Optional[np.ndarray] = None
         self._last_hdr: Optional[np.ndarray] = None
         self._last_gbuffer = None
+        self._last_denoised = None  # (diffuse3, specular3, shadow2) lanes
         self._last_rays = 0
         self._last_render_ms = 0.0
         self._prev_view_proj = None
@@ -207,7 +210,8 @@ class Engine:
 
             self._denoise_state = denoise_mod.init_state(self.height, self.width)
         start = time.perf_counter()
-        rgba, hdr, rays, self._last_gbuffer, self._denoise_state = _render_pipeline(
+        (rgba, hdr, rays, self._last_gbuffer, self._denoise_state,
+         self._last_denoised) = _render_pipeline(
             self._flat, self._cfg, backend, self._denoise_state
         )
         rgba = np.asarray(rgba)
@@ -231,8 +235,12 @@ class Engine:
         from ..post.debug_modes import composite_debug
         from ..post import tonemap as tonemap_mod
 
+        dd = ds = dsh = None
+        if self._last_denoised is not None:
+            dd, ds, dsh = self._last_denoised
         out01 = composite_debug(
             int(mode), self._last_gbuffer, self.height, self.width,
+            denoised_diffuse=dd, denoised_specular=ds, denoised_shadow=dsh,
             exposure=float(self._scene.settings.exposure) if self._scene else 1.0,
             photon_map_size=self._cfg.num_photons if self._cfg else 0,
         )

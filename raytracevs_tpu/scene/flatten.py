@@ -301,8 +301,12 @@ def flatten_scene(scene: SceneData, frame_index: int = 0, aspect: float = 16.0 /
         lt_color[i] = np.asarray(lt.color, f32)[:4]
         lt_intensity[i] = lt.intensity
         lt_radius[i] = lt.radius
-        # TDR clamp: soft shadow samples forced to 1 (DXRPipeline.cpp:926-928).
-        lt_samples[i] = min(lt.soft_shadow_samples, 1.0)
+        # Store the true per-light count (shader contract: 1-16,
+        # Common.hlsli:1226). The reference's TDR clamp to 1
+        # (DXRPipeline.cpp:926-928) is applied via the static unroll bound
+        # cfg.max_soft_samples (see make_config); lifting it with the
+        # max_soft_samples override enables the full 1-16 sampling path.
+        lt_samples[i] = min(max(lt.soft_shadow_samples, 1.0), 16.0)
         lt_valid[i] = True
 
     # Triangle meshes: bake instance transforms into a combined world-space
@@ -419,12 +423,11 @@ def make_config(scene: SceneData, width: int, height: int, **overrides) -> Rende
     mats = [o.material for o in scene.objects if hasattr(o, "material")]
     any_glass = any(m.transmission > 0.01 for m in mats)
     any_metal = any(m.metallic > 0.1 for m in mats)
+    # Default unroll bound 1 = the reference's current TDR clamp
+    # (DXRPipeline.cpp:928). Pass max_soft_samples=N (<=16) as an override
+    # to unlock multi-sample soft shadows (Common.hlsli:1199-1357 contract);
+    # lanes still honor their per-light sample count via `s < num_samples`.
     max_soft = 1
-    for lt in scene.lights:
-        if lt.radius > 0.001:
-            # flatten clamps samples to 1 (DXRPipeline.cpp:928); keep the
-            # unroll bound in sync with that clamp.
-            max_soft = max(max_soft, int(min(lt.soft_shadow_samples, 1.0)))
     # enable_caustics is a semantic override (the reference's runtime
     # causticsEnabled toggle, DXRPipeline.cpp:985): it selects the photon
     # budget rather than being a RenderConfig field itself.

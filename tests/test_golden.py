@@ -22,7 +22,7 @@ SSIM_THRESHOLD = 0.98
 RES = 96
 
 
-def _engine_for(config_name):
+def _engine_for(config_name, res=None):
     from raytracevs_tpu import Engine
     from raytracevs_tpu.io.mesh_cache import MeshCacheService
     from raytracevs_tpu.scene.data import (
@@ -38,6 +38,7 @@ def _engine_for(config_name):
     scene.settings.max_bounces = 6
     scene.settings.tone_map_operator = 2
     mesh_service = None
+    overrides = {}
 
     if config_name == "config1_hard_shadows":
         scene.objects += [
@@ -112,11 +113,26 @@ def _engine_for(config_name):
         scene.camera.aperture_size = 0.05
         scene.camera.focus_distance = 5.0
         scene.settings.samples_per_pixel = 2
+    elif config_name == "config6_soft_shadows":
+        # multi-sample soft shadows with the TDR clamp lifted
+        # (Common.hlsli:1199-1357 allows 1-16; DXRPipeline.cpp:928 clamps
+        # to 1 — the max_soft_samples override unlocks the full contract)
+        scene.objects += [
+            SphereData(position=np.array([0.0, 1.0, 0.0]), radius=1.0),
+            PlaneData(),
+        ]
+        scene.lights += [
+            LightData(type=LightType.POINT, position=np.array([2.5, 4.0, -2.0]),
+                      intensity=10.0, radius=1.0, soft_shadow_samples=8),
+            LightData(type=LightType.AMBIENT, color=np.array([0.15, 0.15, 0.15, 1.0])),
+        ]
+        overrides["max_soft_samples"] = 8
     else:
         raise ValueError(config_name)
 
-    engine = Engine(RES, RES, mesh_service=mesh_service)
-    engine.update_scene(scene)
+    res = RES if res is None else res
+    engine = Engine(res, res, mesh_service=mesh_service)
+    engine.update_scene(scene, **overrides)
     return engine
 
 
@@ -127,6 +143,7 @@ CONFIGS = [
     "config3_glass_soft",
     "config4_mesh",
     "config5_caustics_denoise",
+    "config6_soft_shadows",
 ]
 
 
