@@ -30,7 +30,7 @@ from ..scene.evaluator import evaluate_scene
 from ..scene.flatten import FlatScene, RenderConfig, flatten_scene, make_config
 from ..scene.rtvs import load_graph
 from ..scene.sanitize import sanitize_scene
-from ..utils.checksum import scene_data_checksum
+from ..utils.checksum import scene_content_checksum
 
 
 @partial(jax.jit, static_argnums=(1, 2))
@@ -132,11 +132,15 @@ class Engine:
             clean.settings.max_bounces,
         )
         aspect = self.width / self.height
-        new_checksum = scene_data_checksum(clean)
+        # Temporal-history reset keys off object GEOMETRY only, exactly like
+        # the reference's FNV checksum (DXRPipeline.cpp:2795-2880): camera
+        # moves keep history (motion vectors reproject it); moving an object
+        # resets it to avoid ghosting. The RNG frame index is a monotonic
+        # counter that never resets (DXRPipeline.cpp:779-780), and the
+        # previous view-proj matrix is only reset at denoiser init
+        # (DXRPipeline.cpp:3708-3711), not on scene change.
+        new_checksum = scene_content_checksum(clean)
         if new_checksum != self._checksum:
-            # Scene changed: reset temporal history (DXRPipeline.cpp:2854-2880).
-            self._frame_index = 0
-            self._prev_view_proj = None
             self._denoise_state = None
         self._checksum = new_checksum
         self._flat = flatten_scene(

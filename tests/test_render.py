@@ -148,16 +148,41 @@ def test_exposure_and_tonemap_settings_apply():
     assert i1[..., :3].astype(float).mean() > i2[..., :3].astype(float).mean()
 
 
-def test_scene_checksum_resets_frame_index():
+def test_scene_checksum_temporal_reset_semantics():
+    """History reset mirrors DXRPipeline.cpp:2795-2880: object geometry
+    changes reset the denoiser history; camera moves do NOT (motion vectors
+    carry history); the RNG frame index is monotonic and never resets
+    (DXRPipeline.cpp:779-780)."""
     eng = Engine(32, 32)
-    eng.update_scene(_simple_scene())
+    eng.update_scene(_simple_scene(enable_denoiser=True))
     eng.render()
     eng.render()
     assert eng._frame_index == 2
-    s2 = _simple_scene()
+    assert eng._denoise_state is not None
+
+    # camera-only change: history survives, frame index keeps counting
+    s_cam = _simple_scene(enable_denoiser=True)
+    s_cam.camera.position = np.array([0.5, 2.0, -5.0])
+    eng.update_scene(s_cam)
+    assert eng._denoise_state is not None
+    assert eng._frame_index == 2
+    eng.render()
+    assert eng._frame_index == 3
+
+    # object geometry change: history resets, frame index still monotonic
+    s2 = _simple_scene(enable_denoiser=True)
     s2.objects[0].radius = 0.5
     eng.update_scene(s2)
-    assert eng._frame_index == 0
+    assert eng._denoise_state is None
+    assert eng._frame_index == 3
+
+    # material-only change: like the reference, NOT part of the reset key
+    s3 = _simple_scene(enable_denoiser=True)
+    s3.objects[0].radius = 0.5  # same geometry as s2
+    s3.objects[0].material = MaterialData(metallic=1.0)
+    eng.render()
+    eng.update_scene(s3)
+    assert eng._denoise_state is not None
 
 
 def test_sample_scene_renders(sample_scene_path):
