@@ -172,6 +172,127 @@ def build_bvh(v0, v1, v2, n0, n1, n2, inst, leaf_size: int = LEAF_SIZE,
     )
 
 
+class BLASCache:
+    """Name-keyed cache of object-space BLASes.
+
+    The reference builds one triangle BLAS per mesh name and caches it;
+    scene updates only rebuild the TLAS with fresh per-instance transforms
+    (AccelerationStructure.cpp:560-663 name-keyed cache, :665-848 combined
+    TLAS). Here the analog: the SAH build runs once per mesh in object
+    space; per-frame instance transforms are applied by `transform_blas`
+    (linear map on triangles, transformed-corner bounds on node AABBs) —
+    O(T + Nn) numpy work, no SAH rebuild.
+    """
+
+    def __init__(self):
+        self._cache: dict = {}
+        self.build_count = 0  # SAH builds performed (tests assert on this)
+
+    def get(self, name: str, cached_mesh, leaf_size: int = LEAF_SIZE) -> "BuiltBVH":
+        blas = self._cache.get(name)
+        if blas is None:
+            pos = np.asarray(cached_mesh.positions, np.float32)
+            nrm = np.asarray(cached_mesh.normals, np.float32)
+            tris = np.asarray(cached_mesh.indices).reshape(-1, 3).astype(np.int64)
+            blas = build_bvh(
+                pos[tris[:, 0]], pos[tris[:, 1]], pos[tris[:, 2]],
+                nrm[tris[:, 0]], nrm[tris[:, 1]], nrm[tris[:, 2]],
+                np.zeros(len(tris), np.int32), leaf_size=leaf_size,
+            )
+            self.build_count += 1
+            self._cache[name] = blas
+        return blas
+
+
+def transform_blas(b: BuiltBVH, m4: np.ndarray, inst_index: int) -> BuiltBVH:
+    """World-space copy of an object-space BLAS under a row-vector TRS m4.
+
+    Triangles map linearly (v' = v @ M + t, edges e' = e @ M), normals by
+    the inverse transpose, and node AABBs by bounding the 8 transformed box
+    corners — exact for the transformed parallelepiped, hence conservative
+    for its triangles. Topology (hit/miss links, leaf ranges) is untouched,
+    which is the whole point: a transform edit costs no SAH rebuild
+    (AccelerationStructure.cpp:665-848 semantics).
+    """
+    M = np.asarray(m4[:3, :3], np.float64)
+    t = np.asarray(m4[3, :3], np.float64)
+    nmat = np.linalg.inv(M).T
+
+    v0 = (b.v0.astype(np.float64) @ M + t).astype(np.float32)
+    e1 = (b.edge1.astype(np.float64) @ M).astype(np.float32)
+    e2 = (b.edge2.astype(np.float64) @ M).astype(np.float32)
+
+    def xn(n):
+        w = n.astype(np.float64) @ nmat
+        ln = np.linalg.norm(w, axis=1, keepdims=True)
+        return (w / np.where(ln < 1e-12, 1.0, ln)).astype(np.float32)
+
+    lo, hi = b.bbox_min.astype(np.float64), b.bbox_max.astype(np.float64)
+    new_lo = np.full_like(lo, np.inf)
+    new_hi = np.full_like(hi, -np.inf)
+    for cx in (0, 1):
+        for cy in (0, 1):
+            for cz in (0, 1):
+                corner = np.stack(
+                    [hi[:, 0] if cx else lo[:, 0],
+                     hi[:, 1] if cy else lo[:, 1],
+                     hi[:, 2] if cz else lo[:, 2]], axis=1
+                )
+                w = corner @ M + t
+                new_lo = np.minimum(new_lo, w)
+                new_hi = np.maximum(new_hi, w)
+
+    return BuiltBVH(
+        bbox_min=new_lo.astype(np.float32), bbox_max=new_hi.astype(np.float32),
+        hit_next=b.hit_next, miss_next=b.miss_next,
+        tri_start=b.tri_start, tri_count=b.tri_count,
+        v0=v0, edge1=e1, edge2=e2,
+        n0=xn(b.n0), n1=xn(b.n1), n2=xn(b.n2),
+        inst=np.full(len(b.v0), inst_index, np.int32),
+    )
+
+
+def combine_blas(blas_list) -> BuiltBVH:
+    """Chain world-space BLASes into one traversable forest.
+
+    Instance i's exit links (_END) retarget to instance i+1's root — a
+    degenerate but correct TLAS (each ray prunes whole instances at their
+    root AABB test). The reference's combined TLAS is the analog
+    (AccelerationStructure.cpp:665-848); with the handful of instances its
+    scenes carry, a linear instance chain is within noise of a real
+    top-level tree.
+    """
+    if len(blas_list) == 1:
+        return blas_list[0]
+    node_off = np.cumsum([0] + [len(b.bbox_min) for b in blas_list])
+    tri_off = np.cumsum([0] + [len(b.v0) for b in blas_list])
+
+    def links(b, i):
+        nxt = node_off[i + 1] if i + 1 < len(blas_list) else _END
+        hit = np.where(b.hit_next == _END, nxt, b.hit_next + node_off[i])
+        miss = np.where(b.miss_next == _END, nxt, b.miss_next + node_off[i])
+        return hit.astype(np.int32), miss.astype(np.int32)
+
+    hits, misses = zip(*(links(b, i) for i, b in enumerate(blas_list)))
+    return BuiltBVH(
+        bbox_min=np.concatenate([b.bbox_min for b in blas_list]),
+        bbox_max=np.concatenate([b.bbox_max for b in blas_list]),
+        hit_next=np.concatenate(hits),
+        miss_next=np.concatenate(misses),
+        tri_start=np.concatenate(
+            [b.tri_start + tri_off[i] for i, b in enumerate(blas_list)]
+        ).astype(np.int32),
+        tri_count=np.concatenate([b.tri_count for b in blas_list]),
+        v0=np.concatenate([b.v0 for b in blas_list]),
+        edge1=np.concatenate([b.edge1 for b in blas_list]),
+        edge2=np.concatenate([b.edge2 for b in blas_list]),
+        n0=np.concatenate([b.n0 for b in blas_list]),
+        n1=np.concatenate([b.n1 for b in blas_list]),
+        n2=np.concatenate([b.n2 for b in blas_list]),
+        inst=np.concatenate([b.inst for b in blas_list]),
+    )
+
+
 class MeshArrays(NamedTuple):
     """Device-side BVH + triangle arrays (a jax pytree)."""
 

@@ -114,6 +114,12 @@ class Engine:
         self._last_render_ms = 0.0
         self._prev_view_proj = None
         self._denoise_state = None
+        # Name-keyed object-space BLAS cache: SAH builds happen once per
+        # mesh; transform edits only retransform (AccelerationStructure.cpp:
+        # 560-663 name-keyed BLAS cache analog).
+        from ..ops.bvh import BLASCache
+
+        self._blas_cache = BLASCache()
 
     # -- scene input ------------------------------------------------------
     def update_scene(self, scene: SceneData, **config_overrides) -> None:
@@ -146,6 +152,7 @@ class Engine:
         self._flat = flatten_scene(
             clean, frame_index=self._frame_index, aspect=aspect,
             prev_view_proj=self._prev_view_proj, mesh_service=self.mesh_service,
+            blas_cache=self._blas_cache,
         )
         self._cfg = make_config(clean, self.width, self.height, **config_overrides)
         self._prev_view_proj = np.asarray(self._flat.view_proj)

@@ -210,12 +210,15 @@ def view_projection(scene: SceneData, aspect: float) -> np.ndarray:
 
 
 def flatten_scene(scene: SceneData, frame_index: int = 0, aspect: float = 16.0 / 9.0,
-                  prev_view_proj: np.ndarray = None, mesh_service=None) -> FlatScene:
+                  prev_view_proj: np.ndarray = None, mesh_service=None,
+                  blas_cache=None) -> FlatScene:
     """Build the FlatScene pytree from an evaluated, sanitized SceneData.
 
     `mesh_service` resolves FBX mesh names (io.mesh_cache.MeshCacheService);
     instances whose mesh is missing are skipped, like the reference drops
     FBX nodes absent from the cache (SceneFileService.cs:52-62).
+    `blas_cache` (ops.bvh.BLASCache) carries name-keyed object-space BLASes
+    across scene updates so transform edits skip the SAH build.
     """
     f32 = np.float32
     spheres = scene.spheres
@@ -309,43 +312,30 @@ def flatten_scene(scene: SceneData, frame_index: int = 0, aspect: float = 16.0 /
         lt_samples[i] = min(max(lt.soft_shadow_samples, 1.0), 16.0)
         lt_valid[i] = True
 
-    # Triangle meshes: bake instance transforms into a combined world-space
-    # BVH (like BuildCombinedTLAS's per-instance transforms,
-    # AccelerationStructure.cpp:665-848).
+    # Triangle meshes: BLAS/TLAS split. Object-space BLASes are SAH-built
+    # once per mesh name (BLASCache, AccelerationStructure.cpp:560-663);
+    # per-instance transforms are applied as a cheap linear retransform of
+    # triangles + node bounds and the instances chained into one forest
+    # (the combined-TLAS analog, AccelerationStructure.cpp:665-848).
+    # Transform edits therefore never re-run the SAH builder.
     mesh_arrays = None
     if instances:
         from ..ops import bvh as bvh_mod
 
-        all_v0, all_v1, all_v2 = [], [], []
-        all_n0, all_n1, all_n2 = [], [], []
-        all_inst = []
+        if blas_cache is None:
+            blas_cache = bvh_mod.BLASCache()
+        world_blas = []
         inst_trans = []
         inst_absorb = []
         for inst_idx, (mi, cached) in enumerate(instances):
-            m4 = mi.transform.matrix()  # row-vector TRS
-            pos = cached.positions.astype(np.float64)
-            nrm = cached.normals.astype(np.float64)
-            world = pos @ m4[:3, :3] + m4[3, :3]
-            nmat = np.linalg.inv(m4[:3, :3]).T
-            wn = nrm @ nmat
-            ln = np.linalg.norm(wn, axis=1, keepdims=True)
-            wn = wn / np.where(ln < 1e-12, 1.0, ln)
-            tris = cached.indices.reshape(-1, 3).astype(np.int64)
-            all_v0.append(world[tris[:, 0]])
-            all_v1.append(world[tris[:, 1]])
-            all_v2.append(world[tris[:, 2]])
-            all_n0.append(wn[tris[:, 0]])
-            all_n1.append(wn[tris[:, 1]])
-            all_n2.append(wn[tris[:, 2]])
-            all_inst.append(np.full(len(tris), inst_idx, np.int32))
+            blas = blas_cache.get(mi.mesh_name, cached)
+            world_blas.append(
+                bvh_mod.transform_blas(blas, mi.transform.matrix(), inst_idx)
+            )
             put_material(s_cap + p_cap + b_cap + inst_idx, mi.material)
             inst_trans.append(mi.material.transmission)
             inst_absorb.append(np.asarray(mi.material.absorption, np.float64)[:3])
-        built = bvh_mod.build_bvh(
-            np.concatenate(all_v0), np.concatenate(all_v1), np.concatenate(all_v2),
-            np.concatenate(all_n0), np.concatenate(all_n1), np.concatenate(all_n2),
-            np.concatenate(all_inst),
-        )
+        built = bvh_mod.combine_blas(world_blas)
         mesh_arrays = bvh_mod.to_device(built, np.asarray(inst_trans, f32),
                                         np.asarray(inst_absorb, f32))
 

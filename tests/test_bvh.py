@@ -99,3 +99,91 @@ def test_native_fnv1a_known_value():
     if h is None:
         pytest.skip("native library unavailable")
     assert h == 0xA430D84680AABD0B
+
+
+class _FakeMesh:
+    def __init__(self, positions, normals, indices):
+        self.positions = positions
+        self.normals = normals
+        self.indices = indices
+
+
+def _quad_mesh():
+    # unit square in the XZ plane at y=0, facing +Y
+    pos = np.array([[0, 0, 0], [1, 0, 0], [1, 0, 1], [0, 0, 1]], np.float32)
+    nrm = np.tile(np.array([0, 1, 0], np.float32), (4, 1))
+    idx = np.array([0, 1, 2, 0, 2, 3], np.uint32)
+    return _FakeMesh(pos, nrm, idx)
+
+
+def test_blas_cache_skips_sah_on_transform_edit():
+    """Transform edits must not re-run the SAH builder: the BLAS is cached
+    by mesh name (AccelerationStructure.cpp:560-663) and instances only
+    retransform (:665-848)."""
+    from raytracevs_tpu.scene.data import (
+        LightData, LightType, MaterialData, MeshObjectData, SceneData,
+    )
+    from raytracevs_tpu.scene.flatten import flatten_scene
+    from raytracevs_tpu.scene.transform import Transform, euler_deg_to_quat
+
+    mesh = _quad_mesh()
+
+    class _Svc:
+        def get_mesh(self, name):
+            return mesh if name == "Quad" else None
+
+    def scene_with(transform):
+        s = SceneData()
+        s.objects.append(MeshObjectData(mesh_name="Quad", transform=transform,
+                                        material=MaterialData()))
+        s.lights.append(LightData(type=LightType.POINT,
+                                  position=np.array([0.0, 5.0, 0.0]), intensity=5.0))
+        return s
+
+    cache = bvh.BLASCache()
+    flatten_scene(scene_with(Transform()), mesh_service=_Svc(), blas_cache=cache)
+    assert cache.build_count == 1
+    moved = Transform(position=np.array([2.0, 0.5, 1.0]),
+                      rotation=euler_deg_to_quat([0, 45, 0]),
+                      scale=np.array([2.0, 1.0, 1.0]))
+    flat = flatten_scene(scene_with(moved), mesh_service=_Svc(), blas_cache=cache)
+    assert cache.build_count == 1  # no SAH rebuild on transform edit
+    # the transformed BVH still bounds the transformed geometry
+    v0 = np.asarray(flat.mesh.v0)
+    lo = np.asarray(flat.mesh.bbox_min)[0]
+    hi = np.asarray(flat.mesh.bbox_max)[0]
+    assert (v0 >= lo - 1e-4).all() and (v0 <= hi + 1e-4).all()
+
+
+def test_multi_instance_forest_traversal():
+    """Two instances of the same mesh chain into one traversable forest and
+    both are hit at their transformed locations."""
+    mesh = _quad_mesh()
+    cache = bvh.BLASCache()
+    blas = cache.get("Quad", mesh)
+    assert cache.build_count == 1
+    cache.get("Quad", mesh)
+    assert cache.build_count == 1  # cached by name
+
+    from raytracevs_tpu.scene.transform import Transform
+
+    t0 = Transform()  # at origin
+    t1 = Transform(position=np.array([5.0, 0.0, 0.0]))
+    combined = bvh.combine_blas([
+        bvh.transform_blas(blas, t0.matrix(), 0),
+        bvh.transform_blas(blas, t1.matrix(), 1),
+    ])
+    dev = bvh.to_device(combined, np.zeros(2, np.float32), np.zeros((2, 3), np.float32))
+
+    o = jnp.asarray(np.array([[0.5, 1.0, 0.5], [5.5, 1.0, 0.5]], np.float32))
+    d = jnp.asarray(np.tile(np.array([0, -1, 0], np.float32), (2, 1)))
+    hit = bvh.traverse_closest(dev, o, d, 1e-3, 100.0)
+    assert np.asarray(hit.hit).all()
+    np.testing.assert_allclose(np.asarray(hit.t), [1.0, 1.0], atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(hit.inst), [0, 1])
+
+    # a ray missing both instances walks the whole chain and reports no hit
+    o2 = jnp.asarray(np.array([[2.5, 1.0, 5.5]], np.float32))
+    d2 = jnp.asarray(np.array([[0, -1, 0]], np.float32))
+    hit2 = bvh.traverse_closest(dev, o2, d2, 1e-3, 100.0)
+    assert not np.asarray(hit2.hit).any()
