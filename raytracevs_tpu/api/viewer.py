@@ -1,0 +1,267 @@
+"""Live interactive viewer: browser-based render window.
+
+The headless-environment equivalent of the reference's WPF render window
+(Views/RenderWindow.xaml.cs:117-519): a continuously-rendering loop with
+FPS / render-ms status (the RenderCompleted event, :64-66), runtime
+photon-debug cycling (the P-key handler, :628), the composite DebugMode
+selector (Composite.hlsl:184-371) and resolution switching
+(MainWindow.xaml.cs:24-25, 1280x720 / 1920x1080).
+
+Instead of a WriteableBitmap blit the frame travels as PNG over a local
+HTTP socket to a browser page; keystrokes come back over the same socket.
+
+Usage:
+    python -m raytracevs_tpu.api.viewer scene.rtvs [--port 8173] [--cpu]
+
+Keys (in the browser):
+    p        cycle photon debug mode (0-12)
+    0-9      composite debug mode (0 = off)
+    r        reset temporal history
+    [ / ]    cycle resolution presets
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+RESOLUTIONS = [(640, 360), (1280, 720), (1920, 1080)]
+
+_PAGE = """<!DOCTYPE html>
+<html><head><title>raytracevs_tpu viewer</title><style>
+body { background:#111; color:#ddd; font:13px monospace; margin:0; }
+#bar { padding:6px 10px; background:#1c1c1c; }
+#view { display:block; margin:0 auto; image-rendering:pixelated; }
+kbd { background:#333; padding:1px 5px; border-radius:3px; }
+</style></head><body>
+<div id="bar">connecting…</div>
+<img id="view" alt="render">
+<div id="bar2" style="padding:6px 10px">
+<kbd>p</kbd> photon debug &nbsp; <kbd>0-9</kbd> debug view &nbsp;
+<kbd>r</kbd> reset history &nbsp; <kbd>[</kbd>/<kbd>]</kbd> resolution</div>
+<script>
+const img = document.getElementById('view');
+const bar = document.getElementById('bar');
+let busy = false;
+async function tick() {
+  if (!busy) {
+    busy = true;
+    try {
+      const r = await fetch('/frame.png?t=' + Date.now());
+      if (r.ok) {
+        const blob = await r.blob();
+        const url = URL.createObjectURL(blob);
+        img.onload = () => URL.revokeObjectURL(url);
+        img.src = url;
+      }
+      const s = await (await fetch('/status')).json();
+      bar.textContent =
+        `${s.width}x${s.height}  |  ${s.fps.toFixed(1)} FPS  |  ` +
+        `${s.render_ms.toFixed(1)} ms/frame  |  frame ${s.frames}  |  ` +
+        `backend ${s.backend}  |  debug ${s.debug_mode}  |  ` +
+        `photon ${s.photon_debug_mode}`;
+    } catch (e) { bar.textContent = 'disconnected: ' + e; }
+    busy = false;
+  }
+  setTimeout(tick, 100);
+}
+tick();
+document.addEventListener('keydown', (e) => {
+  let q = null;
+  if (e.key === 'p' || e.key === 'P') q = 'op=photon';
+  else if (e.key >= '0' && e.key <= '9') q = 'op=debug&mode=' + e.key;
+  else if (e.key === 'r' || e.key === 'R') q = 'op=reset';
+  else if (e.key === '[') q = 'op=res&dir=-1';
+  else if (e.key === ']') q = 'op=res&dir=1';
+  if (q) fetch('/cmd?' + q);
+});
+</script></body></html>"""
+
+
+class ViewerState:
+    """Shared state between the render loop and the HTTP handlers."""
+
+    def __init__(self, scene_path: str, width: int, height: int,
+                 overrides=None, backend: str = "auto"):
+        self.scene_path = scene_path
+        self.overrides = dict(overrides or {})
+        self.backend = backend
+        self.lock = threading.Lock()
+        self.frame_png: bytes = b""
+        self.render_ms = 0.0
+        self.fps = 0.0
+        self.frames = 0
+        self.debug_mode = 0
+        self.photon_debug_mode = int(self.overrides.get("photon_debug_mode", 0))
+        self._last_frame_t = None
+        self.engine = None
+        self.loop = None
+        self._start_engine(width, height)
+
+    # -- engine lifecycle ---------------------------------------------------
+    def _start_engine(self, width: int, height: int) -> None:
+        from ..io.png import encode_png
+        from ..runtime.engine import Engine
+        from ..runtime.render_loop import RenderLoop
+
+        if self.loop is not None:
+            self.loop.stop()
+        self.engine = Engine(width, height, backend=self.backend)
+        ov = dict(self.overrides)
+        ov["photon_debug_mode"] = self.photon_debug_mode
+        self.engine.load_rtvs(self.scene_path, **ov)
+
+        def on_frame(frame: np.ndarray, ms: float) -> None:
+            # runs on the render worker; debug views render here too so the
+            # engine is only ever touched from one thread
+            if self.debug_mode > 0:
+                frame = self.engine.render_debug_view(self.debug_mode)
+            png = encode_png(frame, compress_level=1)
+            now = time.perf_counter()
+            with self.lock:
+                self.frame_png = png
+                self.render_ms = ms
+                self.frames += 1
+                if self._last_frame_t is not None:
+                    dt = now - self._last_frame_t
+                    if dt > 0:
+                        self.fps = 0.8 * self.fps + 0.2 / dt if self.fps else 1.0 / dt
+                self._last_frame_t = now
+
+        self.loop = RenderLoop(self.engine, on_frame=on_frame)
+        self.loop.continuous = True  # temporal accumulation keeps refining
+        self.loop.start()
+        self.loop.request_frame()
+
+    # -- commands (the key handlers) ----------------------------------------
+    def cmd(self, op: str, args: dict) -> dict:
+        if op == "photon":
+            # P-key cycle (RenderWindow.xaml.cs:628): advance mode 0-12.
+            # The engine is single-threaded: pause the worker around the
+            # scene reload, exactly like the reference rebuilds its
+            # pipeline state on the UI thread.
+            self.photon_debug_mode = (self.photon_debug_mode + 1) % 13
+            ov = dict(self.overrides)
+            ov["photon_debug_mode"] = self.photon_debug_mode
+            if self.photon_debug_mode > 0:
+                ov["enable_caustics"] = True
+            self.loop.stop()
+            self.engine.load_rtvs(self.scene_path, **ov)
+            self.loop.start()
+            self.loop.request_frame()
+        elif op == "debug":
+            self.debug_mode = max(0, min(10, int(args.get("mode", ["0"])[0])))
+            self.loop.request_frame()
+        elif op == "reset":
+            # temporal-history reset (the scene-change analog)
+            self.engine._denoise_state = None
+            self.engine._checksum = None
+            self.loop.request_frame()
+        elif op == "res":
+            d = int(args.get("dir", ["1"])[0])
+            cur = (self.engine.width, self.engine.height)
+            idx = RESOLUTIONS.index(cur) if cur in RESOLUTIONS else 0
+            w, h = RESOLUTIONS[(idx + d) % len(RESOLUTIONS)]
+            self._start_engine(w, h)
+        return self.status()
+
+    def status(self) -> dict:
+        with self.lock:
+            return {
+                "width": self.engine.width,
+                "height": self.engine.height,
+                "fps": self.fps,
+                "render_ms": self.render_ms,
+                "frames": self.frames,
+                "debug_mode": self.debug_mode,
+                "photon_debug_mode": self.photon_debug_mode,
+                "backend": self.engine.backend,
+                "rays": self.engine.last_rays,
+            }
+
+
+def make_server(state: ViewerState, port: int = 8173) -> ThreadingHTTPServer:
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _send(self, code, ctype, body: bytes):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.send_header("Cache-Control", "no-store")
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            url = urlparse(self.path)
+            try:
+                if url.path == "/":
+                    self._send(200, "text/html", _PAGE.encode())
+                elif url.path == "/frame.png":
+                    with state.lock:
+                        png = state.frame_png
+                    if not png:
+                        self._send(503, "text/plain", b"no frame yet")
+                    else:
+                        self._send(200, "image/png", png)
+                elif url.path == "/status":
+                    self._send(200, "application/json",
+                               json.dumps(state.status()).encode())
+                elif url.path == "/cmd":
+                    q = parse_qs(url.query)
+                    op = q.get("op", [""])[0]
+                    out = state.cmd(op, q)
+                    self._send(200, "application/json", json.dumps(out).encode())
+                else:
+                    self._send(404, "text/plain", b"not found")
+            except BrokenPipeError:
+                pass
+
+    return ThreadingHTTPServer(("127.0.0.1", port), Handler)
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description="Live render viewer (browser-based).")
+    p.add_argument("scene", help="path to the .rtvs scene file")
+    p.add_argument("--port", type=int, default=8173)
+    p.add_argument("-W", "--width", type=int, default=1280)
+    p.add_argument("-H", "--height", type=int, default=720)
+    p.add_argument("--spp", type=int, default=None)
+    p.add_argument("--bounces", type=int, default=None)
+    p.add_argument("--caustics", action="store_true")
+    p.add_argument("--cpu", action="store_true", help="force CPU backend")
+    args = p.parse_args(argv)
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    overrides = {}
+    if args.spp is not None:
+        overrides["samples_per_pixel"] = args.spp
+    if args.bounces is not None:
+        overrides["max_bounces"] = args.bounces
+    if args.caustics:
+        overrides["enable_caustics"] = True
+
+    state = ViewerState(args.scene, args.width, args.height, overrides)
+    server = make_server(state, args.port)
+    print(f"viewer: http://127.0.0.1:{args.port}/  (ctrl-c to quit)")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        state.loop.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -89,8 +89,8 @@ def read_png(path: str) -> np.ndarray:
     return out.reshape(height, width, channels)
 
 
-def write_png(path: str, rgba: np.ndarray) -> None:
-    """Write an RGBA8 [H,W,4] (or RGB8 [H,W,3]) array as a PNG file."""
+def encode_png(rgba: np.ndarray, compress_level: int = 6) -> bytes:
+    """Encode an RGBA8 [H,W,4] / RGB8 [H,W,3] / gray [H,W] array as PNG bytes."""
     a = np.asarray(rgba, dtype=np.uint8)
     h, w = a.shape[:2]
     channels = a.shape[2] if a.ndim == 3 else 1
@@ -106,8 +106,15 @@ def write_png(path: str, rgba: np.ndarray) -> None:
             + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
         )
 
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw, compress_level))
+        + chunk(b"IEND", b"")
+    )
+
+
+def write_png(path: str, rgba: np.ndarray) -> None:
+    """Write an RGBA8 [H,W,4] (or RGB8 [H,W,3]) array as a PNG file."""
     with open(path, "wb") as f:
-        f.write(b"\x89PNG\r\n\x1a\n")
-        f.write(chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)))
-        f.write(chunk(b"IDAT", zlib.compress(raw, 6)))
-        f.write(chunk(b"IEND", b""))
+        f.write(encode_png(rgba))
