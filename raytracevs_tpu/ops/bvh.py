@@ -32,6 +32,10 @@ F32 = jnp.float32
 I32 = jnp.int32
 
 LEAF_SIZE = 4
+# The Pallas packet traversal pays a fixed scalar cost per node visit
+# (pointer chase + all-lane AABB test), so it wants far fewer, fatter
+# leaves than the per-lane jnp walk; measured optimum on v5e ~24.
+MK_LEAF_SIZE = 24
 _END = -1
 
 
@@ -188,7 +192,9 @@ class BLASCache:
         self._cache: dict = {}
         self.build_count = 0  # SAH builds performed (tests assert on this)
 
-    def get(self, name: str, cached_mesh, leaf_size: int = LEAF_SIZE) -> "BuiltBVH":
+    def get(self, name: str, cached_mesh, leaf_size: int = None) -> "BuiltBVH":
+        if leaf_size is None:
+            leaf_size = LEAF_SIZE  # read the module global at call time
         blas = self._cache.get(name)
         if blas is None:
             pos = np.asarray(cached_mesh.positions, np.float32)
@@ -252,6 +258,87 @@ def transform_blas(b: BuiltBVH, m4: np.ndarray, inst_index: int) -> BuiltBVH:
     )
 
 
+def collapse_leaves(b: BuiltBVH, max_leaf: int) -> BuiltBVH:
+    """Collapse subtrees of <= max_leaf triangles into single fat leaves.
+
+    Topology-only transform over one threaded tree (run it per BLAS before
+    combine_blas): triangle order is untouched — a preorder subtree's
+    triangles are contiguous because the builder emits them leaf-ordered.
+    Children are recovered from the threading invariants (left = n+1,
+    right = miss_next[left]).
+    """
+    n = len(b.bbox_min)
+    out_min, out_max = [], []
+    out_hit, out_miss, out_start, out_count = [], [], [], []
+
+    def subtree_tris(node):
+        # (start, count) of the contiguous triangle range under `node`
+        if b.tri_count[node] > 0:
+            return int(b.tri_start[node]), int(b.tri_count[node])
+        left = node + 1
+        right = int(b.miss_next[left])
+        ls, lc = subtree_tris(left)
+        rs, rc = subtree_tris(right)
+        assert ls + lc == rs, "leaf-ordered preorder violated"
+        return ls, lc + rc
+
+    def emit(node, miss_new):
+        my = len(out_min)
+        out_min.append(b.bbox_min[node])
+        out_max.append(b.bbox_max[node])
+        out_hit.append(0)
+        out_miss.append(miss_new)
+        start, count = subtree_tris(node)
+        if count <= max_leaf or b.tri_count[node] > 0:
+            out_start.append(start)
+            out_count.append(count)
+            out_hit[my] = miss_new  # leaf: hit == miss
+            return my
+        out_start.append(0)
+        out_count.append(0)
+        left = node + 1
+        right = int(b.miss_next[left])
+        out_hit[my] = my + 1
+        # left subtree with placeholder exit links, fixed to point at the
+        # right sibling once its index is known
+        left_new = emit(left, None)
+        right_idx = len(out_min)
+        _fix_miss(left_new, right_idx)
+        emit(right, miss_new)
+        return my
+
+    # fixing placeholder miss links: collect spans whose miss must point at
+    # the right sibling once it is emitted
+    def _fix_miss(root_new, target):
+        # every placeholder (None) miss in [root_new, len(out)) belongs to
+        # the left subtree's exit chain
+        for k in range(root_new, len(out_min)):
+            if out_miss[k] is None:
+                out_miss[k] = target
+            if out_hit[k] is None:
+                out_hit[k] = target
+
+    import sys
+
+    old = sys.getrecursionlimit()
+    sys.setrecursionlimit(max(old, 4 * n + 100))
+    try:
+        emit(0, _END)
+    finally:
+        sys.setrecursionlimit(old)
+
+    return BuiltBVH(
+        bbox_min=np.asarray(out_min, np.float32),
+        bbox_max=np.asarray(out_max, np.float32),
+        hit_next=np.asarray([_END if x is None else x for x in out_hit], np.int32),
+        miss_next=np.asarray([_END if x is None else x for x in out_miss], np.int32),
+        tri_start=np.asarray(out_start, np.int32),
+        tri_count=np.asarray(out_count, np.int32),
+        v0=b.v0, edge1=b.edge1, edge2=b.edge2,
+        n0=b.n0, n1=b.n1, n2=b.n2, inst=b.inst,
+    )
+
+
 def combine_blas(blas_list) -> BuiltBVH:
     """Chain world-space BLASes into one traversable forest.
 
@@ -311,17 +398,39 @@ class MeshArrays(NamedTuple):
     inst: jnp.ndarray  # [T] i32 instance index
     inst_transmission: jnp.ndarray  # [Ninst]
     inst_absorption: jnp.ndarray  # [Ninst,3]
+    # Fat-leaf (MK_LEAF_SIZE) variant of the same tree for the Pallas packet
+    # traversal, which pays per-NODE scalar overhead and prefers vectorized
+    # leaf work; the jnp per-lane walk keeps the fine LEAF_SIZE tree.
+    mk_bbox_min: jnp.ndarray
+    mk_bbox_max: jnp.ndarray
+    mk_hit_next: jnp.ndarray
+    mk_miss_next: jnp.ndarray
+    mk_tri_start: jnp.ndarray
+    mk_tri_count: jnp.ndarray
 
     @property
     def num_nodes(self) -> int:
         return self.bbox_min.shape[0]
 
     @property
+    def mk_num_nodes(self) -> int:
+        return self.mk_bbox_min.shape[0]
+
+    @property
     def num_tris(self) -> int:
         return self.v0.shape[0]
 
 
-def to_device(b: BuiltBVH, inst_transmission, inst_absorption) -> MeshArrays:
+def to_device(b: BuiltBVH, inst_transmission, inst_absorption,
+              mk_built: Optional[BuiltBVH] = None) -> MeshArrays:
+    """Upload a built BVH (+ its fat-leaf variant for the megakernel).
+
+    mk_built defaults to collapsing `b` directly — only valid when `b` is a
+    single tree; for a combined multi-instance forest the caller must
+    collapse each BLAS before combine_blas (scene/flatten.py does).
+    """
+    if mk_built is None:
+        mk_built = collapse_leaves(b, MK_LEAF_SIZE)
     return MeshArrays(
         bbox_min=jnp.asarray(b.bbox_min),
         bbox_max=jnp.asarray(b.bbox_max),
@@ -338,6 +447,12 @@ def to_device(b: BuiltBVH, inst_transmission, inst_absorption) -> MeshArrays:
         inst=jnp.asarray(b.inst),
         inst_transmission=jnp.asarray(inst_transmission, jnp.float32),
         inst_absorption=jnp.asarray(inst_absorption, jnp.float32),
+        mk_bbox_min=jnp.asarray(mk_built.bbox_min),
+        mk_bbox_max=jnp.asarray(mk_built.bbox_max),
+        mk_hit_next=jnp.asarray(mk_built.hit_next),
+        mk_miss_next=jnp.asarray(mk_built.miss_next),
+        mk_tri_start=jnp.asarray(mk_built.tri_start),
+        mk_tri_count=jnp.asarray(mk_built.tri_count),
     )
 
 

@@ -49,6 +49,15 @@ _DEBUG_DISABLE = frozenset(
 TILE_H = int(os.environ.get("RTVS_MK_TILE_H", "32"))
 assert TILE_H % 16 == 0, "TILE_H must be a multiple of the 16-px blue-noise tile"
 TILE_W = 128
+# Depth-epoch scheduling: each DFS iteration traces only the lanes whose
+# pending ray sits at the tile's minimum depth; deeper lanes stall, so every
+# packet BVH walk sees one bounce generation. Measured on v5e (wine glass,
+# 1080p): NO speedup (117 vs 113 ms) — same-generation interior rays are
+# still incoherent after TIR on curved glass, and the extra iterations eat
+# what little the unions shrink. Kept behind a flag as a documented
+# falsified experiment; per-ray results are identical either way (RNG is
+# depth-salted, accumulation additive — tests prove bit-equality).
+EPOCH_SCHED = os.environ.get("RTVS_MK_EPOCH", "0") not in ("0", "")
 _INVALID = 0x7FFFFFF
 STACK_DEPTH = C.WORK_QUEUE_STRIDE
 
@@ -489,7 +498,10 @@ def intersect_closest_k(ks: KScene, o, d, tmin, tmax, skip_type, skip_index):
     mesh_front = jnp.zeros(shape, bool)
     if ks.mesh is not None and "mesh_closest" not in _DEBUG_DISABLE:
         skip_m = (skip_type == C.OBJECT_TYPE_MESH)
-        mres = mesh_closest_k(ks.mesh, o, d, tmin, tmax, skip_m, skip_index)
+        # Analytic hits prune the packet walk: a lane occluded by a plane
+        # or sphere stops dragging the tile through BVH nodes behind it.
+        mres = mesh_closest_k(ks.mesh, o, d, tmin, jnp.minimum(best_t, tmax),
+                              skip_m, skip_index)
         better = mres["hit"] & (mres["t"] < best_t)
         best_t = jnp.where(better, mres["t"], best_t)
         best_type = jnp.where(better, C.OBJECT_TYPE_MESH, best_type)
@@ -1460,18 +1472,32 @@ def _run_sample_k(ks, cfg, xx, yy, frame, s, bn):
         )
         return it, cur, sf, si, sn, acc
 
+    # Epoch scheduling stalls deep lanes, so the same per-lane ray budget
+    # can need more tile iterations than the LIFO pop order; the cap is a
+    # TDR analog on iterations, not rays, so scale it rather than change
+    # which rays fit the budget.
+    max_iters = cfg.max_queue_iters * (3 if EPOCH_SCHED else 1)
+
     def cond(t):
         it, cur, sf, si, sn, acc = unflatten_state(t)
-        return (it < cfg.max_queue_iters) & jnp.any(cur[0] | (sn > 0))
+        return (it < max_iters) & jnp.any(cur[0] | (sn > 0))
 
     def body(t):
         it, cur, sf, si, sn, acc = unflatten_state(t)
         (c_valid, c_o, c_d, c_depth, c_tp, c_flags, c_boost, c_rflags,
          c_stype, c_sidx) = cur
         active = c_valid
-        bounce = jnp.maximum(acc["bounce"], jnp.where(active, c_depth + 1, 0))
+        if EPOCH_SCHED:
+            # Trace only the minimum-depth lanes this iteration; deeper
+            # lanes stall so every packet walk sees one bounce generation.
+            epoch = jnp.min(jnp.where(active, c_depth, jnp.int32(1 << 30)))
+            process = active & (c_depth == epoch)
+        else:
+            process = active
+        stalled = active & ~process
+        bounce = jnp.maximum(acc["bounce"], jnp.where(process, c_depth + 1, 0))
 
-        capped = active & (c_depth >= cfg.max_bounces)
+        capped = process & (c_depth >= cfg.max_bounces)
         sky_nb = sky_color3(c_d)
         cap_c = vmul(c_tp, sky_nb)
         color_acc = vadd(acc["color"], vwhere(capped, cap_c, vzeros(c_depth.shape)))
@@ -1481,11 +1507,11 @@ def _run_sample_k(ks, cfg, xx, yy, frame, s, bn):
         )
 
         killed = (
-            active & ~capped
+            process & ~capped
             & (vmax3(c_tp) < C.THROUGHPUT_THRESHOLD)
             & ((c_flags & C.PATH_FLAG_SPECULAR) == 0)
         )
-        traced = active & ~capped & ~killed
+        traced = process & ~capped & ~killed
         rays = acc["rays"] + traced.astype(I32)
 
         color, rec, ch, extra = _shade_and_spawn_k(ks, cfg, xx, yy, frame, s, cur, traced)
@@ -1591,8 +1617,8 @@ def _run_sample_k(ks, cfg, xx, yy, frame, s, bn):
                          ch["hit_index"], jnp.zeros(c_depth.shape, I32),
                          jnp.zeros(c_depth.shape, I32))
 
-        # pop for terminal lanes
-        do_pop = ~has_cont & (sn > 0)
+        # pop for terminal lanes (stalled lanes keep their pending ray)
+        do_pop = ~has_cont & (sn > 0) & ~stalled
         pop_slot = jnp.clip(sn - 1, 0, STACK_DEPTH - 1)
         popped_f = [jnp.zeros(c_depth.shape, F32) for _ in range(10)]
         popped_i = [jnp.zeros(c_depth.shape, I32) for _ in range(5)]
@@ -1604,25 +1630,30 @@ def _run_sample_k(ks, cfg, xx, yy, frame, s, bn):
                 popped_i[fi] = jnp.where(m, si[fi][slot], popped_i[fi])
         sn = sn - do_pop.astype(I32)
 
-        nxt_valid = has_cont | do_pop
+        nxt_valid = has_cont | do_pop | stalled
 
-        def merge(cont_v, pop_v):
-            return jnp.where(do_pop, pop_v, cont_v)
+        def merge(cont_v, pop_v, cur_v):
+            nv = jnp.where(do_pop, pop_v, cont_v)
+            # stalled lanes carry their current ray through unchanged
+            return jnp.where(stalled, cur_v, nv)
 
         cur_next = (
             nxt_valid,
-            (merge(cont_o[0], popped_f[0]), merge(cont_o[1], popped_f[1]),
-             merge(cont_o[2], popped_f[2])),
-            (merge(cont_d[0], popped_f[3]), merge(cont_d[1], popped_f[4]),
-             merge(cont_d[2], popped_f[5])),
-            merge(cont_depth, popped_i[0]),
-            (merge(cont_tp[0], popped_f[6]), merge(cont_tp[1], popped_f[7]),
-             merge(cont_tp[2], popped_f[8])),
-            merge(cont_flags, popped_i[1]),
-            merge(cont_boost, popped_f[9]),
-            merge(cont_rflags, popped_i[2]),
-            merge(cont_stype, popped_i[3]),
-            merge(cont_sidx, popped_i[4]),
+            (merge(cont_o[0], popped_f[0], c_o[0]),
+             merge(cont_o[1], popped_f[1], c_o[1]),
+             merge(cont_o[2], popped_f[2], c_o[2])),
+            (merge(cont_d[0], popped_f[3], c_d[0]),
+             merge(cont_d[1], popped_f[4], c_d[1]),
+             merge(cont_d[2], popped_f[5], c_d[2])),
+            merge(cont_depth, popped_i[0], c_depth),
+            (merge(cont_tp[0], popped_f[6], c_tp[0]),
+             merge(cont_tp[1], popped_f[7], c_tp[1]),
+             merge(cont_tp[2], popped_f[8], c_tp[2])),
+            merge(cont_flags, popped_i[1], c_flags),
+            merge(cont_boost, popped_f[9], c_boost),
+            merge(cont_rflags, popped_i[2], c_rflags),
+            merge(cont_stype, popped_i[3], c_stype),
+            merge(cont_sidx, popped_i[4], c_sidx),
         )
         acc_next = dict(
             color=color_acc, primary=prim_acc, bounce=bounce, rays=rays,
@@ -1636,7 +1667,7 @@ def _run_sample_k(ks, cfg, xx, yy, frame, s, bn):
     init = flatten_state(jnp.int32(0), cur, stack_f, stack_i, stack_n, acc)
     if "fori" in _DEBUG_DISABLE:
         final = jax.lax.fori_loop(
-            0, cfg.max_queue_iters, lambda _i, t: body(t), init
+            0, max_iters, lambda _i, t: body(t), init
         )
     else:
         final = jax.lax.while_loop(cond, body, init)
@@ -1792,7 +1823,7 @@ def render_accum_pallas(scene: FlatScene, cfg: RenderConfig, row_start, num_rows
         from .. import bvh as bvh_mod
 
         mesh = scene.mesh
-        caps = caps + (mesh.num_nodes, mesh.num_tris, bvh_mod.LEAF_SIZE,
+        caps = caps + (mesh.mk_num_nodes, mesh.num_tris, bvh_mod.MK_LEAF_SIZE,
                        mesh.inst_transmission.shape[0])
         args += list(pack_mesh(mesh))
 
@@ -1987,13 +2018,15 @@ def mesh_closest_k(km: KMesh, o, d, tmin, tmax, skip_active, skip_inst):
         return (nxt, *updated)
 
     init = (
-        jnp.int32(0), tmax + zero, zero, zero, izero,
+        jnp.int32(0), tmax + zero, zero, zero, izero - 1,
         zero, zero, zero, zero, zero, zero, zero, zero, zero, zero, zero, zero,
     )
     out = jax.lax.while_loop(cond, body, init)
     (_, best_t, best_u, best_v, best_inst, n0x, n0y, n0z, n1x, n1y, n1z,
      n2x, n2y, n2z, gx, gy, gz) = out
-    hit = best_t < tmax * 0.9999  # same criterion as ops/bvh.py traverse_closest
+    # sentinel-based hit: tmax may arrive pre-tightened by analytic hits,
+    # so "improved vs tmax" is no longer a usable criterion
+    hit = best_inst >= 0
     w = 1.0 - best_u - best_v
     smooth = vnorm((n0x * w + n1x * best_u + n2x * best_v,
                     n0y * w + n1y * best_u + n2y * best_v,
@@ -2107,13 +2140,14 @@ def mesh_thickness_k(km: KMesh, o, d, inst_id, active=None):
 
 
 def pack_mesh(mesh) -> tuple:
-    """MeshArrays -> kernel tables (device-side)."""
-    nn = mesh.num_nodes
+    """MeshArrays -> kernel tables (device-side, fat-leaf tree)."""
+    nn = mesh.mk_num_nodes
     nt = mesh.num_tris
     nodes_f = jnp.zeros((nn, 8), F32)
-    nodes_f = nodes_f.at[:, 0:3].set(mesh.bbox_min).at[:, 3:6].set(mesh.bbox_max)
+    nodes_f = nodes_f.at[:, 0:3].set(mesh.mk_bbox_min).at[:, 3:6].set(mesh.mk_bbox_max)
     nodes_i = jnp.stack(
-        [mesh.hit_next, mesh.miss_next, mesh.tri_start, mesh.tri_count], axis=1
+        [mesh.mk_hit_next, mesh.mk_miss_next, mesh.mk_tri_start, mesh.mk_tri_count],
+        axis=1,
     ).astype(I32)
     tri_geo = jnp.zeros((nt, 12), F32)
     tri_geo = (tri_geo.at[:, 0:3].set(mesh.v0).at[:, 3:6].set(mesh.edge1)

@@ -43,7 +43,7 @@ def _render_pipeline(scene: FlatScene, cfg: RenderConfig, backend: str, denoise_
     denoised = None
     if cfg.enable_denoiser and denoise_state is not None:
         dd, ds, dshadow, new_state = denoise_mod.denoise_frame(
-            out.gbuffer, cfg.height, cfg.width, denoise_state
+            out.gbuffer, cfg.height, cfg.width, denoise_state, backend=backend
         )
         denoised = (dd, ds, dshadow)
         color01 = composite_mod.composite(
@@ -87,7 +87,7 @@ def _pick_backend(flat: FlatScene) -> str:
     if platform == "cpu":
         return "jnp"
     if flat.mesh is not None:
-        mesh_bytes = flat.mesh.num_nodes * (8 + 4) * 4 + flat.mesh.num_tris * 24 * 4
+        mesh_bytes = flat.mesh.mk_num_nodes * (8 + 4) * 4 + flat.mesh.num_tris * 24 * 4
         if mesh_bytes > 6 * 1024 * 1024:
             return "jnp"
     return "pallas"

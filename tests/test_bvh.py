@@ -187,3 +187,34 @@ def test_multi_instance_forest_traversal():
     d2 = jnp.asarray(np.array([[0, -1, 0]], np.float32))
     hit2 = bvh.traverse_closest(dev, o2, d2, 1e-3, 100.0)
     assert not np.asarray(hit2.hit).any()
+
+
+def test_collapse_leaves_traversal_equivalence(glass_tris):
+    """The fat-leaf tree must find exactly the same closest hits."""
+    built = bvh.build_bvh(*glass_tris)
+    fat = bvh.collapse_leaves(built, bvh.MK_LEAF_SIZE)
+    assert len(fat.bbox_min) < len(built.bbox_min) / 3
+    assert fat.tri_count.max() <= max(bvh.MK_LEAF_SIZE, built.tri_count.max())
+    assert fat.tri_count[fat.tri_count > 0].sum() == len(built.v0)
+
+    dev_fine = bvh.to_device(built, np.zeros(1, np.float32), np.zeros((1, 3), np.float32))
+    fat_as_main = bvh.BuiltBVH(
+        bbox_min=fat.bbox_min, bbox_max=fat.bbox_max, hit_next=fat.hit_next,
+        miss_next=fat.miss_next, tri_start=fat.tri_start, tri_count=fat.tri_count,
+        v0=built.v0, edge1=built.edge1, edge2=built.edge2,
+        n0=built.n0, n1=built.n1, n2=built.n2, inst=built.inst,
+    )
+    dev_fat = bvh.to_device(fat_as_main, np.zeros(1, np.float32),
+                            np.zeros((1, 3), np.float32))
+
+    o, d = _rays(512, seed=11)
+    h1 = bvh.traverse_closest(dev_fine, o, d, 1e-3, 100.0)
+    old = bvh.LEAF_SIZE
+    try:
+        bvh.LEAF_SIZE = bvh.MK_LEAF_SIZE  # jnp walk unroll must cover fat leaves
+        h2 = bvh.traverse_closest(dev_fat, o, d, 1e-3, 100.0)
+    finally:
+        bvh.LEAF_SIZE = old
+    np.testing.assert_array_equal(np.asarray(h1.hit), np.asarray(h2.hit))
+    np.testing.assert_allclose(np.asarray(h1.t), np.asarray(h2.t), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(h1.tri), np.asarray(h2.tri))
