@@ -87,7 +87,7 @@ def _pick_backend(flat: FlatScene) -> str:
     if platform == "cpu":
         return "jnp"
     if flat.mesh is not None:
-        mesh_bytes = flat.mesh.mk_num_nodes * (8 + 4) * 4 + flat.mesh.num_tris * 24 * 4
+        mesh_bytes = flat.mesh.mk_num_nodes * (8 + 4) * 4 + flat.mesh.mk_num_tris * 24 * 4
         if mesh_bytes > 6 * 1024 * 1024:
             return "jnp"
     return "pallas"

@@ -1,0 +1,177 @@
+"""Pallas denoiser kernels vs the jnp oracle (interpreter mode).
+
+The tile-quantized reprojection is exact for tile-uniform motion (zero,
+integer, fractional); for non-uniform sub-tile motion it drops history
+where the jnp path warps per-pixel — covered by a rejection test.
+"""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from raytracevs_tpu.post import denoise as D
+from raytracevs_tpu.ops.pallas import denoise_kernels as dk
+
+H, W = 32, 256  # pallas path needs H%8==0, W%128==0, W>=256
+
+
+def _state(seed=0, zero=False):
+    rng = np.random.RandomState(seed)
+
+    def mk(shape, scale=1.0):
+        if zero:
+            return jnp.zeros(shape, jnp.float32)
+        return jnp.asarray(rng.rand(*shape).astype(np.float32) * scale)
+
+    return D.DenoiserState(
+        diffuse=mk((H, W, 4)), specular=mk((H, W, 4)),
+        fast_diffuse=mk((H, W, 3)), fast_specular=mk((H, W, 3)),
+        frames=mk((H, W), 10.0),
+        view_z=mk((H, W), 50.0) + 1.0,
+    )
+
+
+def _pack(state):
+    return jnp.concatenate(
+        [state.diffuse.transpose(2, 0, 1), state.specular.transpose(2, 0, 1),
+         state.fast_diffuse.transpose(2, 0, 1),
+         state.fast_specular.transpose(2, 0, 1),
+         state.frames[None], state.view_z[None]], axis=0)
+
+
+def _run_both(motion, state=None, seed=1):
+    rng = np.random.RandomState(seed)
+    state = state or _state(seed + 1)
+    curr_d = jnp.asarray(rng.rand(H, W, 4).astype(np.float32))
+    curr_s = jnp.asarray(rng.rand(H, W, 4).astype(np.float32))
+    view_z = state.view_z  # depth test passes everywhere
+
+    ref = D.temporal_accumulate(curr_d, curr_s, motion, view_z, state)
+    acc_d, acc_s, fast_d, fast_s, frames = ref
+
+    curr = jnp.concatenate([curr_d.transpose(2, 0, 1), curr_s.transpose(2, 0, 1)], 0)
+    new_packed = dk.reproject_accumulate(
+        _pack(state), curr, motion.transpose(2, 0, 1), view_z, interpret=True)
+    return (acc_d, acc_s, fast_d, fast_s, frames), new_packed
+
+
+def _assert_match(ref, packed, atol=1e-5):
+    acc_d, acc_s, fast_d, fast_s, frames = ref
+    np.testing.assert_allclose(np.asarray(packed[0:4]),
+                               np.asarray(acc_d.transpose(2, 0, 1)), atol=atol)
+    np.testing.assert_allclose(np.asarray(packed[4:8]),
+                               np.asarray(acc_s.transpose(2, 0, 1)), atol=atol)
+    np.testing.assert_allclose(np.asarray(packed[8:11]),
+                               np.asarray(fast_d.transpose(2, 0, 1)), atol=atol)
+    np.testing.assert_allclose(np.asarray(packed[14]), np.asarray(frames), atol=atol)
+
+
+def test_reproject_zero_motion_matches_oracle():
+    motion = jnp.zeros((H, W, 2), jnp.float32)
+    ref, packed = _run_both(motion)
+    _assert_match(ref, packed)
+
+
+def test_reproject_uniform_integer_motion_matches_oracle():
+    motion = jnp.tile(jnp.asarray([3.0, -2.0], jnp.float32), (H, W, 1))
+    ref, packed = _run_both(motion)
+    _assert_match(ref, packed)
+
+
+def test_reproject_uniform_fractional_motion_matches_oracle():
+    motion = jnp.tile(jnp.asarray([1.25, -0.5], jnp.float32), (H, W, 1))
+    ref, packed = _run_both(motion)
+    _assert_match(ref, packed, atol=1e-4)
+
+
+def test_reproject_nonuniform_motion_rejects_history():
+    # strongly varying sub-tile motion: tile-quantization must DROP history
+    # (frames restart at 0) rather than warp incorrectly
+    rng = np.random.RandomState(3)
+    motion = jnp.asarray((rng.rand(H, W, 2) * 8 - 4).astype(np.float32))
+    state = _state(4)
+    curr = jnp.concatenate([jnp.ones((4, H, W), jnp.float32),
+                            jnp.ones((4, H, W), jnp.float32)], 0)
+    packed = dk.reproject_accumulate(
+        _pack(state), curr, motion.transpose(2, 0, 1), state.view_z, interpret=True)
+    frames = np.asarray(packed[14])
+    rejected = (frames == 0).mean()
+    assert rejected > 0.5, f"only {rejected:.2f} rejected"
+    # rejected pixels restart accumulation at the current frame
+    restart = frames == 0
+    acc_d = np.asarray(packed[0:3])
+    assert np.allclose(acc_d[:, restart], 1.0, atol=1e-5)
+
+
+def test_reproject_sky_and_depth_mismatch_reset():
+    state = _state(5)
+    rng = np.random.RandomState(6)
+    curr_d = jnp.asarray(rng.rand(H, W, 4).astype(np.float32))
+    curr_s = jnp.asarray(rng.rand(H, W, 4).astype(np.float32))
+    # half the frame: big depth change; other half: sky
+    view_z = np.asarray(state.view_z).copy()
+    view_z[: H // 2] *= 10.0
+    from raytracevs_tpu import constants as C
+
+    view_z[H // 2:] = C.VIEWZ_SKY
+    view_z = jnp.asarray(view_z)
+    curr = jnp.concatenate([curr_d.transpose(2, 0, 1), curr_s.transpose(2, 0, 1)], 0)
+    packed = dk.reproject_accumulate(
+        _pack(state), curr, jnp.zeros((2, H, W), jnp.float32), view_z, interpret=True)
+    assert (np.asarray(packed[14]) == 0).all()
+
+
+def test_atrous_pallas_matches_oracle():
+    rng = np.random.RandomState(7)
+    img = jnp.asarray(rng.rand(H, W, 6).astype(np.float32))
+    view_z = jnp.asarray((rng.rand(H, W) * 50 + 1).astype(np.float32))
+    nr = jnp.asarray(rng.rand(H, W, 4).astype(np.float32))
+    normal = D._decode_oct(nr)
+
+    ref = D.atrous(img, view_z, normal)
+    out = dk.atrous(img.transpose(2, 0, 1), view_z, normal.transpose(2, 0, 1),
+                    interpret=True)
+    np.testing.assert_allclose(np.asarray(out.transpose(1, 2, 0)),
+                               np.asarray(ref), atol=2e-5)
+
+
+def test_shadow_denoise_pallas_matches_oracle():
+    rng = np.random.RandomState(8)
+    shadow = jnp.asarray(rng.rand(H, W, 2).astype(np.float32))
+    obj_id = jnp.asarray(rng.randint(-1, 4, (H, W)).astype(np.int32))
+    view_z = jnp.asarray((rng.rand(H, W) * 50 + 1).astype(np.float32))
+    nr = jnp.asarray(rng.rand(H, W, 4).astype(np.float32))
+
+    ref = D.shadow_denoise(shadow, obj_id, view_z, nr)
+    normal = D._decode_oct(nr)
+    out = dk.shadow_denoise(shadow.transpose(2, 0, 1), obj_id, view_z,
+                            normal.transpose(2, 0, 1), interpret=True)
+    np.testing.assert_allclose(np.asarray(out.transpose(1, 2, 0)),
+                               np.asarray(ref), atol=2e-5)
+
+
+def test_denoise_frame_pallas_path_matches_oracle_static():
+    """Full denoise_frame: pallas path == jnp path for a static frame."""
+    rng = np.random.RandomState(9)
+    n = H * W
+
+    class GB:
+        diffuse_hitdist = jnp.asarray(rng.rand(n, 4).astype(np.float32))
+        specular_hitdist = jnp.asarray(rng.rand(n, 4).astype(np.float32))
+        motion = jnp.zeros((n, 2), jnp.float32)
+        view_z = jnp.asarray((rng.rand(n) * 50 + 1).astype(np.float32))
+        normal_roughness = jnp.asarray(rng.rand(n, 4).astype(np.float32))
+        shadow_data = jnp.asarray(rng.rand(n, 2).astype(np.float32))
+        obj_id = jnp.asarray(rng.randint(-1, 3, (n,)).astype(np.int32))
+
+    state = _state(10)
+    d1, s1, sh1, st1 = D.denoise_frame(GB, H, W, state, backend="jnp")
+    d2, s2, sh2, st2 = D.denoise_frame(GB, H, W, state, backend="pallas",
+                                       interpret=True)
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(d1), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(s2), np.asarray(s1), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(sh2), np.asarray(sh1), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(st2.frames), np.asarray(st1.frames),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(st2.diffuse), np.asarray(st1.diffuse),
+                               atol=2e-5)
