@@ -258,14 +258,19 @@ def transform_blas(b: BuiltBVH, m4: np.ndarray, inst_index: int) -> BuiltBVH:
     )
 
 
-def collapse_leaves(b: BuiltBVH, max_leaf: int) -> BuiltBVH:
+def collapse_leaves(b: BuiltBVH, max_leaf: int, align: int = 8) -> BuiltBVH:
     """Collapse subtrees of <= max_leaf triangles into single fat leaves.
 
-    Topology-only transform over one threaded tree (run it per BLAS before
-    combine_blas): triangle order is untouched — a preorder subtree's
-    triangles are contiguous because the builder emits them leaf-ordered.
-    Children are recovered from the threading invariants (left = n+1,
+    Run per BLAS before combine_blas: a preorder subtree's triangles are
+    contiguous because the builder emits them leaf-ordered. Children are
+    recovered from the threading invariants (left = n+1,
     right = miss_next[left]).
+
+    The output carries its OWN triangle arrays, re-emitted so every leaf
+    range starts at a multiple of `align` (padding duplicates the leaf's
+    last triangle — harmless, the closest-hit compare is strict): the
+    Pallas walk can then fetch a whole leaf with one aligned block load
+    instead of one dynamic slice per triangle.
     """
     n = len(b.bbox_min)
     out_min, out_max = [], []
@@ -282,6 +287,15 @@ def collapse_leaves(b: BuiltBVH, max_leaf: int) -> BuiltBVH:
         assert ls + lc == rs, "leaf-ordered preorder violated"
         return ls, lc + rc
 
+    tri_order: list = []  # original tri indices, leaf-ordered + padded
+
+    def emit_leaf_tris(start, count):
+        new_start = len(tri_order)
+        tri_order.extend(range(start, start + count))
+        while len(tri_order) % align:
+            tri_order.append(start + count - 1)  # pad: repeat last tri
+        return new_start
+
     def emit(node, miss_new):
         my = len(out_min)
         out_min.append(b.bbox_min[node])
@@ -290,7 +304,7 @@ def collapse_leaves(b: BuiltBVH, max_leaf: int) -> BuiltBVH:
         out_miss.append(miss_new)
         start, count = subtree_tris(node)
         if count <= max_leaf or b.tri_count[node] > 0:
-            out_start.append(start)
+            out_start.append(emit_leaf_tris(start, count))
             out_count.append(count)
             out_hit[my] = miss_new  # leaf: hit == miss
             return my
@@ -327,6 +341,12 @@ def collapse_leaves(b: BuiltBVH, max_leaf: int) -> BuiltBVH:
     finally:
         sys.setrecursionlimit(old)
 
+    # trailing pad: a full-leaf block load from the LAST leaf must stay in
+    # bounds (the kernel always reads round_up(max_leaf, align) rows)
+    pad_rows = -(-max_leaf // align) * align
+    tri_order.extend([tri_order[-1]] * pad_rows)
+
+    o = np.asarray(tri_order, np.int64)
     return BuiltBVH(
         bbox_min=np.asarray(out_min, np.float32),
         bbox_max=np.asarray(out_max, np.float32),
@@ -334,8 +354,8 @@ def collapse_leaves(b: BuiltBVH, max_leaf: int) -> BuiltBVH:
         miss_next=np.asarray([_END if x is None else x for x in out_miss], np.int32),
         tri_start=np.asarray(out_start, np.int32),
         tri_count=np.asarray(out_count, np.int32),
-        v0=b.v0, edge1=b.edge1, edge2=b.edge2,
-        n0=b.n0, n1=b.n1, n2=b.n2, inst=b.inst,
+        v0=b.v0[o], edge1=b.edge1[o], edge2=b.edge2[o],
+        n0=b.n0[o], n1=b.n1[o], n2=b.n2[o], inst=b.inst[o],
     )
 
 
@@ -400,13 +420,22 @@ class MeshArrays(NamedTuple):
     inst_absorption: jnp.ndarray  # [Ninst,3]
     # Fat-leaf (MK_LEAF_SIZE) variant of the same tree for the Pallas packet
     # traversal, which pays per-NODE scalar overhead and prefers vectorized
-    # leaf work; the jnp per-lane walk keeps the fine LEAF_SIZE tree.
+    # leaf work; the jnp per-lane walk keeps the fine LEAF_SIZE tree. The
+    # fat tree carries its own 8-aligned, leaf-ordered triangle arrays so
+    # the kernel fetches whole leaves with one aligned block load.
     mk_bbox_min: jnp.ndarray
     mk_bbox_max: jnp.ndarray
     mk_hit_next: jnp.ndarray
     mk_miss_next: jnp.ndarray
     mk_tri_start: jnp.ndarray
     mk_tri_count: jnp.ndarray
+    mk_v0: jnp.ndarray
+    mk_edge1: jnp.ndarray
+    mk_edge2: jnp.ndarray
+    mk_n0: jnp.ndarray
+    mk_n1: jnp.ndarray
+    mk_n2: jnp.ndarray
+    mk_inst: jnp.ndarray
 
     @property
     def num_nodes(self) -> int:
@@ -419,6 +448,10 @@ class MeshArrays(NamedTuple):
     @property
     def num_tris(self) -> int:
         return self.v0.shape[0]
+
+    @property
+    def mk_num_tris(self) -> int:
+        return self.mk_v0.shape[0]
 
 
 def to_device(b: BuiltBVH, inst_transmission, inst_absorption,
@@ -453,6 +486,13 @@ def to_device(b: BuiltBVH, inst_transmission, inst_absorption,
         mk_miss_next=jnp.asarray(mk_built.miss_next),
         mk_tri_start=jnp.asarray(mk_built.tri_start),
         mk_tri_count=jnp.asarray(mk_built.tri_count),
+        mk_v0=jnp.asarray(mk_built.v0),
+        mk_edge1=jnp.asarray(mk_built.edge1),
+        mk_edge2=jnp.asarray(mk_built.edge2),
+        mk_n0=jnp.asarray(mk_built.n0),
+        mk_n1=jnp.asarray(mk_built.n1),
+        mk_n2=jnp.asarray(mk_built.n2),
+        mk_inst=jnp.asarray(mk_built.inst),
     )
 
 

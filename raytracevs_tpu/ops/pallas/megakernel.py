@@ -1823,7 +1823,7 @@ def render_accum_pallas(scene: FlatScene, cfg: RenderConfig, row_start, num_rows
         from .. import bvh as bvh_mod
 
         mesh = scene.mesh
-        caps = caps + (mesh.mk_num_nodes, mesh.num_tris, bvh_mod.MK_LEAF_SIZE,
+        caps = caps + (mesh.mk_num_nodes, mesh.mk_num_tris, bvh_mod.MK_LEAF_SIZE,
                        mesh.inst_transmission.shape[0])
         args += list(pack_mesh(mesh))
 
@@ -1949,6 +1949,24 @@ def _tri_row(km, ti):
     return v0, e1, e2, inst
 
 
+def _leaf_pad(leaf_size):
+    return -(-leaf_size // 8) * 8
+
+
+def _leaf_rows(km, tri_start, extra=False):
+    """Fetch a whole leaf's triangle rows with one aligned block load each.
+
+    Leaf tri ranges are 8-aligned and padded by construction
+    (ops/bvh.py collapse_leaves align=8), so the dynamic sublane start is
+    provably a multiple of 8 and the over-read rows are in-bounds padding.
+    """
+    base = pl.multiple_of(tri_start, 8)
+    pad = _leaf_pad(km.leaf_size)
+    g = km.tri_geo[pl.ds(base, pad), :]
+    ex = km.tri_extra[pl.ds(base, pad), :] if extra else None
+    return g, ex
+
+
 def mesh_closest_k(km: KMesh, o, d, tmin, tmax, skip_active, skip_inst):
     """Packet closest-hit over the threaded BVH.
 
@@ -1981,9 +1999,12 @@ def mesh_closest_k(km: KMesh, o, d, tmin, tmax, skip_active, skip_inst):
         def leaf_tests(carry):
             (best_t, best_u, best_v, best_inst, n0x, n0y, n0z, n1x, n1y, n1z,
              n2x, n2y, n2z, gx, gy, gz) = carry
+            g, exm = _leaf_rows(km, tri_start, extra=True)
             for k in range(km.leaf_size):
-                ti = jnp.minimum(tri_start + k, km.num_tris - 1)
-                v0, e1, e2, inst = _tri_row(km, ti)
+                v0 = (g[k, 0], g[k, 1], g[k, 2])
+                e1 = (g[k, 3], g[k, 4], g[k, 5])
+                e2 = (g[k, 6], g[k, 7], g[k, 8])
+                inst = g[k, 9].astype(I32)
                 th, tt, tu, tv = _tri_hit_k(o, d, v0, e1, e2, tmin, best_t)
                 th = th & (lh_i != 0) & (k < tri_count) & (inst != skip_i)
                 better = th & (tt < best_t)
@@ -1991,16 +2012,15 @@ def mesh_closest_k(km: KMesh, o, d, tmin, tmax, skip_active, skip_inst):
                 best_u = jnp.where(better, tu, best_u)
                 best_v = jnp.where(better, tv, best_v)
                 best_inst = jnp.where(better, inst, best_inst)
-                ex = km.tri_extra[pl.ds(ti, 1), :]
-                n0x = jnp.where(better, ex[0, 0], n0x)
-                n0y = jnp.where(better, ex[0, 1], n0y)
-                n0z = jnp.where(better, ex[0, 2], n0z)
-                n1x = jnp.where(better, ex[0, 3], n1x)
-                n1y = jnp.where(better, ex[0, 4], n1y)
-                n1z = jnp.where(better, ex[0, 5], n1z)
-                n2x = jnp.where(better, ex[0, 6], n2x)
-                n2y = jnp.where(better, ex[0, 7], n2y)
-                n2z = jnp.where(better, ex[0, 8], n2z)
+                n0x = jnp.where(better, exm[k, 0], n0x)
+                n0y = jnp.where(better, exm[k, 1], n0y)
+                n0z = jnp.where(better, exm[k, 2], n0z)
+                n1x = jnp.where(better, exm[k, 3], n1x)
+                n1y = jnp.where(better, exm[k, 4], n1y)
+                n1z = jnp.where(better, exm[k, 5], n1z)
+                n2x = jnp.where(better, exm[k, 6], n2x)
+                n2y = jnp.where(better, exm[k, 7], n2y)
+                n2z = jnp.where(better, exm[k, 8], n2z)
                 geo = vcross(e1, e2)
                 gx = jnp.where(better, geo[0], gx)
                 gy = jnp.where(better, geo[1], gy)
@@ -2056,9 +2076,12 @@ def mesh_shadow_k(km: KMesh, o, d, max_dist, absorb_scale):
 
         def leaf_tests(carry):
             vis, cr, cg, cb, occ, blocked_i = carry
+            g, _ = _leaf_rows(km, tri_start)
             for k in range(km.leaf_size):
-                ti = jnp.minimum(tri_start + k, km.num_tris - 1)
-                v0, e1, e2, inst = _tri_row(km, ti)
+                v0 = (g[k, 0], g[k, 1], g[k, 2])
+                e1 = (g[k, 3], g[k, 4], g[k, 5])
+                e2 = (g[k, 6], g[k, 7], g[k, 8])
+                inst = g[k, 9].astype(I32)
                 th, tt, _, _ = _tri_hit_k(o, d, v0, e1, e2, tmin, max_dist)
                 th = th & (lh_i != 0) & (k < tri_count)
                 it = km.inst_tbl[pl.ds(inst, 1), :]
@@ -2122,9 +2145,12 @@ def mesh_thickness_k(km: KMesh, o, d, inst_id, active=None):
         lh_i = lane_hit.astype(I32)
 
         def leaf_tests(best_t):
+            g, _ = _leaf_rows(km, tri_start)
             for k in range(km.leaf_size):
-                ti = jnp.minimum(tri_start + k, km.num_tris - 1)
-                v0, e1, e2, inst = _tri_row(km, ti)
+                v0 = (g[k, 0], g[k, 1], g[k, 2])
+                e1 = (g[k, 3], g[k, 4], g[k, 5])
+                e2 = (g[k, 6], g[k, 7], g[k, 8])
+                inst = g[k, 9].astype(I32)
                 th, tt, _, _ = _tri_hit_k(o, d, v0, e1, e2, tmin, best_t)
                 th = th & (lh_i != 0) & (k < tri_count) & (inst == inst_id)
                 best_t = jnp.where(th & (tt < best_t), tt, best_t)
@@ -2140,9 +2166,10 @@ def mesh_thickness_k(km: KMesh, o, d, inst_id, active=None):
 
 
 def pack_mesh(mesh) -> tuple:
-    """MeshArrays -> kernel tables (device-side, fat-leaf tree)."""
+    """MeshArrays -> kernel tables (device-side, fat-leaf tree + its own
+    8-aligned leaf-ordered triangle arrays)."""
     nn = mesh.mk_num_nodes
-    nt = mesh.num_tris
+    nt = mesh.mk_num_tris
     nodes_f = jnp.zeros((nn, 8), F32)
     nodes_f = nodes_f.at[:, 0:3].set(mesh.mk_bbox_min).at[:, 3:6].set(mesh.mk_bbox_max)
     nodes_i = jnp.stack(
@@ -2150,11 +2177,11 @@ def pack_mesh(mesh) -> tuple:
         axis=1,
     ).astype(I32)
     tri_geo = jnp.zeros((nt, 12), F32)
-    tri_geo = (tri_geo.at[:, 0:3].set(mesh.v0).at[:, 3:6].set(mesh.edge1)
-               .at[:, 6:9].set(mesh.edge2).at[:, 9].set(mesh.inst.astype(F32)))
+    tri_geo = (tri_geo.at[:, 0:3].set(mesh.mk_v0).at[:, 3:6].set(mesh.mk_edge1)
+               .at[:, 6:9].set(mesh.mk_edge2).at[:, 9].set(mesh.mk_inst.astype(F32)))
     tri_extra = jnp.zeros((nt, 12), F32)
-    tri_extra = (tri_extra.at[:, 0:3].set(mesh.n0).at[:, 3:6].set(mesh.n1)
-                 .at[:, 6:9].set(mesh.n2))
+    tri_extra = (tri_extra.at[:, 0:3].set(mesh.mk_n0).at[:, 3:6].set(mesh.mk_n1)
+                 .at[:, 6:9].set(mesh.mk_n2))
     ni = mesh.inst_transmission.shape[0]
     inst_tbl = jnp.zeros((max(ni, 1), 8), F32)
     inst_tbl = (inst_tbl.at[:ni, 0].set(mesh.inst_transmission)

@@ -196,16 +196,15 @@ def test_collapse_leaves_traversal_equivalence(glass_tris):
     assert len(fat.bbox_min) < len(built.bbox_min) / 3
     assert fat.tri_count.max() <= max(bvh.MK_LEAF_SIZE, built.tri_count.max())
     assert fat.tri_count[fat.tri_count > 0].sum() == len(built.v0)
+    # every leaf range starts 8-aligned (block-load contract) and the
+    # trailing pad keeps a full-leaf load in bounds
+    assert (fat.tri_start % 8 == 0).all()
+    pad = -(-bvh.MK_LEAF_SIZE // 8) * 8
+    assert fat.tri_start.max() + pad <= len(fat.v0)
 
     dev_fine = bvh.to_device(built, np.zeros(1, np.float32), np.zeros((1, 3), np.float32))
-    fat_as_main = bvh.BuiltBVH(
-        bbox_min=fat.bbox_min, bbox_max=fat.bbox_max, hit_next=fat.hit_next,
-        miss_next=fat.miss_next, tri_start=fat.tri_start, tri_count=fat.tri_count,
-        v0=built.v0, edge1=built.edge1, edge2=built.edge2,
-        n0=built.n0, n1=built.n1, n2=built.n2, inst=built.inst,
-    )
-    dev_fat = bvh.to_device(fat_as_main, np.zeros(1, np.float32),
-                            np.zeros((1, 3), np.float32))
+    dev_fat = bvh.to_device(fat, np.zeros(1, np.float32),
+                            np.zeros((1, 3), np.float32), mk_built=fat)
 
     o, d = _rays(512, seed=11)
     h1 = bvh.traverse_closest(dev_fine, o, d, 1e-3, 100.0)
@@ -217,4 +216,3 @@ def test_collapse_leaves_traversal_equivalence(glass_tris):
         bvh.LEAF_SIZE = old
     np.testing.assert_array_equal(np.asarray(h1.hit), np.asarray(h2.hit))
     np.testing.assert_allclose(np.asarray(h1.t), np.asarray(h2.t), atol=1e-6)
-    np.testing.assert_array_equal(np.asarray(h1.tri), np.asarray(h2.tri))
