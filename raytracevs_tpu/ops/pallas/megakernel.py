@@ -1985,8 +1985,11 @@ def mesh_closest_k(km: KMesh, o, d, tmin, tmax, skip_active, skip_inst):
         return c[0] >= 0
 
     def body(c):
-        (node, best_t, best_u, best_v, best_inst, n0x, n0y, n0z, n1x, n1y, n1z,
-         n2x, n2y, n2z, gx, gy, gz) = c
+        # Small carry matters: the while loop's lane-array carry is spilled
+        # VMEM state per node visit, so the smooth normal is interpolated
+        # at candidate time (3 floats) instead of carrying 9 vertex-normal
+        # components + barycentrics to the end.
+        (node, best_t, best_inst, nx, ny, nz, gx, gy, gz) = c
         bb_lo, bb_hi, hit_next, miss_next, tri_start, tri_count = _node_row(km, node)
         lane_hit = _ray_aabb_k(o, inv_d, bb_lo, bb_hi, tmin, best_t)
         any_hit = jnp.any(lane_hit)
@@ -1997,8 +2000,7 @@ def mesh_closest_k(km: KMesh, o, d, tmin, tmax, skip_active, skip_inst):
         lh_i = lane_hit.astype(I32)
 
         def leaf_tests(carry):
-            (best_t, best_u, best_v, best_inst, n0x, n0y, n0z, n1x, n1y, n1z,
-             n2x, n2y, n2z, gx, gy, gz) = carry
+            (best_t, best_inst, nx, ny, nz, gx, gy, gz) = carry
             g, exm = _leaf_rows(km, tri_start, extra=True)
             for k in range(km.leaf_size):
                 v0 = (g[k, 0], g[k, 1], g[k, 2])
@@ -2009,48 +2011,35 @@ def mesh_closest_k(km: KMesh, o, d, tmin, tmax, skip_active, skip_inst):
                 th = th & (lh_i != 0) & (k < tri_count) & (inst != skip_i)
                 better = th & (tt < best_t)
                 best_t = jnp.where(better, tt, best_t)
-                best_u = jnp.where(better, tu, best_u)
-                best_v = jnp.where(better, tv, best_v)
                 best_inst = jnp.where(better, inst, best_inst)
-                n0x = jnp.where(better, exm[k, 0], n0x)
-                n0y = jnp.where(better, exm[k, 1], n0y)
-                n0z = jnp.where(better, exm[k, 2], n0z)
-                n1x = jnp.where(better, exm[k, 3], n1x)
-                n1y = jnp.where(better, exm[k, 4], n1y)
-                n1z = jnp.where(better, exm[k, 5], n1z)
-                n2x = jnp.where(better, exm[k, 6], n2x)
-                n2y = jnp.where(better, exm[k, 7], n2y)
-                n2z = jnp.where(better, exm[k, 8], n2z)
+                tw = 1.0 - tu - tv
+                nx = jnp.where(better, exm[k, 0] * tw + exm[k, 3] * tu + exm[k, 6] * tv, nx)
+                ny = jnp.where(better, exm[k, 1] * tw + exm[k, 4] * tu + exm[k, 7] * tv, ny)
+                nz = jnp.where(better, exm[k, 2] * tw + exm[k, 5] * tu + exm[k, 8] * tv, nz)
                 geo = vcross(e1, e2)
                 gx = jnp.where(better, geo[0], gx)
                 gy = jnp.where(better, geo[1], gy)
                 gz = jnp.where(better, geo[2], gz)
-            return (best_t, best_u, best_v, best_inst, n0x, n0y, n0z,
-                    n1x, n1y, n1z, n2x, n2y, n2z, gx, gy, gz)
+            return (best_t, best_inst, nx, ny, nz, gx, gy, gz)
 
         leaf_now = any_hit & is_leaf
         updated = jax.lax.cond(
             leaf_now, leaf_tests, lambda x: x,
-            (best_t, best_u, best_v, best_inst, n0x, n0y, n0z, n1x, n1y, n1z,
-             n2x, n2y, n2z, gx, gy, gz),
+            (best_t, best_inst, nx, ny, nz, gx, gy, gz),
         )
         nxt = jnp.where(any_hit, hit_next, miss_next)
         return (nxt, *updated)
 
     init = (
-        jnp.int32(0), tmax + zero, zero, zero, izero - 1,
-        zero, zero, zero, zero, zero, zero, zero, zero, zero, zero, zero, zero,
+        jnp.int32(0), tmax + zero, izero - 1,
+        zero, zero, zero, zero, zero, zero,
     )
     out = jax.lax.while_loop(cond, body, init)
-    (_, best_t, best_u, best_v, best_inst, n0x, n0y, n0z, n1x, n1y, n1z,
-     n2x, n2y, n2z, gx, gy, gz) = out
+    (_, best_t, best_inst, nx, ny, nz, gx, gy, gz) = out
     # sentinel-based hit: tmax may arrive pre-tightened by analytic hits,
     # so "improved vs tmax" is no longer a usable criterion
     hit = best_inst >= 0
-    w = 1.0 - best_u - best_v
-    smooth = vnorm((n0x * w + n1x * best_u + n2x * best_v,
-                    n0y * w + n1y * best_u + n2y * best_v,
-                    n0z * w + n1z * best_u + n2z * best_v))
+    smooth = vnorm((nx, ny, nz))
     geo = vnorm((gx, gy, gz))
     return dict(hit=hit, t=best_t, inst=best_inst, smooth=smooth, geo=geo)
 
