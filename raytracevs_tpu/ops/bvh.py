@@ -18,6 +18,7 @@ handling on thin shells (ClosestHit_Triangle.hlsl:14-136).
 """
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import NamedTuple, Optional
 
@@ -35,7 +36,7 @@ LEAF_SIZE = 4
 # The Pallas packet traversal pays a fixed scalar cost per node visit
 # (pointer chase + all-lane AABB test), so it wants far fewer, fatter
 # leaves than the per-lane jnp walk; measured optimum on v5e ~24.
-MK_LEAF_SIZE = 24
+MK_LEAF_SIZE = int(os.environ.get("RTVS_MK_LEAF_SIZE", "24"))
 _END = -1
 
 

@@ -58,6 +58,11 @@ TILE_W = 128
 # falsified experiment; per-ray results are identical either way (RNG is
 # depth-salted, accumulation additive — tests prove bit-equality).
 EPOCH_SCHED = os.environ.get("RTVS_MK_EPOCH", "0") not in ("0", "")
+# Traversal-stats mode: "nodes" / "leaves" makes the mesh walks count BVH
+# node visits (resp. leaf visits) and report them through the rays channel
+# (scaled by the 4096-lane tile, so analysis divides by TILE_H*TILE_W).
+# Perf analysis only — the rays metric is wrong while this is set.
+_STATS = os.environ.get("RTVS_MK_STATS", "")
 _INVALID = 0x7FFFFFF
 STACK_DEPTH = C.WORK_QUEUE_STRIDE
 
@@ -496,6 +501,7 @@ def intersect_closest_k(ks: KScene, o, d, tmin, tmax, skip_type, skip_index):
     is_mesh = jnp.zeros(shape, bool)
     mesh_nrm = vconst(shape, 0.0, 1.0, 0.0)
     mesh_front = jnp.zeros(shape, bool)
+    visits = None
     if ks.mesh is not None and "mesh_closest" not in _DEBUG_DISABLE:
         skip_m = (skip_type == C.OBJECT_TYPE_MESH)
         # Analytic hits prune the packet walk: a lane occluded by a plane
@@ -512,6 +518,7 @@ def intersect_closest_k(ks: KScene, o, d, tmin, tmax, skip_type, skip_index):
         # (ops/intersect.py surface_normal, ClosestHit_Triangle.hlsl:122-126)
         mesh_front = vdot(d, mres["geo"]) < 0.0
         mesh_nrm = vwhere(mesh_front, mres["smooth"], vscale(mres["smooth"], -1.0))
+        visits = mres["visits"]
 
     hit = best_t < 1e29
 
@@ -592,6 +599,7 @@ def intersect_closest_k(ks: KScene, o, d, tmin, tmax, skip_type, skip_index):
         "specular": specular,
         "emission": emission,
         "absorption": absorption,
+        "visits": visits,
     }
 
 
@@ -1337,6 +1345,7 @@ def _shade_and_spawn_k(ks, cfg, xx, yy, frame, s, cur, traced):
         reflect_dir=g_reflect, refract_dir=g_refract, metal_dir=metal_dir,
         reflect_tp=reflect_tp, refract_tp=refract_tp_full, metal_tp=metal_tp,
         hit_pos=pos, normal=nrm, hit_type=isect["type"], hit_index=isect["index"],
+        stat=isect["visits"],
     )
     records = dict(
         color=color, diffuse=diff_rad, specular=spec_rad, hit_distance=hit_distance,
@@ -1516,6 +1525,11 @@ def _run_sample_k(ks, cfg, xx, yy, frame, s, bn):
 
         color, rec, ch, extra = _shade_and_spawn_k(ks, cfg, xx, yy, frame, s, cur, traced)
         rays = rays + jnp.where(traced, extra, 0)
+        if ch["stat"] is not None:
+            # RTVS_MK_STATS analysis mode: the rays channel carries BVH
+            # visit counts broadcast to every lane (divide sums by the
+            # tile size to recover walk totals).
+            rays = rays + ch["stat"]
 
         contrib = vmul(c_tp, color)
         color_acc = vadd(color_acc, vwhere(traced, contrib, vzeros(c_depth.shape)))
@@ -1542,6 +1556,8 @@ def _run_sample_k(ks, cfg, xx, yy, frame, s, bn):
 
         # --- continuation / stack (RayGen.hlsl:697-846) -------------------
         glass_spawn = ch["glass_spawn"] & traced
+        if "gspawn" in _DEBUG_DISABLE:  # perf bisect: no glass children
+            glass_spawn = glass_spawn & (c_depth < 0)
         metal_spawn = ch["metal_spawn"] & traced
         tir = ch["tir"]
         push_reflect = glass_spawn & (sn < STACK_DEPTH)
@@ -1981,6 +1997,8 @@ def mesh_closest_k(km: KMesh, o, d, tmin, tmax, skip_active, skip_inst):
     izero = zero.astype(I32)
     skip_i = jnp.where(skip_active, skip_inst, -1)
 
+    count_stats = _STATS in ("nodes", "leaves")
+
     def cond(c):
         return c[0] >= 0
 
@@ -1989,7 +2007,10 @@ def mesh_closest_k(km: KMesh, o, d, tmin, tmax, skip_active, skip_inst):
         # VMEM state per node visit, so the smooth normal is interpolated
         # at candidate time (3 floats) instead of carrying 9 vertex-normal
         # components + barycentrics to the end.
-        (node, best_t, best_inst, nx, ny, nz, gx, gy, gz) = c
+        if count_stats:
+            (node, cnt, best_t, best_inst, nx, ny, nz, gx, gy, gz) = c
+        else:
+            (node, best_t, best_inst, nx, ny, nz, gx, gy, gz) = c
         bb_lo, bb_hi, hit_next, miss_next, tri_start, tri_count = _node_row(km, node)
         lane_hit = _ray_aabb_k(o, inv_d, bb_lo, bb_hi, tmin, best_t)
         any_hit = jnp.any(lane_hit)
@@ -2028,20 +2049,30 @@ def mesh_closest_k(km: KMesh, o, d, tmin, tmax, skip_active, skip_inst):
             (best_t, best_inst, nx, ny, nz, gx, gy, gz),
         )
         nxt = jnp.where(any_hit, hit_next, miss_next)
+        if count_stats:
+            inc = jnp.int32(1) if _STATS == "nodes" else leaf_now.astype(I32)
+            return (nxt, cnt + inc, *updated)
         return (nxt, *updated)
 
     init = (
         jnp.int32(0), tmax + zero, izero - 1,
         zero, zero, zero, zero, zero, zero,
     )
+    if count_stats:
+        init = (init[0], jnp.int32(0), *init[1:])
     out = jax.lax.while_loop(cond, body, init)
-    (_, best_t, best_inst, nx, ny, nz, gx, gy, gz) = out
+    if count_stats:
+        (_, cnt, best_t, best_inst, nx, ny, nz, gx, gy, gz) = out
+    else:
+        cnt = None
+        (_, best_t, best_inst, nx, ny, nz, gx, gy, gz) = out
     # sentinel-based hit: tmax may arrive pre-tightened by analytic hits,
     # so "improved vs tmax" is no longer a usable criterion
     hit = best_inst >= 0
     smooth = vnorm((nx, ny, nz))
     geo = vnorm((gx, gy, gz))
-    return dict(hit=hit, t=best_t, inst=best_inst, smooth=smooth, geo=geo)
+    return dict(hit=hit, t=best_t, inst=best_inst, smooth=smooth, geo=geo,
+                visits=cnt)
 
 
 def mesh_shadow_k(km: KMesh, o, d, max_dist, absorb_scale):
