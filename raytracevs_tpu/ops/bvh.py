@@ -12,9 +12,12 @@ transforms are baked into world-space triangle soup (the reference's
 combined TLAS also stores per-instance transforms,
 AccelerationStructure.cpp:665-848).
 
-Triangle hits use Möller-Trumbore; shading normals interpolate the smooth
-vertex normals with a separate geometric face normal for robust front-face
-handling on thin shells (ClosestHit_Triangle.hlsl:14-136).
+Triangle hits use a precomputed plane + barycentric-projector test
+(`plane_repr`, equivalent to Möller-Trumbore up to rounding but ~half the
+per-(ray,triangle) ops — the hot leaf loops are VPU-issue-bound); shading
+normals interpolate the smooth vertex normals with a separate geometric
+face normal for robust front-face handling on thin shells
+(ClosestHit_Triangle.hlsl:14-136).
 """
 from __future__ import annotations
 
@@ -523,6 +526,60 @@ def _tri_hit(o, d, v0, e1, e2, tmin, tmax):
     return hit, t, u, v
 
 
+def plane_repr(v0, e1, e2):
+    """Precomputed plane + barycentric-projector triangle representation.
+
+    For x on the triangle's plane: u = pu.x + pu0, v = pv.x + pv0, and the
+    plane is n.x = d0 with n = e1 x e2 (the unnormalized geometric normal,
+    so |n.d| > 1e-9 matches Moller-Trumbore's |det| > 1e-9 cull guard —
+    det = e1.(d x e2) = -n.d). This halves the per-(ray,triangle) VPU op
+    count versus Moller-Trumbore: the hot leaf loops are issue-bound, so
+    ops map 1:1 to time (ClosestHit_Triangle.hlsl semantics unchanged —
+    same u/v/t up to rounding).
+
+    Returns (n [T,3], d0 [T], pu [T,3], pu0 [T], pv [T,3], pv0 [T]).
+    """
+    n = jnp.cross(e1, e2)
+    nn = jnp.sum(n * n, axis=-1)
+    safe = nn > 1e-24
+    inv = jnp.where(safe, 1.0 / jnp.where(safe, nn, 1.0), 0.0)[:, None]
+    pu = jnp.cross(e2, n) * inv
+    pv = jnp.cross(n, e1) * inv
+    d0 = jnp.sum(n * v0, axis=-1)
+    pu0 = -jnp.sum(pu * v0, axis=-1)
+    pv0 = -jnp.sum(pv * v0, axis=-1)
+    return n, d0, pu, pu0, pv, pv0
+
+
+def _tri_hit_plane(o, d, n, d0, pu, pu0, pv, pv0, tmin, tmax):
+    """Plane-repr triangle test; same contract as `_tri_hit`."""
+    nd = jnp.sum(n * d, axis=-1)
+    no = jnp.sum(n * o, axis=-1)
+    ok = jnp.abs(nd) > 1e-9  # both windings hit (TRIANGLE_CULL_DISABLE)
+    t = (d0 - no) / jnp.where(ok, nd, 1.0)
+    hx = o + t[..., None] * d
+    u = jnp.sum(pu * hx, axis=-1) + pu0
+    v = jnp.sum(pv * hx, axis=-1) + pv0
+    hit = ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t >= tmin) & (t <= tmax)
+    return hit, t, u, v
+
+
+def _plane_table(v0, e1, e2):
+    """[T,12] row-packed plane repr: n(0:3) d0(3) pu(4:7) pu0(7) pv(8:11) pv0(11)."""
+    n, d0, pu, pu0, pv, pv0 = plane_repr(v0, e1, e2)
+    return jnp.concatenate(
+        [n, d0[:, None], pu, pu0[:, None], pv, pv0[:, None]], axis=-1
+    )
+
+
+def _tri_hit_plane_row(o, d, row, tmin, tmax):
+    """Plane test from gathered [N,12] plane-table rows."""
+    return _tri_hit_plane(
+        o, d, row[:, 0:3], row[:, 3], row[:, 4:7], row[:, 7], row[:, 8:11],
+        row[:, 11], tmin, tmax,
+    )
+
+
 class TriHit(NamedTuple):
     hit: jnp.ndarray  # [N]
     t: jnp.ndarray  # [N]
@@ -543,6 +600,7 @@ def traverse_closest(mesh: MeshArrays, o, d, tmin, tmax, max_steps: Optional[int
     if max_steps is None:
         max_steps = mesh.num_nodes + 1
     inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-12, jnp.where(d < 0, -1e-12, 1e-12), d)
+    pk = _plane_table(mesh.v0, mesh.edge1, mesh.edge2)
     if skip_active is None:
         skip_active = jnp.zeros((n,), bool)
         skip_inst = jnp.zeros((n,), I32)
@@ -566,9 +624,7 @@ def traverse_closest(mesh: MeshArrays, o, d, tmin, tmax, max_steps: Optional[int
         for k in range(LEAF_SIZE):
             ti = jnp.clip(start + k, 0, mesh.num_tris - 1)
             valid = do_leaf & (k < count)
-            th, tt, tu, tv = _tri_hit(
-                o, d, mesh.v0[ti], mesh.edge1[ti], mesh.edge2[ti], tmin, best_t
-            )
+            th, tt, tu, tv = _tri_hit_plane_row(o, d, pk[ti], tmin, best_t)
             th = th & valid & ~(skip_active & (mesh.inst[ti] == skip_inst))
             better = th & (tt < best_t)
             best_t = jnp.where(better, tt, best_t)
@@ -607,6 +663,7 @@ def traverse_shadow(mesh: MeshArrays, o, d, max_dist, absorb_scale=1.0,
         max_steps = mesh.num_nodes + 1
     inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-12, jnp.where(d < 0, -1e-12, 1e-12), d)
     tmin = jnp.full((n,), C.RAY_TMIN, F32)
+    pk = _plane_table(mesh.v0, mesh.edge1, mesh.edge2)
 
     def cond(carry):
         step, node, vis, color, occ, blocked = carry
@@ -623,9 +680,7 @@ def traverse_shadow(mesh: MeshArrays, o, d, max_dist, absorb_scale=1.0,
         for k in range(LEAF_SIZE):
             ti = jnp.clip(start + k, 0, mesh.num_tris - 1)
             valid = do_leaf & (k < count)
-            th, tt, _, _ = _tri_hit(
-                o, d, mesh.v0[ti], mesh.edge1[ti], mesh.edge2[ti], tmin, max_dist
-            )
+            th, tt, _, _ = _tri_hit_plane_row(o, d, pk[ti], tmin, max_dist)
             th = th & valid
             inst = mesh.inst[ti]
             trans = mesh.inst_transmission[inst]
@@ -666,6 +721,7 @@ def traverse_thickness(mesh: MeshArrays, o, d, inst_id, max_steps: Optional[int]
     inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-12, jnp.where(d < 0, -1e-12, 1e-12), d)
     tmin = jnp.full((n,), C.RAY_TMIN, F32)
     big = jnp.float32(C.NRD_FP16_MAX)
+    pk = _plane_table(mesh.v0, mesh.edge1, mesh.edge2)
 
     def cond(carry):
         step, node, best_t = carry
@@ -682,9 +738,7 @@ def traverse_thickness(mesh: MeshArrays, o, d, inst_id, max_steps: Optional[int]
         for k in range(LEAF_SIZE):
             ti = jnp.clip(start + k, 0, mesh.num_tris - 1)
             valid = do_leaf & (k < count) & (mesh.inst[ti] == inst_id)
-            th, tt, _, _ = _tri_hit(
-                o, d, mesh.v0[ti], mesh.edge1[ti], mesh.edge2[ti], tmin, best_t
-            )
+            th, tt, _, _ = _tri_hit_plane_row(o, d, pk[ti], tmin, best_t)
             better = th & valid & (tt < best_t)
             best_t = jnp.where(better, tt, best_t)
         nxt = jnp.where(box_hit, mesh.hit_next[ni], mesh.miss_next[ni])

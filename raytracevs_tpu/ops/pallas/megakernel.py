@@ -700,8 +700,7 @@ def shadow_trace_k(ks: KScene, o, d, max_dist):
     occ = jnp.where(any_hit, occ, F32(C.NRD_FP16_MAX))
     if ks.mesh is not None and "mesh_shadow" not in _DEBUG_DISABLE:
         # Fold mesh transmission in (ops/intersect.py _merge_mesh_shadow)
-        scale = F32(C.SHADOW_ABSORPTION_THICKNESS) * ks.absorb_scale
-        mvis, mcol, mocc = mesh_shadow_k(ks.mesh, o, d, max_dist, scale)
+        mvis, mcol, mocc = mesh_shadow_k(ks.mesh, o, d, max_dist)
         vis = vis * mvis
         color = vmul(color, mcol)
         occ = jnp.minimum(occ, mocc)
@@ -1841,7 +1840,9 @@ def render_accum_pallas(scene: FlatScene, cfg: RenderConfig, row_start, num_rows
         mesh = scene.mesh
         caps = caps + (mesh.mk_num_nodes, mesh.mk_num_tris, bvh_mod.MK_LEAF_SIZE,
                        mesh.inst_transmission.shape[0])
-        args += list(pack_mesh(mesh))
+        args += list(pack_mesh(
+            mesh, F32(C.SHADOW_ABSORPTION_THICKNESS) * scene.shadow_absorption_scale
+        ))
 
     def table_spec(arr):
         return pl.BlockSpec(arr.shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM)
@@ -1917,17 +1918,22 @@ def _safe_inv(d):
     )
 
 
-def _tri_hit_k(o, d, v0, e1, e2, tmin, tmax):
-    """Moller-Trumbore against one triangle (scalar data) across all lanes."""
-    pvec = vcross(d, e2)
-    det = vdot(e1, pvec)
-    ok = jnp.abs(det) > 1e-9  # TRIANGLE_CULL_DISABLE: both windings hit
-    inv_det = 1.0 / jnp.where(ok, det, 1.0)
-    tvec = vsub(o, v0)
-    u = vdot(tvec, pvec) * inv_det
-    qvec = vcross(tvec, e1)
-    v = vdot(d, qvec) * inv_det
-    t = vdot(e2, qvec) * inv_det
+def _tri_hit_plane_k(o, d, g, k, tmin, tmax):
+    """Plane-repr triangle test (scalar row g[k] of the pack_mesh tri_geo
+    table) across all lanes. ~26 lane-ops versus Moller-Trumbore's ~55 —
+    the leaf loops are VPU-issue-bound, so this is a direct time cut.
+    Same u/v/t contract as ops/bvh.py _tri_hit up to rounding; the
+    |n.d| > 1e-9 guard equals MT's |det| > 1e-9 (det = -n.d)."""
+    nx_, ny_, nz_ = g[k, 0], g[k, 1], g[k, 2]
+    nd = d[0] * nx_ + d[1] * ny_ + d[2] * nz_
+    no = o[0] * nx_ + o[1] * ny_ + o[2] * nz_
+    ok = jnp.abs(nd) > 1e-9  # TRIANGLE_CULL_DISABLE: both windings hit
+    t = (g[k, 3] - no) / jnp.where(ok, nd, 1.0)
+    hx = o[0] + t * d[0]
+    hy = o[1] + t * d[1]
+    hz = o[2] + t * d[2]
+    u = g[k, 7] + hx * g[k, 4] + hy * g[k, 5] + hz * g[k, 6]
+    v = g[k, 11] + hx * g[k, 8] + hy * g[k, 9] + hz * g[k, 10]
     hit = ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t >= tmin) & (t <= tmax)
     return hit, t, u, v
 
@@ -1939,9 +1945,9 @@ class KMesh:
                  num_nodes, num_tris, leaf_size, num_inst):
         self.nodes_f = nodes_f  # [Nn,8]: bbmin3 bbmax3 pad2
         self.nodes_i = nodes_i  # [Nn,4]: hit_next miss_next tri_start tri_count
-        self.tri_geo = tri_geo  # [T,12]: v0 e1 e2 inst(asf32) pad2  (10 used)
-        self.tri_extra = tri_extra  # [T,12]: n0 n1 n2 pad3 (9 used)
-        self.inst_tbl = inst_tbl  # [I,8]: transmission absorb3 pad
+        self.tri_geo = tri_geo  # [T,12]: plane repr n d0 pu pu0 pv pv0
+        self.tri_extra = tri_extra  # [T,12]: n0 n1 n2 inst(asf32) pad2
+        self.inst_tbl = inst_tbl  # [I,8]: transmission absorb3 beer3 pad
         self.num_nodes = num_nodes
         self.num_tris = num_tris
         self.leaf_size = leaf_size
@@ -1954,15 +1960,6 @@ def _node_row(km, node):
     bb_lo = (nf[0, 0], nf[0, 1], nf[0, 2])
     bb_hi = (nf[0, 3], nf[0, 4], nf[0, 5])
     return bb_lo, bb_hi, ni[0, 0], ni[0, 1], ni[0, 2], ni[0, 3]
-
-
-def _tri_row(km, ti):
-    g = km.tri_geo[pl.ds(ti, 1), :]  # (1,12)
-    v0 = (g[0, 0], g[0, 1], g[0, 2])
-    e1 = (g[0, 3], g[0, 4], g[0, 5])
-    e2 = (g[0, 6], g[0, 7], g[0, 8])
-    inst = g[0, 9].astype(I32)
-    return v0, e1, e2, inst
 
 
 def _leaf_pad(leaf_size):
@@ -2024,11 +2021,8 @@ def mesh_closest_k(km: KMesh, o, d, tmin, tmax, skip_active, skip_inst):
             (best_t, best_inst, nx, ny, nz, gx, gy, gz) = carry
             g, exm = _leaf_rows(km, tri_start, extra=True)
             for k in range(km.leaf_size):
-                v0 = (g[k, 0], g[k, 1], g[k, 2])
-                e1 = (g[k, 3], g[k, 4], g[k, 5])
-                e2 = (g[k, 6], g[k, 7], g[k, 8])
-                inst = g[k, 9].astype(I32)
-                th, tt, tu, tv = _tri_hit_k(o, d, v0, e1, e2, tmin, best_t)
+                inst = exm[k, 9].astype(I32)
+                th, tt, tu, tv = _tri_hit_plane_k(o, d, g, k, tmin, best_t)
                 th = th & (lh_i != 0) & (k < tri_count) & (inst != skip_i)
                 better = th & (tt < best_t)
                 best_t = jnp.where(better, tt, best_t)
@@ -2037,10 +2031,10 @@ def mesh_closest_k(km: KMesh, o, d, tmin, tmax, skip_active, skip_inst):
                 nx = jnp.where(better, exm[k, 0] * tw + exm[k, 3] * tu + exm[k, 6] * tv, nx)
                 ny = jnp.where(better, exm[k, 1] * tw + exm[k, 4] * tu + exm[k, 7] * tv, ny)
                 nz = jnp.where(better, exm[k, 2] * tw + exm[k, 5] * tu + exm[k, 8] * tv, nz)
-                geo = vcross(e1, e2)
-                gx = jnp.where(better, geo[0], gx)
-                gy = jnp.where(better, geo[1], gy)
-                gz = jnp.where(better, geo[2], gz)
+                # geometric normal = the plane normal, a scalar table row
+                gx = jnp.where(better, g[k, 0], gx)
+                gy = jnp.where(better, g[k, 1], gy)
+                gz = jnp.where(better, g[k, 2], gz)
             return (best_t, best_inst, nx, ny, nz, gx, gy, gz)
 
         leaf_now = any_hit & is_leaf
@@ -2075,9 +2069,10 @@ def mesh_closest_k(km: KMesh, o, d, tmin, tmax, skip_active, skip_inst):
                 visits=cnt)
 
 
-def mesh_shadow_k(km: KMesh, o, d, max_dist, absorb_scale):
+def mesh_shadow_k(km: KMesh, o, d, max_dist):
     """Packet shadow traversal: transmission product over every crossing
-    (AnyHit_Shadow_Triangle semantics, ops/bvh.py traverse_shadow)."""
+    (AnyHit_Shadow_Triangle semantics, ops/bvh.py traverse_shadow).
+    Beer-Lambert absorption factors arrive pre-exponentiated in inst_tbl."""
     shape = o[0].shape
     inv_d = _safe_inv(d)
     zero = o[0] * 0.0
@@ -2096,27 +2091,21 @@ def mesh_shadow_k(km: KMesh, o, d, max_dist, absorb_scale):
 
         def leaf_tests(carry):
             vis, cr, cg, cb, occ, blocked_i = carry
-            g, _ = _leaf_rows(km, tri_start)
+            g, exm = _leaf_rows(km, tri_start, extra=True)
             for k in range(km.leaf_size):
-                v0 = (g[k, 0], g[k, 1], g[k, 2])
-                e1 = (g[k, 3], g[k, 4], g[k, 5])
-                e2 = (g[k, 6], g[k, 7], g[k, 8])
-                inst = g[k, 9].astype(I32)
-                th, tt, _, _ = _tri_hit_k(o, d, v0, e1, e2, tmin, max_dist)
+                inst = exm[k, 9].astype(I32)
+                th, tt, _, _ = _tri_hit_plane_k(o, d, g, k, tmin, max_dist)
                 th = th & (lh_i != 0) & (k < tri_count)
+                # Beer factors pre-exponentiated per instance (pack_mesh)
                 it = km.inst_tbl[pl.ds(inst, 1), :]
                 trans = it[0, 0]
                 opaque = th & (trans < 0.01)
                 blocked_i = blocked_i | opaque.astype(I32)
                 translucent = th & (trans >= 0.01)
                 vis = jnp.where(translucent, vis * trans, vis)
-                has_ab = (it[0, 1] > 0.0) | (it[0, 2] > 0.0) | (it[0, 3] > 0.0)
-                br = jnp.where(has_ab, jnp.exp(-it[0, 1] * absorb_scale), 1.0)
-                bg = jnp.where(has_ab, jnp.exp(-it[0, 2] * absorb_scale), 1.0)
-                bb = jnp.where(has_ab, jnp.exp(-it[0, 3] * absorb_scale), 1.0)
-                cr = jnp.where(translucent, cr * br, cr)
-                cg = jnp.where(translucent, cg * bg, cg)
-                cb = jnp.where(translucent, cb * bb, cb)
+                cr = jnp.where(translucent, cr * it[0, 4], cr)
+                cg = jnp.where(translucent, cg * it[0, 5], cg)
+                cb = jnp.where(translucent, cb * it[0, 6], cb)
                 occ = jnp.where(th, jnp.minimum(occ, tt), occ)
             return vis, cr, cg, cb, occ, blocked_i
 
@@ -2165,13 +2154,10 @@ def mesh_thickness_k(km: KMesh, o, d, inst_id, active=None):
         lh_i = lane_hit.astype(I32)
 
         def leaf_tests(best_t):
-            g, _ = _leaf_rows(km, tri_start)
+            g, exm = _leaf_rows(km, tri_start, extra=True)
             for k in range(km.leaf_size):
-                v0 = (g[k, 0], g[k, 1], g[k, 2])
-                e1 = (g[k, 3], g[k, 4], g[k, 5])
-                e2 = (g[k, 6], g[k, 7], g[k, 8])
-                inst = g[k, 9].astype(I32)
-                th, tt, _, _ = _tri_hit_k(o, d, v0, e1, e2, tmin, best_t)
+                inst = exm[k, 9].astype(I32)
+                th, tt, _, _ = _tri_hit_plane_k(o, d, g, k, tmin, best_t)
                 th = th & (lh_i != 0) & (k < tri_count) & (inst == inst_id)
                 best_t = jnp.where(th & (tt < best_t), tt, best_t)
             return best_t
@@ -2185,9 +2171,20 @@ def mesh_thickness_k(km: KMesh, o, d, inst_id, active=None):
     return hit, jnp.where(hit, best_t, big)
 
 
-def pack_mesh(mesh) -> tuple:
+def pack_mesh(mesh, shadow_absorb_scale=None) -> tuple:
     """MeshArrays -> kernel tables (device-side, fat-leaf tree + its own
-    8-aligned leaf-ordered triangle arrays)."""
+    8-aligned leaf-ordered triangle arrays).
+
+    tri_geo carries the plane-repr triangle test (ops/bvh.py plane_repr):
+    n(0:3) d0(3) pu(4:7) pu0(7) pv(8:11) pv0(11) — the unnormalized
+    geometric normal doubles as the face normal for shading. tri_extra:
+    vertex normals n0/n1/n2 (0:9) + instance id (9). inst_tbl rows also
+    carry the shadow Beer-Lambert factors pre-exponentiated at the current
+    shadow absorption scale (AnyHit_Shadow.hlsl:84 exp moved out of the
+    per-triangle loop — the scale is a traced scalar, so settings changes
+    don't recompile)."""
+    from .. import bvh as bvh_mod
+
     nn = mesh.mk_num_nodes
     nt = mesh.mk_num_tris
     nodes_f = jnp.zeros((nn, 8), F32)
@@ -2196,14 +2193,19 @@ def pack_mesh(mesh) -> tuple:
         [mesh.mk_hit_next, mesh.mk_miss_next, mesh.mk_tri_start, mesh.mk_tri_count],
         axis=1,
     ).astype(I32)
-    tri_geo = jnp.zeros((nt, 12), F32)
-    tri_geo = (tri_geo.at[:, 0:3].set(mesh.mk_v0).at[:, 3:6].set(mesh.mk_edge1)
-               .at[:, 6:9].set(mesh.mk_edge2).at[:, 9].set(mesh.mk_inst.astype(F32)))
+    tri_geo = bvh_mod._plane_table(mesh.mk_v0, mesh.mk_edge1, mesh.mk_edge2)
     tri_extra = jnp.zeros((nt, 12), F32)
     tri_extra = (tri_extra.at[:, 0:3].set(mesh.mk_n0).at[:, 3:6].set(mesh.mk_n1)
-                 .at[:, 6:9].set(mesh.mk_n2))
+                 .at[:, 6:9].set(mesh.mk_n2)
+                 .at[:, 9].set(mesh.mk_inst.astype(F32)))
     ni = mesh.inst_transmission.shape[0]
     inst_tbl = jnp.zeros((max(ni, 1), 8), F32)
     inst_tbl = (inst_tbl.at[:ni, 0].set(mesh.inst_transmission)
                 .at[:ni, 1:4].set(mesh.inst_absorption))
+    if shadow_absorb_scale is None:
+        shadow_absorb_scale = jnp.float32(C.SHADOW_ABSORPTION_THICKNESS)
+    has_ab = jnp.any(mesh.inst_absorption > 0.0, axis=-1, keepdims=True)
+    beer = jnp.where(has_ab, jnp.exp(-mesh.inst_absorption * shadow_absorb_scale),
+                     1.0)
+    inst_tbl = inst_tbl.at[:ni, 4:7].set(beer)
     return nodes_f, nodes_i, tri_geo, tri_extra, inst_tbl
