@@ -516,7 +516,7 @@ def intersect_closest_k(ks: KScene, o, d, tmin, tmax, skip_type, skip_index):
         is_mesh = better
         # Geometric normal decides front/back; smooth normal shades
         # (ops/intersect.py surface_normal, ClosestHit_Triangle.hlsl:122-126)
-        mesh_front = vdot(d, mres["geo"]) < 0.0
+        mesh_front = mres["gdot"] < 0.0
         mesh_nrm = vwhere(mesh_front, mres["smooth"], vscale(mres["smooth"], -1.0))
         visits = mres["visits"]
 
@@ -1287,24 +1287,28 @@ def _shade_and_spawn_k(ks, cfg, xx, yy, frame, s, cur, traced):
                       jnp.clip(rt * tint[2], 0.0, 1.0))
 
         glass_spawn = hit_mask & is_glass
-        th_o = vadd(pos, vscale(g_refract, F32(C.SELF_OFFSET)))
-        do_th = glass_spawn & ~tir
-        # idle lanes query a type that matches nothing so the mesh walk
-        # only follows lanes that actually need a thickness
-        th_hit, th_t = thickness_trace_k(
-            ks, th_o, g_refract,
-            jnp.where(do_th, isect["type"], _INVALID),
-            isect["index"],
-        )
-        ray_count = ray_count + do_th.astype(I32)
-        thickness = jnp.where(do_th & th_hit, th_t, 0.0)
-        tscale = thickness * F32(C.GLASS_ABSORPTION_SCALE)
-        has_th = ~tir & (thickness > 0.0)
-        r_ab = (jnp.where(has_th, jnp.exp(-absorption[0] * tscale), 1.0),
-                jnp.where(has_th, jnp.exp(-absorption[1] * tscale), 1.0),
-                jnp.where(has_th, jnp.exp(-absorption[2] * tscale), 1.0))
+        if cfg.any_absorption:
+            th_o = vadd(pos, vscale(g_refract, F32(C.SELF_OFFSET)))
+            do_th = glass_spawn & ~tir
+            # idle lanes query a type that matches nothing so the mesh walk
+            # only follows lanes that actually need a thickness
+            th_hit, th_t = thickness_trace_k(
+                ks, th_o, g_refract,
+                jnp.where(do_th, isect["type"], _INVALID),
+                isect["index"],
+            )
+            ray_count = ray_count + do_th.astype(I32)
+            thickness = jnp.where(do_th & th_hit, th_t, 0.0)
+            tscale = thickness * F32(C.GLASS_ABSORPTION_SCALE)
+            has_th = ~tir & (thickness > 0.0)
+            r_ab = (jnp.where(has_th, jnp.exp(-absorption[0] * tscale), 1.0),
+                    jnp.where(has_th, jnp.exp(-absorption[1] * tscale), 1.0),
+                    jnp.where(has_th, jnp.exp(-absorption[2] * tscale), 1.0))
+            refract_tp = vmul(refract_tp, r_ab)
+        # else: exp(-0*thickness) == 1 — the thickness trace compiles out
+        # (cfg.any_absorption, scene/flatten.py)
         reflect_tp = vscale(c_tp, reflect_tp_s)
-        refract_tp_full = vmul(vmul(refract_tp, r_ab), c_tp)
+        refract_tp_full = vmul(refract_tp, c_tp)
     else:
         glass_spawn = jnp.zeros(shape, bool)
         tir = jnp.zeros(shape, bool)
@@ -1935,7 +1939,7 @@ def _tri_hit_plane_k(o, d, g, k, tmin, tmax):
     u = g[k, 7] + hx * g[k, 4] + hy * g[k, 5] + hz * g[k, 6]
     v = g[k, 11] + hx * g[k, 8] + hy * g[k, 9] + hz * g[k, 10]
     hit = ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t >= tmin) & (t <= tmax)
-    return hit, t, u, v
+    return hit, t, u, v, nd
 
 
 class KMesh:
@@ -2005,9 +2009,9 @@ def mesh_closest_k(km: KMesh, o, d, tmin, tmax, skip_active, skip_inst):
         # at candidate time (3 floats) instead of carrying 9 vertex-normal
         # components + barycentrics to the end.
         if count_stats:
-            (node, cnt, best_t, best_inst, nx, ny, nz, gx, gy, gz) = c
+            (node, cnt, best_t, best_inst, nx, ny, nz, gdot) = c
         else:
-            (node, best_t, best_inst, nx, ny, nz, gx, gy, gz) = c
+            (node, best_t, best_inst, nx, ny, nz, gdot) = c
         bb_lo, bb_hi, hit_next, miss_next, tri_start, tri_count = _node_row(km, node)
         lane_hit = _ray_aabb_k(o, inv_d, bb_lo, bb_hi, tmin, best_t)
         any_hit = jnp.any(lane_hit)
@@ -2018,11 +2022,11 @@ def mesh_closest_k(km: KMesh, o, d, tmin, tmax, skip_active, skip_inst):
         lh_i = lane_hit.astype(I32)
 
         def leaf_tests(carry):
-            (best_t, best_inst, nx, ny, nz, gx, gy, gz) = carry
+            (best_t, best_inst, nx, ny, nz, gdot) = carry
             g, exm = _leaf_rows(km, tri_start, extra=True)
             for k in range(km.leaf_size):
                 inst = exm[k, 9].astype(I32)
-                th, tt, tu, tv = _tri_hit_plane_k(o, d, g, k, tmin, best_t)
+                th, tt, tu, tv, nd = _tri_hit_plane_k(o, d, g, k, tmin, best_t)
                 th = th & (lh_i != 0) & (k < tri_count) & (inst != skip_i)
                 better = th & (tt < best_t)
                 best_t = jnp.where(better, tt, best_t)
@@ -2031,16 +2035,16 @@ def mesh_closest_k(km: KMesh, o, d, tmin, tmax, skip_active, skip_inst):
                 nx = jnp.where(better, exm[k, 0] * tw + exm[k, 3] * tu + exm[k, 6] * tv, nx)
                 ny = jnp.where(better, exm[k, 1] * tw + exm[k, 4] * tu + exm[k, 7] * tv, ny)
                 nz = jnp.where(better, exm[k, 2] * tw + exm[k, 5] * tu + exm[k, 8] * tv, nz)
-                # geometric normal = the plane normal, a scalar table row
-                gx = jnp.where(better, g[k, 0], gx)
-                gy = jnp.where(better, g[k, 1], gy)
-                gz = jnp.where(better, g[k, 2], gz)
-            return (best_t, best_inst, nx, ny, nz, gx, gy, gz)
+                # d . n_geo of the winner decides front-face; the
+                # geometric normal itself is never needed (small carry
+                # = less spilled VMEM per node visit)
+                gdot = jnp.where(better, nd, gdot)
+            return (best_t, best_inst, nx, ny, nz, gdot)
 
         leaf_now = any_hit & is_leaf
         updated = jax.lax.cond(
             leaf_now, leaf_tests, lambda x: x,
-            (best_t, best_inst, nx, ny, nz, gx, gy, gz),
+            (best_t, best_inst, nx, ny, nz, gdot),
         )
         nxt = jnp.where(any_hit, hit_next, miss_next)
         if count_stats:
@@ -2050,22 +2054,21 @@ def mesh_closest_k(km: KMesh, o, d, tmin, tmax, skip_active, skip_inst):
 
     init = (
         jnp.int32(0), tmax + zero, izero - 1,
-        zero, zero, zero, zero, zero, zero,
+        zero, zero, zero, zero,
     )
     if count_stats:
         init = (init[0], jnp.int32(0), *init[1:])
     out = jax.lax.while_loop(cond, body, init)
     if count_stats:
-        (_, cnt, best_t, best_inst, nx, ny, nz, gx, gy, gz) = out
+        (_, cnt, best_t, best_inst, nx, ny, nz, gdot) = out
     else:
         cnt = None
-        (_, best_t, best_inst, nx, ny, nz, gx, gy, gz) = out
+        (_, best_t, best_inst, nx, ny, nz, gdot) = out
     # sentinel-based hit: tmax may arrive pre-tightened by analytic hits,
     # so "improved vs tmax" is no longer a usable criterion
     hit = best_inst >= 0
     smooth = vnorm((nx, ny, nz))
-    geo = vnorm((gx, gy, gz))
-    return dict(hit=hit, t=best_t, inst=best_inst, smooth=smooth, geo=geo,
+    return dict(hit=hit, t=best_t, inst=best_inst, smooth=smooth, gdot=gdot,
                 visits=cnt)
 
 
@@ -2094,7 +2097,7 @@ def mesh_shadow_k(km: KMesh, o, d, max_dist):
             g, exm = _leaf_rows(km, tri_start, extra=True)
             for k in range(km.leaf_size):
                 inst = exm[k, 9].astype(I32)
-                th, tt, _, _ = _tri_hit_plane_k(o, d, g, k, tmin, max_dist)
+                th, tt, _, _, _ = _tri_hit_plane_k(o, d, g, k, tmin, max_dist)
                 th = th & (lh_i != 0) & (k < tri_count)
                 # Beer factors pre-exponentiated per instance (pack_mesh)
                 it = km.inst_tbl[pl.ds(inst, 1), :]
@@ -2157,7 +2160,7 @@ def mesh_thickness_k(km: KMesh, o, d, inst_id, active=None):
             g, exm = _leaf_rows(km, tri_start, extra=True)
             for k in range(km.leaf_size):
                 inst = exm[k, 9].astype(I32)
-                th, tt, _, _ = _tri_hit_plane_k(o, d, g, k, tmin, best_t)
+                th, tt, _, _, _ = _tri_hit_plane_k(o, d, g, k, tmin, best_t)
                 th = th & (lh_i != 0) & (k < tri_count) & (inst == inst_id)
                 best_t = jnp.where(th & (tt < best_t), tt, best_t)
             return best_t

@@ -511,20 +511,25 @@ def _shade_and_spawn(scene: FlatScene, cfg: RenderConfig, px, py, sample_index, 
             (1.0 - fresnel)[:, None] * jnp.clip(transmission, 0.0, 1.0)[:, None] * tint, 0.0, 1.0
         )
 
-        # Thickness ray for Beer-Lambert absorption (RayGen.hlsl:646-678)
+        # Thickness ray for Beer-Lambert absorption (RayGen.hlsl:646-678).
+        # Compiled out when every glass material's absorption is zero: the
+        # ray's only consumer is exp(-absorption*thickness) == 1 then.
         glass_spawn = can_spawn & is_glass
-        th_origin = pos + g_refract * F32(C.SELF_OFFSET)
-        th_hit, th_t = intersect.trace_thickness(
-            scene, th_origin, g_refract, hit.obj_type, hit.obj_index
-        )
-        do_thickness = glass_spawn & ~tir
-        ray_count = ray_count + do_thickness.astype(I32)
-        thickness = jnp.where(do_thickness & th_hit, th_t, 0.0)
-        refraction_absorb = jnp.where(
-            (~tir & (thickness > 0.0))[:, None],
-            jnp.exp(-absorption * (thickness * F32(C.GLASS_ABSORPTION_SCALE))[:, None]),
-            jnp.ones((n, 3), F32),
-        )
+        if cfg.any_absorption:
+            th_origin = pos + g_refract * F32(C.SELF_OFFSET)
+            th_hit, th_t = intersect.trace_thickness(
+                scene, th_origin, g_refract, hit.obj_type, hit.obj_index
+            )
+            do_thickness = glass_spawn & ~tir
+            ray_count = ray_count + do_thickness.astype(I32)
+            thickness = jnp.where(do_thickness & th_hit, th_t, 0.0)
+            refraction_absorb = jnp.where(
+                (~tir & (thickness > 0.0))[:, None],
+                jnp.exp(-absorption * (thickness * F32(C.GLASS_ABSORPTION_SCALE))[:, None]),
+                jnp.ones((n, 3), F32),
+            )
+        else:
+            refraction_absorb = jnp.ones((n, 3), F32)
     else:
         glass_spawn = jnp.zeros((n,), bool)
         tir = jnp.zeros((n,), bool)

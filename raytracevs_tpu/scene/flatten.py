@@ -138,6 +138,11 @@ class RenderConfig(NamedTuple):
     has_lights: bool = True
     any_glass: bool = True
     any_metal: bool = True
+    # True when some glass material has a nonzero Beer-Lambert absorption
+    # coefficient. When False, the thickness ray's only consumer
+    # (exp(-absorption*thickness), RayGen.hlsl:646-678) is identically 1,
+    # so the pipeline compiles the thickness trace out entirely.
+    any_absorption: bool = True
     max_soft_samples: int = 1  # static unroll bound for soft-shadow sampling
 
     @property
@@ -419,6 +424,10 @@ def make_config(scene: SceneData, width: int, height: int, **overrides) -> Rende
     mats = [o.material for o in scene.objects if hasattr(o, "material")]
     any_glass = any(m.transmission > 0.01 for m in mats)
     any_metal = any(m.metallic > 0.1 for m in mats)
+    any_absorption = any(
+        m.transmission > 0.01 and float(np.max(np.asarray(m.absorption)[:3])) > 1e-6
+        for m in mats
+    )
     # Default unroll bound 1 = the reference's current TDR clamp
     # (DXRPipeline.cpp:928). Pass max_soft_samples=N (<=16) as an override
     # to unlock multi-sample soft shadows (Common.hlsli:1199-1357 contract);
@@ -446,6 +455,7 @@ def make_config(scene: SceneData, width: int, height: int, **overrides) -> Rende
         has_lights=len(scene.lights) > 0,
         any_glass=any_glass,
         any_metal=any_metal,
+        any_absorption=any_absorption,
         max_soft_samples=max_soft,
     )
     cfg.update(overrides)
