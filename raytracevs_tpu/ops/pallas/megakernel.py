@@ -1017,10 +1017,11 @@ def _blue_noise_tile_channels(bn_ref, frame, s, row0):
     return outs
 
 
-def _shade_and_spawn_k(ks, cfg, xx, yy, frame, s, cur, traced):
-    """Port of wavefront._shade_and_spawn in component style."""
-    shape = xx.shape
+def _hit_context_k(ks, cfg, cur, traced):
+    """Closest hit + surface/material context shared by the full shade and
+    the children-only re-derivation (two-phase renderer)."""
     (c_valid, c_o, c_d, c_depth, c_tp, c_flags, c_boost, c_rflags, c_stype, c_sidx) = cur
+    shape = c_depth.shape
 
     skip_on = (c_rflags & C.RAYFLAG_SKIP_SELF) != 0
     skip_t = jnp.where(skip_on, c_stype, _INVALID)
@@ -1044,13 +1045,8 @@ def _shade_and_spawn_k(ks, cfg, xx, yy, frame, s, cur, traced):
         nrm = vwhere(im, isect["mesh_nrm"], nrm)
 
     albedo = isect["albedo"]
-    metallic = isect["metallic"]
-    roughness = isect["roughness"]
     transmission = isect["transmission"]
     ior = isect["ior"]
-    specular = isect["specular"]
-    emission = isect["emission"]
-    absorption = isect["absorption"]
 
     if ks.p_cap > 0:
         checker = _checker_albedo(pos, ks.cam_pos, ks.cam_fwd)
@@ -1058,13 +1054,42 @@ def _shade_and_spawn_k(ks, cfg, xx, yy, frame, s, cur, traced):
         transmission = jnp.where(isect["is_plane"], 0.0, transmission)
         ior = jnp.where(isect["is_plane"], 1.5, ior)
 
-    view = vscale(c_d, -1.0)
     is_glass = transmission > 0.01
 
-    # Glass highlights (RayGen.hlsl:283-334)
+    # Glass f0 (RayGen.hlsl:283-334, 623-627)
+    specular = isect["specular"]
     f0_from_ior = jnp.square((ior - 1.0) / (ior + 1.0))
     spec_blend = jnp.clip(specular, 0.0, 1.0)
     f0_glass = f0_from_ior + (spec_blend - f0_from_ior) * spec_blend
+    metallic = isect["metallic"]
+    f0 = vlerp(vconst(shape, 0.04, 0.04, 0.04), albedo, metallic)
+
+    return dict(
+        isect=isect, hit_mask=hit_mask, pos=pos, nrm=nrm, front_face=front_face,
+        albedo=albedo, metallic=metallic, roughness=isect["roughness"],
+        transmission=transmission, ior=ior, specular=specular,
+        emission=isect["emission"], absorption=isect["absorption"],
+        is_glass=is_glass, f0_glass=f0_glass, f0=f0, spec_blend=spec_blend,
+    )
+
+
+def _shade_and_spawn_k(ks, cfg, xx, yy, frame, s, cur, traced):
+    """Port of wavefront._shade_and_spawn in component style."""
+    shape = xx.shape
+    (c_valid, c_o, c_d, c_depth, c_tp, c_flags, c_boost, c_rflags, c_stype, c_sidx) = cur
+
+    hx = _hit_context_k(ks, cfg, cur, traced)
+    isect = hx["isect"]
+    hit_mask = hx["hit_mask"]
+    pos, nrm, front_face = hx["pos"], hx["nrm"], hx["front_face"]
+    albedo, metallic, roughness = hx["albedo"], hx["metallic"], hx["roughness"]
+    transmission, ior, specular = hx["transmission"], hx["ior"], hx["specular"]
+    emission, absorption = hx["emission"], hx["absorption"]
+    is_glass, f0_glass, spec_blend = hx["is_glass"], hx["f0_glass"], hx["spec_blend"]
+
+    view = vscale(c_d, -1.0)
+
+    # Glass highlights (RayGen.hlsl:283-334)
     highlight = vzeros(shape)
     if cfg.any_glass and cfg.has_lights:
         for li in range(ks.l_cap):
@@ -1083,7 +1108,7 @@ def _shade_and_spawn_k(ks, cfg, xx, yy, frame, s, cur, traced):
     glass_color = vadd(highlight, emission)
 
     # PBR direct lighting
-    f0 = vlerp(vconst(shape, 0.04, 0.04, 0.04), albedo, metallic)
+    f0 = hx["f0"]
     diffuse_color = vscale(albedo, 1.0 - metallic)
     sample_idx = s.astype(U32) + c_depth.astype(U32) * U32(4096)
     seed = rng_init_t(xx, yy, frame, sample_idx, C.RNG_SALT_SHADOW)
@@ -1256,7 +1281,33 @@ def _shade_and_spawn_k(ks, cfg, xx, yy, frame, s, cur, traced):
     rec_dist = jnp.where(ng, best_dist, C.NRD_FP16_MAX)
     hit_distance = jnp.where(hit_mask, isect["t"], F32(10000.0))
 
-    # --- children (RayGen.hlsl:591-847) -----------------------------------
+    children, extra = _spawn_children_k(ks, cfg, xx, yy, frame, s, cur, hx)
+    ray_count = ray_count + extra
+    records = dict(
+        color=color, diffuse=diff_rad, specular=spec_rad, hit_distance=hit_distance,
+        shadow_vis=rec_vis, shadow_pen=rec_pen, shadow_dist=rec_dist, hit_mask=hit_mask,
+        normal=nrm, roughness=roughness, albedo=albedo, metallic=metallic,
+        transmission=transmission, position=pos,
+        obj_id=jnp.where(hit_mask, isect["type"] * 65536 + isect["index"], -1),
+    )
+    return color, records, children, ray_count
+
+
+def _spawn_children_k(ks, cfg, xx, yy, frame, s, cur, hx):
+    """Child-ray computation (RayGen.hlsl:591-847), shared by the full shade
+    and the two-phase re-derivation. Returns (children dict, extra ray count
+    per lane — the thickness rays)."""
+    (c_valid, c_o, c_d, c_depth, c_tp, c_flags, c_boost, c_rflags, c_stype, c_sidx) = cur
+    shape = c_depth.shape
+    hit_mask = hx["hit_mask"]
+    pos, nrm, front_face = hx["pos"], hx["nrm"], hx["front_face"]
+    albedo, metallic, roughness = hx["albedo"], hx["metallic"], hx["roughness"]
+    transmission, ior = hx["transmission"], hx["ior"]
+    absorption, is_glass, f0_glass = hx["absorption"], hx["is_glass"], hx["f0_glass"]
+    isect = hx["isect"]
+    sample_idx = s.astype(U32) + c_depth.astype(U32) * U32(4096)
+    extra = jnp.zeros(shape, I32)
+
     if cfg.any_glass:
         entering = front_face
         eta = jnp.where(entering, 1.0 / ior, ior)
@@ -1297,7 +1348,7 @@ def _shade_and_spawn_k(ks, cfg, xx, yy, frame, s, cur, traced):
                 jnp.where(do_th, isect["type"], _INVALID),
                 isect["index"],
             )
-            ray_count = ray_count + do_th.astype(I32)
+            extra = extra + do_th.astype(I32)
             thickness = jnp.where(do_th & th_hit, th_t, 0.0)
             tscale = thickness * F32(C.GLASS_ABSORPTION_SCALE)
             has_th = ~tir & (thickness > 0.0)
@@ -1330,7 +1381,7 @@ def _shade_and_spawn_k(ks, cfg, xx, yy, frame, s, cur, traced):
             metal_tp = c_tp
         else:
             ndotv_m = jnp.clip(vdot(nrm, vscale(c_d, -1.0)), 0.0, 1.0)
-            f_m = _fresnel3(ndotv_m, f0)
+            f_m = _fresnel3(ndotv_m, hx["f0"])
             scale_m = (1.0 - roughness * 0.5) * jnp.where(
                 c_depth > 0, F32(C.METAL_SECONDARY_BOOST), F32(1.0)
             )
@@ -1350,19 +1401,20 @@ def _shade_and_spawn_k(ks, cfg, xx, yy, frame, s, cur, traced):
         hit_pos=pos, normal=nrm, hit_type=isect["type"], hit_index=isect["index"],
         stat=isect["visits"],
     )
-    records = dict(
-        color=color, diffuse=diff_rad, specular=spec_rad, hit_distance=hit_distance,
-        shadow_vis=rec_vis, shadow_pen=rec_pen, shadow_dist=rec_dist, hit_mask=hit_mask,
-        normal=nrm, roughness=roughness, albedo=albedo, metallic=metallic,
-        transmission=transmission, position=pos,
-        obj_id=jnp.where(hit_mask, isect["type"] * 65536 + isect["index"], -1),
-    )
-    return color, records, children, ray_count
+    return children, extra
 
 
-def _run_sample_k(ks, cfg, xx, yy, frame, s, bn):
-    """One sample's full DFS for the tile; returns the 24 accumulator arrays."""
-    shape = xx.shape
+def _children_only_k(ks, cfg, xx, yy, frame, s, cur, traced):
+    """Re-derive one iteration's children WITHOUT lighting/records — the
+    two-phase renderer's phase-B prologue. Bitwise-identical child state to
+    _shade_and_spawn_k (same intersection, material, RNG and spawn math);
+    only the radiance/record computation is omitted."""
+    hx = _hit_context_k(ks, cfg, cur, traced)
+    children, extra = _spawn_children_k(ks, cfg, xx, yy, frame, s, cur, hx)
+    return children, extra
+
+
+def _dirty_helpers(xx, yy):
     # Mosaic layout workaround: while-loop carries initialized from splat
     # constants get a replicated layout, but once the loop body makes them
     # varying Mosaic hits "Invalid relayout: non-singleton dimension is
@@ -1379,6 +1431,31 @@ def _run_sample_k(ks, cfg, xx, yy, frame, s, bn):
     def vary_f(x):
         return x + dirty_f
 
+    return dirty, dirty_f, vary_i, vary_f
+
+
+def _fresh_acc(shape, vary_i, vary_f):
+    """Zeroed per-sample accumulator set (varying-layout inits)."""
+    vz = lambda: tuple(vary_f(c) for c in vzeros(shape))  # noqa: E731
+    return dict(
+        color=vz(), primary=vz(),
+        bounce=vary_i(jnp.zeros(shape, I32)), rays=vary_i(jnp.zeros(shape, I32)),
+        diffuse=vz(), specular=vz(),
+        hitdist=vary_f(jnp.zeros(shape, F32)),
+        svis=vary_f(jnp.ones(shape, F32)), spen=vary_f(jnp.zeros(shape, F32)),
+        sdist=vary_f(jnp.full(shape, C.NRD_FP16_MAX, F32)),
+        phit=jnp.zeros(shape, bool),
+        pnormal=tuple(vary_f(c) for c in vconst(shape, 0.0, 1.0, 0.0)),
+        prough=vary_f(jnp.ones(shape, F32)),
+        palbedo=vz(), pmetal=vary_f(jnp.zeros(shape, F32)),
+        ptrans=vary_f(jnp.zeros(shape, F32)), ppos=vz(),
+        pobj=vary_i(jnp.full(shape, -1, I32)),
+    )
+
+
+def _primary_cur_k(ks, cfg, xx, yy, bn, vary_i, vary_f):
+    """Camera primary-ray state for the tile's pixels."""
+    shape = xx.shape
     # ---- primary ray (RayGen.hlsl:107-172) --------------------------------
     if cfg.samples_per_pixel > 1:
         off_x, off_y = bn[0], bn[1]
@@ -1412,7 +1489,7 @@ def _run_sample_k(ks, cfg, xx, yy, frame, s, bn):
     o = vwhere(dof, o_dof, o)
     d = vwhere(dof, d_dof, d)
 
-    cur = (
+    return (
         jnp.ones(shape, bool),  # valid
         o, d,
         vary_i(jnp.zeros(shape, I32)),  # depth
@@ -1423,36 +1500,66 @@ def _run_sample_k(ks, cfg, xx, yy, frame, s, bn):
         vary_i(jnp.full(shape, _INVALID, I32)),  # skip type
         vary_i(jnp.zeros(shape, I32)),  # skip index
     )
+
+
+def _stack_init_k(shape, cfg, dirty, dirty_f, slots):
     # Only glass configs ever push to the stack, so only they need the
     # varying-layout init; elsewhere keep the splats so dead stack ops fold.
     if cfg.any_glass:
         stack_f = tuple(
-            jnp.zeros((STACK_DEPTH, *shape), F32) + dirty_f[None] for _ in range(10)
+            jnp.zeros((slots, *shape), F32) + dirty_f[None] for _ in range(10)
         )
         stack_i = tuple(
-            jnp.zeros((STACK_DEPTH, *shape), I32) | dirty[None] for _ in range(5)
+            jnp.zeros((slots, *shape), I32) | dirty[None] for _ in range(5)
         )
     else:
-        stack_f = tuple(jnp.zeros((STACK_DEPTH, *shape), F32) for _ in range(10))
-        stack_i = tuple(jnp.zeros((STACK_DEPTH, *shape), I32) for _ in range(5))
+        stack_f = tuple(jnp.zeros((slots, *shape), F32) for _ in range(10))
+        stack_i = tuple(jnp.zeros((slots, *shape), I32) for _ in range(5))
+    return stack_f, stack_i
+
+
+def _max_iters(cfg):
+    # Epoch scheduling stalls deep lanes, so the same per-lane ray budget
+    # can need more tile iterations than the LIFO pop order; the cap is a
+    # TDR analog on iterations, not rays, so scale it rather than change
+    # which rays fit the budget.
+    return cfg.max_queue_iters * (3 if EPOCH_SCHED else 1)
+
+
+def _run_sample_k(ks, cfg, xx, yy, frame, s, bn, max_iters_override=None,
+                  stack_slots=None):
+    """One sample's full DFS for the tile; returns (acc, final cur).
+
+    Phase A of the two-phase renderer runs this with max_iters_override=1
+    and stack_slots=1: exactly one machine iteration (primary trace + full
+    shade + records + spawn decisions), leaving the spawned continuation in
+    the returned cur — the coherence-key source for the secondary sort."""
+    shape = xx.shape
+    dirty, dirty_f, vary_i, vary_f = _dirty_helpers(xx, yy)
+    cur = _primary_cur_k(ks, cfg, xx, yy, bn, vary_i, vary_f)
+    slots = STACK_DEPTH if stack_slots is None else stack_slots
+    stack_f, stack_i = _stack_init_k(shape, cfg, dirty, dirty_f, slots)
     stack_n = vary_i(jnp.zeros(shape, I32))
+    acc = _fresh_acc(shape, vary_i, vary_f)
+    mi = _max_iters(cfg) if max_iters_override is None else max_iters_override
+    final = _dfs_from_k(ks, cfg, xx, yy, frame, s,
+                        jnp.int32(0), cur, stack_f, stack_i, stack_n, acc,
+                        mi, slots)
+    return final[5], final[1]
 
-    vz = lambda: tuple(vary_f(c) for c in vzeros(shape))  # noqa: E731
-    acc = dict(
-        color=vz(), primary=vz(),
-        bounce=vary_i(jnp.zeros(shape, I32)), rays=vary_i(jnp.zeros(shape, I32)),
-        diffuse=vz(), specular=vz(),
-        hitdist=vary_f(jnp.zeros(shape, F32)),
-        svis=vary_f(jnp.ones(shape, F32)), spen=vary_f(jnp.zeros(shape, F32)),
-        sdist=vary_f(jnp.full(shape, C.NRD_FP16_MAX, F32)),
-        phit=jnp.zeros(shape, bool),
-        pnormal=tuple(vary_f(c) for c in vconst(shape, 0.0, 1.0, 0.0)),
-        prough=vary_f(jnp.ones(shape, F32)),
-        palbedo=vz(), pmetal=vary_f(jnp.zeros(shape, F32)),
-        ptrans=vary_f(jnp.zeros(shape, F32)), ppos=vz(),
-        pobj=vary_i(jnp.full(shape, -1, I32)),
-    )
 
+def _dfs_from_k(ks, cfg, xx, yy, frame, s, it0, cur, stack_f, stack_i, stack_n,
+                acc, max_iters, stack_slots):
+    """The DFS state machine, resumable from any (iteration, cur, stack, acc).
+
+    `stack_slots` sizes the stack STORAGE arrays; the push-capacity checks
+    always use STACK_DEPTH (the reference's WORK_QUEUE_STRIDE budget,
+    RayGen.hlsl:697-846) so a storage-truncated run (phase A of the
+    two-phase renderer, which executes exactly one iteration and can hold
+    at most one entry) makes identical spawn/overflow decisions to the
+    full-depth machine. Returns the final flat state unflattened:
+    (it, cur, stack_f, stack_i, stack_n, acc).
+    """
     # NOTE: boolean masks are carried as i32 — i1 vectors in Mosaic loop
     # carries hit "invalid relayout" errors on TPU.
     def flatten_state(it, cur, sf, si, sn, acc):
@@ -1483,12 +1590,6 @@ def _run_sample_k(ks, cfg, xx, yy, frame, s, bn):
             ppos=(t[k+28], t[k+29], t[k+30]), pobj=t[k+31],
         )
         return it, cur, sf, si, sn, acc
-
-    # Epoch scheduling stalls deep lanes, so the same per-lane ray budget
-    # can need more tile iterations than the LIFO pop order; the cap is a
-    # TDR analog on iterations, not rays, so scale it rather than change
-    # which rays fit the budget.
-    max_iters = cfg.max_queue_iters * (3 if EPOCH_SCHED else 1)
 
     def cond(t):
         it, cur, sf, si, sn, acc = unflatten_state(t)
@@ -1557,122 +1658,8 @@ def _run_sample_k(ks, cfg, xx, yy, frame, s, bn):
         pobj = jnp.where(first_hit, rec["obj_id"], acc["pobj"])
         phit = acc["phit"] | first_hit
 
-        # --- continuation / stack (RayGen.hlsl:697-846) -------------------
-        glass_spawn = ch["glass_spawn"] & traced
-        if "gspawn" in _DEBUG_DISABLE:  # perf bisect: no glass children
-            glass_spawn = glass_spawn & (c_depth < 0)
-        metal_spawn = ch["metal_spawn"] & traced
-        tir = ch["tir"]
-        push_reflect = glass_spawn & (sn < STACK_DEPTH)
-        qc_after = sn + push_reflect.astype(I32)
-        refract_ok = glass_spawn & ~tir & (qc_after < STACK_DEPTH)
-        stack_write = push_reflect & refract_ok
-
-        next_depth = c_depth + 1
-        spec_flags = c_flags | C.PATH_FLAG_SPECULAR
-        r_origin = vadd(ch["hit_pos"], vscale(ch["normal"], F32(C.SELF_OFFSET)))
-        reflect_f = (*r_origin, *ch["reflect_dir"], *ch["reflect_tp"],
-                     jnp.full(c_depth.shape, C.SKY_BOOST_GLASS, F32))
-        reflect_i = (next_depth, spec_flags,
-                     jnp.full(c_depth.shape, C.RAYFLAG_SKIP_SELF, I32),
-                     ch["hit_type"], ch["hit_index"])
-
-        # push reflect where stack_write: one-hot select along the slot axis
-        # (pure elementwise — no scatter, VMEM-resident)
-        slot_ids = jax.lax.broadcasted_iota(I32, (STACK_DEPTH,) + sn.shape, 0)
-        push_mask = (slot_ids == sn[None]) & stack_write[None]
-        sf = tuple(
-            jnp.where(push_mask, reflect_f[fi][None], field) for fi, field in enumerate(sf)
-        )
-        si = tuple(
-            jnp.where(push_mask, reflect_i[fi][None], field) for fi, field in enumerate(si)
-        )
-        sn = sn + stack_write.astype(I32)
-
-        refract_flags = jnp.where(
-            ch["entering"], spec_flags | C.PATH_FLAG_INSIDE,
-            spec_flags & ~jnp.int32(C.PATH_FLAG_INSIDE),
-        )
-        rr_origin = vadd(ch["hit_pos"], vscale(ch["refract_dir"], F32(C.SELF_OFFSET)))
-        metal_inside = (spec_flags & C.PATH_FLAG_INSIDE) != 0
-
-        cont_refract = refract_ok
-        cont_reflect = push_reflect & ~refract_ok
-        cont_metal = metal_spawn
-        has_cont = cont_refract | cont_reflect | cont_metal
-
-        def pick(metal_v, reflect_v, refract_v, default):
-            v = jnp.where(cont_metal, metal_v, default)
-            v = jnp.where(cont_reflect, reflect_v, v)
-            v = jnp.where(cont_refract, refract_v, v)
-            return v
-
-        def pick3(metal_v, reflect_v, refract_v, default):
-            return tuple(
-                pick(metal_v[i], reflect_v[i], refract_v[i], default[i]) for i in range(3)
-            )
-
-        m_origin = r_origin
-        zero3t = vzeros(c_depth.shape)
-        cont_o = pick3(m_origin, r_origin, rr_origin, zero3t)
-        cont_d = pick3(ch["metal_dir"], ch["reflect_dir"], ch["refract_dir"],
-                       vconst(c_depth.shape, 0.0, 0.0, 1.0))
-        cont_tp = pick3(ch["metal_tp"], ch["reflect_tp"], ch["refract_tp"], zero3t)
-        cont_depth = jnp.where(has_cont, next_depth, 0)
-        cont_flags = pick(spec_flags, spec_flags, refract_flags, jnp.zeros(c_depth.shape, I32))
-        cont_boost = pick(jnp.full(c_depth.shape, C.SKY_BOOST_METAL, F32),
-                          jnp.full(c_depth.shape, C.SKY_BOOST_GLASS, F32),
-                          jnp.full(c_depth.shape, C.SKY_BOOST_GLASS, F32),
-                          jnp.ones(c_depth.shape, F32))
-        cont_rflags = pick(jnp.where(metal_inside, 0, C.RAYFLAG_SKIP_SELF).astype(I32),
-                           jnp.full(c_depth.shape, C.RAYFLAG_SKIP_SELF, I32),
-                           jnp.zeros(c_depth.shape, I32),
-                           jnp.zeros(c_depth.shape, I32))
-        cont_stype = pick(jnp.where(metal_inside, _INVALID, ch["hit_type"]),
-                          ch["hit_type"],
-                          jnp.full(c_depth.shape, _INVALID, I32),
-                          jnp.full(c_depth.shape, _INVALID, I32))
-        cont_sidx = pick(jnp.where(metal_inside, 0, ch["hit_index"]),
-                         ch["hit_index"], jnp.zeros(c_depth.shape, I32),
-                         jnp.zeros(c_depth.shape, I32))
-
-        # pop for terminal lanes (stalled lanes keep their pending ray)
-        do_pop = ~has_cont & (sn > 0) & ~stalled
-        pop_slot = jnp.clip(sn - 1, 0, STACK_DEPTH - 1)
-        popped_f = [jnp.zeros(c_depth.shape, F32) for _ in range(10)]
-        popped_i = [jnp.zeros(c_depth.shape, I32) for _ in range(5)]
-        for slot in range(STACK_DEPTH):
-            m = do_pop & (pop_slot == slot)
-            for fi in range(10):
-                popped_f[fi] = jnp.where(m, sf[fi][slot], popped_f[fi])
-            for fi in range(5):
-                popped_i[fi] = jnp.where(m, si[fi][slot], popped_i[fi])
-        sn = sn - do_pop.astype(I32)
-
-        nxt_valid = has_cont | do_pop | stalled
-
-        def merge(cont_v, pop_v, cur_v):
-            nv = jnp.where(do_pop, pop_v, cont_v)
-            # stalled lanes carry their current ray through unchanged
-            return jnp.where(stalled, cur_v, nv)
-
-        cur_next = (
-            nxt_valid,
-            (merge(cont_o[0], popped_f[0], c_o[0]),
-             merge(cont_o[1], popped_f[1], c_o[1]),
-             merge(cont_o[2], popped_f[2], c_o[2])),
-            (merge(cont_d[0], popped_f[3], c_d[0]),
-             merge(cont_d[1], popped_f[4], c_d[1]),
-             merge(cont_d[2], popped_f[5], c_d[2])),
-            merge(cont_depth, popped_i[0], c_depth),
-            (merge(cont_tp[0], popped_f[6], c_tp[0]),
-             merge(cont_tp[1], popped_f[7], c_tp[1]),
-             merge(cont_tp[2], popped_f[8], c_tp[2])),
-            merge(cont_flags, popped_i[1], c_flags),
-            merge(cont_boost, popped_f[9], c_boost),
-            merge(cont_rflags, popped_i[2], c_rflags),
-            merge(cont_stype, popped_i[3], c_stype),
-            merge(cont_sidx, popped_i[4], c_sidx),
+        cur_next, sf, si, sn = _advance_state_k(
+            cur, ch, traced, stalled, sf, si, sn, stack_slots
         )
         acc_next = dict(
             color=color_acc, primary=prim_acc, bounce=bounce, rays=rays,
@@ -1683,15 +1670,140 @@ def _run_sample_k(ks, cfg, xx, yy, frame, s, bn):
         )
         return flatten_state(it + 1, cur_next, sf, si, sn, acc_next)
 
-    init = flatten_state(jnp.int32(0), cur, stack_f, stack_i, stack_n, acc)
+    init = flatten_state(it0, cur, stack_f, stack_i, stack_n, acc)
     if "fori" in _DEBUG_DISABLE:
         final = jax.lax.fori_loop(
             0, max_iters, lambda _i, t: body(t), init
         )
     else:
         final = jax.lax.while_loop(cond, body, init)
-    _, _, _, _, _, acc = unflatten_state(final)
-    return acc
+    return unflatten_state(final)
+
+
+def _advance_state_k(cur, ch, traced, stalled, sf, si, sn, stack_slots):
+    """One step of the continuation/stack machine (RayGen.hlsl:697-846),
+    shared by the DFS body and the two-phase phase-B prologue. The push
+    CAPACITY checks use STACK_DEPTH (the reference's WORK_QUEUE_STRIDE)
+    regardless of how many storage slots the caller materialized."""
+    (c_valid, c_o, c_d, c_depth, c_tp, c_flags, c_boost, c_rflags,
+     c_stype, c_sidx) = cur
+    glass_spawn = ch["glass_spawn"] & traced
+    if "gspawn" in _DEBUG_DISABLE:  # perf bisect: no glass children
+        glass_spawn = glass_spawn & (c_depth < 0)
+    metal_spawn = ch["metal_spawn"] & traced
+    tir = ch["tir"]
+    push_reflect = glass_spawn & (sn < STACK_DEPTH)
+    qc_after = sn + push_reflect.astype(I32)
+    refract_ok = glass_spawn & ~tir & (qc_after < STACK_DEPTH)
+    stack_write = push_reflect & refract_ok
+
+    next_depth = c_depth + 1
+    spec_flags = c_flags | C.PATH_FLAG_SPECULAR
+    r_origin = vadd(ch["hit_pos"], vscale(ch["normal"], F32(C.SELF_OFFSET)))
+    reflect_f = (*r_origin, *ch["reflect_dir"], *ch["reflect_tp"],
+                 jnp.full(c_depth.shape, C.SKY_BOOST_GLASS, F32))
+    reflect_i = (next_depth, spec_flags,
+                 jnp.full(c_depth.shape, C.RAYFLAG_SKIP_SELF, I32),
+                 ch["hit_type"], ch["hit_index"])
+
+    # push reflect where stack_write: one-hot select along the slot axis
+    # (pure elementwise — no scatter, VMEM-resident)
+    slot_ids = jax.lax.broadcasted_iota(I32, (stack_slots,) + sn.shape, 0)
+    push_mask = (slot_ids == sn[None]) & stack_write[None]
+    sf = tuple(
+        jnp.where(push_mask, reflect_f[fi][None], field) for fi, field in enumerate(sf)
+    )
+    si = tuple(
+        jnp.where(push_mask, reflect_i[fi][None], field) for fi, field in enumerate(si)
+    )
+    sn = sn + stack_write.astype(I32)
+
+    refract_flags = jnp.where(
+        ch["entering"], spec_flags | C.PATH_FLAG_INSIDE,
+        spec_flags & ~jnp.int32(C.PATH_FLAG_INSIDE),
+    )
+    rr_origin = vadd(ch["hit_pos"], vscale(ch["refract_dir"], F32(C.SELF_OFFSET)))
+    metal_inside = (spec_flags & C.PATH_FLAG_INSIDE) != 0
+
+    cont_refract = refract_ok
+    cont_reflect = push_reflect & ~refract_ok
+    cont_metal = metal_spawn
+    has_cont = cont_refract | cont_reflect | cont_metal
+
+    def pick(metal_v, reflect_v, refract_v, default):
+        v = jnp.where(cont_metal, metal_v, default)
+        v = jnp.where(cont_reflect, reflect_v, v)
+        v = jnp.where(cont_refract, refract_v, v)
+        return v
+
+    def pick3(metal_v, reflect_v, refract_v, default):
+        return tuple(
+            pick(metal_v[i], reflect_v[i], refract_v[i], default[i]) for i in range(3)
+        )
+
+    m_origin = r_origin
+    zero3t = vzeros(c_depth.shape)
+    cont_o = pick3(m_origin, r_origin, rr_origin, zero3t)
+    cont_d = pick3(ch["metal_dir"], ch["reflect_dir"], ch["refract_dir"],
+                   vconst(c_depth.shape, 0.0, 0.0, 1.0))
+    cont_tp = pick3(ch["metal_tp"], ch["reflect_tp"], ch["refract_tp"], zero3t)
+    cont_depth = jnp.where(has_cont, next_depth, 0)
+    cont_flags = pick(spec_flags, spec_flags, refract_flags, jnp.zeros(c_depth.shape, I32))
+    cont_boost = pick(jnp.full(c_depth.shape, C.SKY_BOOST_METAL, F32),
+                      jnp.full(c_depth.shape, C.SKY_BOOST_GLASS, F32),
+                      jnp.full(c_depth.shape, C.SKY_BOOST_GLASS, F32),
+                      jnp.ones(c_depth.shape, F32))
+    cont_rflags = pick(jnp.where(metal_inside, 0, C.RAYFLAG_SKIP_SELF).astype(I32),
+                       jnp.full(c_depth.shape, C.RAYFLAG_SKIP_SELF, I32),
+                       jnp.zeros(c_depth.shape, I32),
+                       jnp.zeros(c_depth.shape, I32))
+    cont_stype = pick(jnp.where(metal_inside, _INVALID, ch["hit_type"]),
+                      ch["hit_type"],
+                      jnp.full(c_depth.shape, _INVALID, I32),
+                      jnp.full(c_depth.shape, _INVALID, I32))
+    cont_sidx = pick(jnp.where(metal_inside, 0, ch["hit_index"]),
+                     ch["hit_index"], jnp.zeros(c_depth.shape, I32),
+                     jnp.zeros(c_depth.shape, I32))
+
+    # pop for terminal lanes (stalled lanes keep their pending ray)
+    do_pop = ~has_cont & (sn > 0) & ~stalled
+    pop_slot = jnp.clip(sn - 1, 0, stack_slots - 1)
+    popped_f = [jnp.zeros(c_depth.shape, F32) for _ in range(10)]
+    popped_i = [jnp.zeros(c_depth.shape, I32) for _ in range(5)]
+    for slot in range(stack_slots):
+        m = do_pop & (pop_slot == slot)
+        for fi in range(10):
+            popped_f[fi] = jnp.where(m, sf[fi][slot], popped_f[fi])
+        for fi in range(5):
+            popped_i[fi] = jnp.where(m, si[fi][slot], popped_i[fi])
+    sn = sn - do_pop.astype(I32)
+
+    nxt_valid = has_cont | do_pop | stalled
+
+    def merge(cont_v, pop_v, cur_v):
+        nv = jnp.where(do_pop, pop_v, cont_v)
+        # stalled lanes carry their current ray through unchanged
+        return jnp.where(stalled, cur_v, nv)
+
+    cur_next = (
+        nxt_valid,
+        (merge(cont_o[0], popped_f[0], c_o[0]),
+         merge(cont_o[1], popped_f[1], c_o[1]),
+         merge(cont_o[2], popped_f[2], c_o[2])),
+        (merge(cont_d[0], popped_f[3], c_d[0]),
+         merge(cont_d[1], popped_f[4], c_d[1]),
+         merge(cont_d[2], popped_f[5], c_d[2])),
+        merge(cont_depth, popped_i[0], c_depth),
+        (merge(cont_tp[0], popped_f[6], c_tp[0]),
+         merge(cont_tp[1], popped_f[7], c_tp[1]),
+         merge(cont_tp[2], popped_f[8], c_tp[2])),
+        merge(cont_flags, popped_i[1], c_flags),
+        merge(cont_boost, popped_f[9], c_boost),
+        merge(cont_rflags, popped_i[2], c_rflags),
+        merge(cont_stype, popped_i[3], c_stype),
+        merge(cont_sidx, popped_i[4], c_sidx),
+    )
+    return cur_next, sf, si, sn
 
 
 def make_kernel(cfg: RenderConfig, caps):
@@ -1746,7 +1858,7 @@ def make_kernel(cfg: RenderConfig, caps):
 
         def sample_body(s, accs):
             bn = _blue_noise_tile_channels(bn_ref, frame, s, row0)
-            a = _run_sample_k(kk, cfg, xx, yy, frame, s, bn)
+            a, _cur = _run_sample_k(kk, cfg, xx, yy, frame, s, bn)
             return (
                 vadd(accs[0], a["color"]),
                 vadd(accs[1], a["primary"]),
