@@ -134,7 +134,7 @@ def main():
     # 1) headline: scene-carried settings, denoiser off (raw throughput)
     engine = Engine(width, height)
     engine.load_rtvs(SCENE, enable_denoiser=False)
-    backend = _pick_backend(engine._flat)
+    backend = _pick_backend(engine._flat, engine._cfg)
     best_s, mean_rays = _bench_config(engine, engine._cfg, backend, frames)
     mrays = mean_rays / best_s / 1e6
 
@@ -168,7 +168,7 @@ def main():
     # 4) mesh scene (BVH traversal path)
     try:
         mesh_engine = _mesh_engine(width, height)
-        mesh_backend = _pick_backend(mesh_engine._flat)
+        mesh_backend = _pick_backend(mesh_engine._flat, mesh_engine._cfg)
         best_s, mesh_rays = _bench_config(mesh_engine, mesh_engine._cfg,
                                           mesh_backend, frames)
         result["mesh_mrays"] = round(mesh_rays / best_s / 1e6, 3)

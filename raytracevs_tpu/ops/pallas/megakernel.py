@@ -86,6 +86,17 @@ CH_SHADOW_PEN = 29
 CH_SHADOW_DIST = 30
 CH_OBJ_ID = 31  # packed type*65536+index as f32 (exact below 2**24); -1 = sky
 NUM_CH = 32
+# Phase-A extra channels (two-phase renderer): the spawned continuation
+# after one machine iteration — the coherence-sort key source.
+CH_SPAWN_VALID = 32
+CH_SPAWN_O = 33  # 3
+CH_SPAWN_D = 36  # 3
+NUM_CH_A = 39
+# Phase-B output channels (sorted-lane order)
+CHB_COLOR = 0  # 3
+CHB_RAYS = 3
+CHB_BOUNCE = 4
+NUM_CH_B = 5
 
 
 # ---------------------------------------------------------------------------
@@ -1806,15 +1817,82 @@ def _advance_state_k(cur, ch, traced, stalled, sf, si, sn, stack_slots):
     return cur_next, sf, si, sn
 
 
-def make_kernel(cfg: RenderConfig, caps):
+def _merge_sample(accs, a, s):
+    """Fold one sample's accumulator dict into the per-tile channel tuple."""
+    return (
+        vadd(accs[0], a["color"]),
+        vadd(accs[1], a["primary"]),
+        vadd(accs[2], a["diffuse"]),
+        vadd(accs[3], a["specular"]),
+        accs[4] + a["hitdist"],
+        accs[5] + a["bounce"].astype(F32),
+        accs[6] + a["rays"].astype(F32),
+        jnp.where(s == 0, a["svis"], accs[7]),
+        jnp.where(s == 0, a["spen"], accs[8]),
+        jnp.where(s == 0, a["sdist"], accs[9]),
+        # first-hit records across samples (anyHit, RayGen.hlsl:575-587)
+        vwhere(a["phit"] & (accs[16] == 0), a["pnormal"], accs[10]),
+        jnp.where(a["phit"] & (accs[16] == 0), a["prough"], accs[11]),
+        vwhere(a["phit"] & (accs[16] == 0), a["palbedo"], accs[12]),
+        jnp.where(a["phit"] & (accs[16] == 0), a["pmetal"], accs[13]),
+        jnp.where(a["phit"] & (accs[16] == 0), a["ptrans"], accs[14]),
+        vwhere(a["phit"] & (accs[16] == 0), a["ppos"], accs[15]),
+        accs[16] | a["phit"].astype(I32),
+        jnp.where(a["phit"] & (accs[16] == 0), a["pobj"], accs[17]),
+    )
+
+
+def _bind_ks(caps, sph_ref, pln_ref, box_ref, mat_ref, lts_ref, fp_ref, ip_ref,
+             mesh_refs):
+    """Bind scene-table refs + scalar params into the kernel-side KScene."""
+    s_cap, p_cap, b_cap, l_cap = caps[:4]
+
+    class _KS:
+        pass
+
+    kk = _KS()
+    kk.sph, kk.pln, kk.box, kk.mat, kk.lts = sph_ref, pln_ref, box_ref, mat_ref, lts_ref
+    kk.s_cap, kk.p_cap, kk.b_cap, kk.l_cap = s_cap, p_cap, b_cap, l_cap
+    kk.atten_c = fp_ref[0, FP_ATTEN_C]
+    kk.atten_l = fp_ref[0, FP_ATTEN_L]
+    kk.atten_q = fp_ref[0, FP_ATTEN_Q]
+    kk.num_lights = ip_ref[0, IP_NUM_LIGHTS]
+    kk.max_shadow_lights = ip_ref[0, IP_MAX_SHADOW_LIGHTS]
+    kk.shadow_strength = fp_ref[0, FP_SHADOW_STRENGTH]
+    kk.absorb_scale = fp_ref[0, FP_ABSORB_SCALE]
+    kk.cam_pos = (fp_ref[0, FP_CAMPOS], fp_ref[0, FP_CAMPOS + 1], fp_ref[0, FP_CAMPOS + 2])
+    kk.cam_fwd = (fp_ref[0, FP_FWD], fp_ref[0, FP_FWD + 1], fp_ref[0, FP_FWD + 2])
+    kk.cam_right = (fp_ref[0, FP_RIGHT], fp_ref[0, FP_RIGHT + 1], fp_ref[0, FP_RIGHT + 2])
+    kk.cam_up = (fp_ref[0, FP_UP], fp_ref[0, FP_UP + 1], fp_ref[0, FP_UP + 2])
+    kk.tanfov = fp_ref[0, FP_TANFOV]
+    kk.aperture = fp_ref[0, FP_APERTURE]
+    kk.focus = fp_ref[0, FP_FOCUS]
+    kk.i_cap = 0
+    kk.mesh = None
+    if mesh_refs is not None:
+        num_nodes, num_tris, leaf_size, num_inst = caps[4:]
+        kk.mesh = KMesh(mesh_refs[0], mesh_refs[1], mesh_refs[2], mesh_refs[3],
+                        mesh_refs[4], num_nodes, num_tris, leaf_size, num_inst)
+        kk.i_cap = num_inst
+    return kk
+
+
+def make_kernel(cfg: RenderConfig, caps, phase_a: bool = False):
     """Build the tile kernel for static (config, table capacities).
 
     caps = (s, p, b, l) for analytic-only scenes, or
     (s, p, b, l, num_nodes, num_tris, leaf_size, num_inst) with a mesh —
     the mesh variant takes five extra table refs.
+
+    phase_a=True (two-phase renderer, spp==1 only): the DFS runs exactly
+    ONE machine iteration — primary trace, full shade, records, spawn
+    decisions — and the spawned continuation (valid, origin, direction) is
+    written to 7 extra channels for the XLA-side coherence sort.
     """
     s_cap, p_cap, b_cap, l_cap = caps[:4]
     has_mesh = len(caps) > 4
+    if phase_a:
+        assert cfg.samples_per_pixel == 1, "two-phase requires spp == 1"
 
     def kernel(sph_ref, pln_ref, box_ref, mat_ref, lts_ref, fp_ref, ip_ref, bn_ref,
                *rest):
@@ -1827,59 +1905,13 @@ def make_kernel(cfg: RenderConfig, caps):
         yy = row0 + jax.lax.broadcasted_iota(I32, shape, 0)
         xx = col0 + jax.lax.broadcasted_iota(I32, shape, 1)
         frame = ip_ref[0, IP_FRAME]
-
-        class _KS:
-            pass
-
-        kk = _KS()
-        kk.sph, kk.pln, kk.box, kk.mat, kk.lts = sph_ref, pln_ref, box_ref, mat_ref, lts_ref
-        kk.s_cap, kk.p_cap, kk.b_cap, kk.l_cap = s_cap, p_cap, b_cap, l_cap
-        kk.atten_c = fp_ref[0, FP_ATTEN_C]
-        kk.atten_l = fp_ref[0, FP_ATTEN_L]
-        kk.atten_q = fp_ref[0, FP_ATTEN_Q]
-        kk.num_lights = ip_ref[0, IP_NUM_LIGHTS]
-        kk.max_shadow_lights = ip_ref[0, IP_MAX_SHADOW_LIGHTS]
-        kk.shadow_strength = fp_ref[0, FP_SHADOW_STRENGTH]
-        kk.absorb_scale = fp_ref[0, FP_ABSORB_SCALE]
-        kk.cam_pos = (fp_ref[0, FP_CAMPOS], fp_ref[0, FP_CAMPOS + 1], fp_ref[0, FP_CAMPOS + 2])
-        kk.cam_fwd = (fp_ref[0, FP_FWD], fp_ref[0, FP_FWD + 1], fp_ref[0, FP_FWD + 2])
-        kk.cam_right = (fp_ref[0, FP_RIGHT], fp_ref[0, FP_RIGHT + 1], fp_ref[0, FP_RIGHT + 2])
-        kk.cam_up = (fp_ref[0, FP_UP], fp_ref[0, FP_UP + 1], fp_ref[0, FP_UP + 2])
-        kk.tanfov = fp_ref[0, FP_TANFOV]
-        kk.aperture = fp_ref[0, FP_APERTURE]
-        kk.focus = fp_ref[0, FP_FOCUS]
-        kk.i_cap = 0
-        kk.mesh = None
-        if has_mesh:
-            num_nodes, num_tris, leaf_size, num_inst = caps[4:]
-            kk.mesh = KMesh(rest[0], rest[1], rest[2], rest[3], rest[4],
-                            num_nodes, num_tris, leaf_size, num_inst)
-            kk.i_cap = num_inst
+        kk = _bind_ks(caps, sph_ref, pln_ref, box_ref, mat_ref, lts_ref,
+                      fp_ref, ip_ref, rest[:5] if has_mesh else None)
 
         def sample_body(s, accs):
             bn = _blue_noise_tile_channels(bn_ref, frame, s, row0)
             a, _cur = _run_sample_k(kk, cfg, xx, yy, frame, s, bn)
-            return (
-                vadd(accs[0], a["color"]),
-                vadd(accs[1], a["primary"]),
-                vadd(accs[2], a["diffuse"]),
-                vadd(accs[3], a["specular"]),
-                accs[4] + a["hitdist"],
-                accs[5] + a["bounce"].astype(F32),
-                accs[6] + a["rays"].astype(F32),
-                jnp.where(s == 0, a["svis"], accs[7]),
-                jnp.where(s == 0, a["spen"], accs[8]),
-                jnp.where(s == 0, a["sdist"], accs[9]),
-                # first-hit records across samples (anyHit, RayGen.hlsl:575-587)
-                vwhere(a["phit"] & (accs[16] == 0), a["pnormal"], accs[10]),
-                jnp.where(a["phit"] & (accs[16] == 0), a["prough"], accs[11]),
-                vwhere(a["phit"] & (accs[16] == 0), a["palbedo"], accs[12]),
-                jnp.where(a["phit"] & (accs[16] == 0), a["pmetal"], accs[13]),
-                jnp.where(a["phit"] & (accs[16] == 0), a["ptrans"], accs[14]),
-                vwhere(a["phit"] & (accs[16] == 0), a["ppos"], accs[15]),
-                accs[16] | a["phit"].astype(I32),
-                jnp.where(a["phit"] & (accs[16] == 0), a["pobj"], accs[17]),
-            )
+            return _merge_sample(accs, a, s)
 
         init = (
             vzeros(shape), vzeros(shape), vzeros(shape), vzeros(shape),
@@ -1891,7 +1923,14 @@ def make_kernel(cfg: RenderConfig, caps):
             jnp.zeros(shape, I32),
             jnp.full(shape, -1, I32),
         )
-        accs = jax.lax.fori_loop(0, cfg.samples_per_pixel, sample_body, init)
+        if phase_a:
+            s0 = jnp.int32(0)
+            bn = _blue_noise_tile_channels(bn_ref, frame, s0, row0)
+            a, cur1 = _run_sample_k(kk, cfg, xx, yy, frame, s0, bn,
+                                    max_iters_override=1, stack_slots=1)
+            accs = _merge_sample(init, a, s0)
+        else:
+            accs = jax.lax.fori_loop(0, cfg.samples_per_pixel, sample_body, init)
         (color, primary, diffuse, specular, hitdist, bounce, rays,
          svis, spen, sdist, pnormal, prough, palbedo, pmetal, ptrans, ppos, phit,
          pobj) = accs
@@ -1928,6 +1967,79 @@ def make_kernel(cfg: RenderConfig, caps):
         out_ref[CH_SHADOW_PEN, :, :] = spen
         out_ref[CH_SHADOW_DIST, :, :] = sdist
         out_ref[CH_OBJ_ID, :, :] = pobj.astype(F32)
+        if phase_a:
+            out_ref[CH_SPAWN_VALID, :, :] = cur1[0].astype(F32)
+            out_ref[CH_SPAWN_O, :, :] = cur1[1][0]
+            out_ref[CH_SPAWN_O + 1, :, :] = cur1[1][1]
+            out_ref[CH_SPAWN_O + 2, :, :] = cur1[1][2]
+            out_ref[CH_SPAWN_D, :, :] = cur1[2][0]
+            out_ref[CH_SPAWN_D + 1, :, :] = cur1[2][1]
+            out_ref[CH_SPAWN_D + 2, :, :] = cur1[2][2]
+
+    return kernel
+
+
+def make_kernel_b(cfg: RenderConfig, caps):
+    """Phase-B tile kernel: resume sorted continuations (two-phase renderer).
+
+    Lanes are PIXELS in coherence-sorted order (xx/yy/vmask inputs), not
+    screen tiles. The prologue re-derives the pixel's post-primary machine
+    state bit-exactly (same camera ray, intersection, RNG and spawn math as
+    phase A's single iteration — _children_only_k skips only the radiance
+    work that phase A already recorded), then the shared DFS resumes from
+    iteration 1 with the full stack. Output: the subtree's color
+    contribution + ray/bounce counters, in sorted-lane order.
+    """
+    has_mesh = len(caps) > 4
+    assert cfg.samples_per_pixel == 1, "two-phase requires spp == 1"
+
+    def kernel(xx_ref, yy_ref, vm_ref, sph_ref, pln_ref, box_ref, mat_ref,
+               lts_ref, fp_ref, ip_ref, bn_ref, *rest):
+        out_ref = rest[-1]
+        shape = (TILE_H, TILE_W)
+        kk = _bind_ks(caps, sph_ref, pln_ref, box_ref, mat_ref, lts_ref,
+                      fp_ref, ip_ref, rest[:5] if has_mesh else None)
+        frame = ip_ref[0, IP_FRAME]
+        xx = xx_ref[...]
+        yy = yy_ref[...]
+        vm = vm_ref[...] != 0
+
+        for c in range(NUM_CH_B):
+            out_ref[c, :, :] = jnp.zeros(shape, F32)
+
+        # Sorted order puts spawn-less pixels (and padding) in a contiguous
+        # tail, so whole tail tiles skip the prologue and the DFS entirely.
+        @pl.when(jnp.any(vm))
+        def _tile():
+            s0 = jnp.int32(0)
+            dirty, dirty_f, vary_i, vary_f = _dirty_helpers(xx, yy)
+            # Two-phase is gated to aperture==0 scenes (engine._pick_backend),
+            # so the DoF blue-noise channels are never consulted: zeros keep
+            # the (dynamically dead) thin-lens math finite.
+            bn0 = (jnp.full(shape, 0.5, F32), jnp.full(shape, 0.5, F32),
+                   jnp.zeros(shape, F32), jnp.zeros(shape, F32))
+            cur0 = _primary_cur_k(kk, cfg, xx, yy, bn0, vary_i, vary_f)
+            cur0 = (vm,) + cur0[1:]
+            # Iteration-0 budget logic for fresh primaries: never capped
+            # (max_bounces >= 1), never killed (throughput 1, no flags).
+            traced = vm
+            ch, _extra = _children_only_k(kk, cfg, xx, yy, frame, s0, cur0, traced)
+            stalled = jnp.zeros(shape, bool)
+            sf, si = _stack_init_k(shape, cfg, dirty, dirty_f, STACK_DEPTH)
+            sn0 = vary_i(jnp.zeros(shape, I32))
+            cur1, sf, si, sn = _advance_state_k(
+                cur0, ch, traced, stalled, sf, si, sn0, STACK_DEPTH
+            )
+            acc = _fresh_acc(shape, vary_i, vary_f)
+            final = _dfs_from_k(kk, cfg, xx, yy, frame, s0, jnp.int32(1),
+                                cur1, sf, si, sn, acc, _max_iters(cfg),
+                                STACK_DEPTH)
+            acc = final[5]
+            out_ref[CHB_COLOR, :, :] = acc["color"][0]
+            out_ref[CHB_COLOR + 1, :, :] = acc["color"][1]
+            out_ref[CHB_COLOR + 2, :, :] = acc["color"][2]
+            out_ref[CHB_RAYS, :, :] = acc["rays"].astype(F32)
+            out_ref[CHB_BOUNCE, :, :] = acc["bounce"].astype(F32)
 
     return kernel
 
@@ -1936,16 +2048,9 @@ def _cdiv(a, b):
     return -(-a // b)
 
 
-def render_accum_pallas(scene: FlatScene, cfg: RenderConfig, row_start, num_rows: int,
-                        interpret: bool = False):
-    """Run the megakernel over the row slab; returns the 17 accumulators.
-
-    Output arrays are flattened to [num_rows*width] lanes to match the jnp
-    wavefront's accumulator contract (ops/render.py).
-    """
+def _pack_args(scene: FlatScene, cfg: RenderConfig, row_start):
+    """Scene tables + static capacities for a megakernel launch."""
     pack = pack_scene(scene, row_start)
-    grid_h = _cdiv(num_rows, TILE_H)
-    grid_w = _cdiv(cfg.width, TILE_W)
     caps = (scene.sphere_capacity, scene.plane_capacity, scene.box_capacity,
             scene.light_capacity)
     args = [pack.sph, pack.pln, pack.box, pack.mat, pack.lts, pack.fparams,
@@ -1959,24 +2064,13 @@ def render_accum_pallas(scene: FlatScene, cfg: RenderConfig, row_start, num_rows
         args += list(pack_mesh(
             mesh, F32(C.SHADOW_ABSORPTION_THICKNESS) * scene.shadow_absorption_scale
         ))
+    return args, caps
 
-    def table_spec(arr):
-        return pl.BlockSpec(arr.shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM)
 
-    out = pl.pallas_call(
-        make_kernel(cfg, caps),
-        out_shape=jax.ShapeDtypeStruct((NUM_CH, grid_h * TILE_H, grid_w * TILE_W), F32),
-        grid=(grid_h, grid_w),
-        in_specs=[table_spec(a) for a in args],
-        out_specs=pl.BlockSpec(
-            (NUM_CH, TILE_H, TILE_W), lambda i, j: (0, i, j), memory_space=pltpu.VMEM
-        ),
-        interpret=interpret,
-    )(*args)
-
-    # Crop padding and flatten to lanes
-    out = out[:, :num_rows, : cfg.width]
-    n = num_rows * cfg.width
+def _accum_dict(out, num_rows, width):
+    """Flatten the NUM_CH-channel tile output to the accumulator contract."""
+    out = out[:, :num_rows, :width]
+    n = num_rows * width
 
     def ch(i):
         return out[i].reshape(n)
@@ -2004,6 +2098,159 @@ def render_accum_pallas(scene: FlatScene, cfg: RenderConfig, row_start, num_rows
         shadow_dist=ch(CH_SHADOW_DIST),
         obj_id=ch(CH_OBJ_ID).astype(jnp.int32),
     )
+
+
+def render_accum_pallas(scene: FlatScene, cfg: RenderConfig, row_start, num_rows: int,
+                        interpret: bool = False):
+    """Run the megakernel over the row slab; returns the 17 accumulators.
+
+    Output arrays are flattened to [num_rows*width] lanes to match the jnp
+    wavefront's accumulator contract (ops/render.py).
+    """
+    args, caps = _pack_args(scene, cfg, row_start)
+    grid_h = _cdiv(num_rows, TILE_H)
+    grid_w = _cdiv(cfg.width, TILE_W)
+
+    def table_spec(arr):
+        return pl.BlockSpec(arr.shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        make_kernel(cfg, caps),
+        out_shape=jax.ShapeDtypeStruct((NUM_CH, grid_h * TILE_H, grid_w * TILE_W), F32),
+        grid=(grid_h, grid_w),
+        in_specs=[table_spec(a) for a in args],
+        out_specs=pl.BlockSpec(
+            (NUM_CH, TILE_H, TILE_W), lambda i, j: (0, i, j), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(*args)
+
+    return _accum_dict(out, num_rows, cfg.width)
+
+
+_KEY_INVALID = 0x7FFFFFFF
+_TP_KEY_ORDER = os.environ.get("RTVS_TP_KEY", "oct_pos")
+
+
+def _coherence_key(valid, o, d):
+    """Sort key grouping continuations that will walk the same BVH nodes:
+    direction octant (3 bits), then a 21-bit Morton code of the origin
+    quantized to the valid-origin bounding box. Spawn-less lanes get the
+    maximal key so they form a contiguous, skippable tail."""
+    big = jnp.float32(3.0e38)
+    i32 = jnp.int32
+    oct_ = ((d[0] < 0).astype(i32)
+            | ((d[1] < 0).astype(i32) << 1)
+            | ((d[2] < 0).astype(i32) << 2))
+    morton = jnp.zeros_like(oct_)
+    for a in range(3):
+        lo = jnp.min(jnp.where(valid, o[a], big))
+        hi = jnp.max(jnp.where(valid, o[a], -big))
+        rng = jnp.maximum(hi - lo, 1e-4)
+        q = jnp.clip(((o[a] - lo) / rng * 127.0), 0.0, 127.0).astype(i32)
+        for b in range(7):
+            morton = morton | (((q >> b) & 1) << (3 * b + a))
+    if _TP_KEY_ORDER == "pos_oct":
+        key = (morton << 3) | oct_
+    else:
+        key = (oct_ << 21) | morton
+    return jnp.where(valid, key, i32(_KEY_INVALID))
+
+
+def render_accum_pallas_twophase(scene: FlatScene, cfg: RenderConfig, row_start,
+                                 num_rows: int, interpret: bool = False):
+    """Two-phase megakernel: per-pixel records + one machine iteration in
+    screen tiles (phase A), then the spawned continuations regrouped into
+    coherence-sorted tiles and resumed (phase B).
+
+    Same accumulator contract as render_accum_pallas; the split attacks the
+    measured cost structure of glass mesh scenes — packet traversal pays
+    the UNION of a tile's node visits, and secondary bounces from curved
+    glass are incoherent within screen tiles (~45 ms of a 57 ms wine-glass
+    frame). Sorting is XLA-side lax.sort (~2 ms for 2M keys); the pixel
+    coords ride along as sort payloads so no gather is needed, and phase B
+    re-derives the machine state from them bit-exactly instead of paying a
+    wide (slow) gather of exported state.
+    """
+    args, caps = _pack_args(scene, cfg, row_start)
+    grid_h = _cdiv(num_rows, TILE_H)
+    grid_w = _cdiv(cfg.width, TILE_W)
+
+    def table_spec(arr):
+        return pl.BlockSpec(arr.shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM)
+
+    out_a = pl.pallas_call(
+        make_kernel(cfg, caps, phase_a=True),
+        out_shape=jax.ShapeDtypeStruct((NUM_CH_A, grid_h * TILE_H, grid_w * TILE_W), F32),
+        grid=(grid_h, grid_w),
+        in_specs=[table_spec(a) for a in args],
+        out_specs=pl.BlockSpec(
+            (NUM_CH_A, TILE_H, TILE_W), lambda i, j: (0, i, j), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(*args)
+
+    n = num_rows * cfg.width
+    crop = out_a[:, :num_rows, : cfg.width]
+    valid = crop[CH_SPAWN_VALID].reshape(n) > 0.5
+    so = tuple(crop[CH_SPAWN_O + i].reshape(n) for i in range(3))
+    sd = tuple(crop[CH_SPAWN_D + i].reshape(n) for i in range(3))
+    if "skip_b" in _DEBUG_DISABLE:  # perf bisect: phase A cost alone
+        return _accum_dict(out_a[:NUM_CH], num_rows, cfg.width)
+    if "tpsort" in _DEBUG_DISABLE:  # perf bisect: B without regrouping
+        key = jnp.where(valid, 0, jnp.int32(_KEY_INVALID))
+    else:
+        key = _coherence_key(valid, so, sd)
+
+    ii = jnp.arange(n, dtype=jnp.int32)
+    xx_n = ii % cfg.width
+    yy_n = jnp.asarray(row_start, jnp.int32) + ii // cfg.width
+    skey, sxx, syy = jax.lax.sort((key, xx_n, yy_n), num_keys=1)
+    vmask = (skey != _KEY_INVALID).astype(jnp.int32)
+
+    lanes = TILE_H * TILE_W
+    npad = _cdiv(n, lanes) * lanes
+    pad = npad - n
+    if pad:
+        sxx = jnp.pad(sxx, (0, pad))
+        syy = jnp.pad(syy, (0, pad))
+        vmask = jnp.pad(vmask, (0, pad))
+    rows = npad // TILE_W
+    shape2 = (rows, TILE_W)
+
+    def lane_spec():
+        return pl.BlockSpec((TILE_H, TILE_W), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    def table_spec_b(arr):
+        return pl.BlockSpec(arr.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+    out_b = pl.pallas_call(
+        make_kernel_b(cfg, caps),
+        out_shape=jax.ShapeDtypeStruct((NUM_CH_B, rows, TILE_W), F32),
+        grid=(rows // TILE_H,),
+        in_specs=[lane_spec(), lane_spec(), lane_spec()]
+        + [table_spec_b(a) for a in args],
+        out_specs=pl.BlockSpec(
+            (NUM_CH_B, TILE_H, TILE_W), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(sxx.reshape(shape2), syy.reshape(shape2), vmask.reshape(shape2), *args)
+
+    # Restore pixel order: a second sort keyed on the (unique) pixel id.
+    spix = (syy[:n] - jnp.asarray(row_start, jnp.int32)) * cfg.width + sxx[:n]
+    bc = [out_b[c].reshape(npad)[:n] for c in range(NUM_CH_B)]
+    _, r0, r1, r2, rbounce = jax.lax.sort(
+        (spix, bc[CHB_COLOR], bc[CHB_COLOR + 1], bc[CHB_COLOR + 2],
+         bc[CHB_BOUNCE]),
+        num_keys=1,
+    )
+
+    acc = _accum_dict(out_a[:NUM_CH], num_rows, cfg.width)
+    acc["color"] = acc["color"] + jnp.stack([r0, r1, r2], axis=-1)
+    acc["bounce"] = jnp.maximum(acc["bounce"], rbounce)
+    acc["rays"] = acc["rays"] + jnp.sum(out_b[CHB_RAYS])
+    return acc
 
 
 # ---------------------------------------------------------------------------

@@ -149,13 +149,23 @@ def render_rows(scene: FlatScene, cfg: RenderConfig, row_start, num_rows: int,
     (ops/pallas/megakernel.py) — the fast path on real TPUs; "jnp" is the
     portable reference implementation.
     """
-    if backend not in ("jnp", "pallas"):
-        raise ValueError(f"unknown backend {backend!r}; expected 'jnp' or 'pallas'")
+    if backend not in ("jnp", "pallas", "pallas2"):
+        raise ValueError(
+            f"unknown backend {backend!r}; expected 'jnp', 'pallas' or 'pallas2'"
+        )
     n = cfg.width * num_rows
-    if backend == "pallas":
+    if backend in ("pallas", "pallas2"):
         from .pallas import megakernel
 
-        a = megakernel.render_accum_pallas(scene, cfg, row_start, num_rows, interpret)
+        if backend == "pallas2":
+            # Two-phase ray regrouping: screen-tile primaries + records,
+            # then coherence-sorted secondary subtrees (spp==1 scenes).
+            a = megakernel.render_accum_pallas_twophase(
+                scene, cfg, row_start, num_rows, interpret
+            )
+        else:
+            a = megakernel.render_accum_pallas(scene, cfg, row_start, num_rows,
+                                               interpret)
         c = _apply_caustics(
             scene, cfg, row_start, num_rows, backend="pallas", interpret=interpret,
             accs=dict(acc_color=a["color"], acc_primary=a["primary"],

@@ -14,6 +14,7 @@ Example:
 """
 from __future__ import annotations
 
+import os
 import time
 from functools import partial
 from typing import Optional
@@ -73,12 +74,24 @@ def _render_pipeline(scene: FlatScene, cfg: RenderConfig, backend: str, denoise_
     return rgba, hdr, out.rays, out.gbuffer, new_state, denoised
 
 
-def _pick_backend(flat: FlatScene) -> str:
+def _pick_backend(flat: FlatScene, cfg=None) -> str:
     """Megakernel on real TPUs; jnp on CPU and for meshes too big for VMEM.
 
     Mesh scenes use in-kernel packet BVH traversal; the node/triangle
     tables live in VMEM, so very large meshes (tables beyond ~6 MB) fall
     back to the jnp wavefront.
+
+    RTVS_TWOPHASE=1 opts spp==1 glass scenes into the two-phase megakernel
+    ("pallas2"): one machine iteration in screen tiles, then the spawned
+    continuations re-sorted into coherence-grouped tiles and resumed.
+    MEASURED SLOWER on the wine-glass scene (74 vs 56 ms at 1080p, v5e) so
+    it is opt-in: per-walk cost there is dominated by leaf visits whose
+    cross-lane sharing is already near-optimal in spatial screen tiles, so
+    regrouping repartitions walks without reducing the total leaf-visit
+    count, and pays two sorts + a primary re-trace for it. Kept because it
+    is the general activity-compaction machine: workloads whose secondary
+    unions ARE the bottleneck (large meshes, mirror mazes) can enable it
+    per-scene.
     """
     try:
         platform = jax.devices()[0].platform
@@ -90,6 +103,14 @@ def _pick_backend(flat: FlatScene) -> str:
         mesh_bytes = flat.mesh.mk_num_nodes * (8 + 4) * 4 + flat.mesh.mk_num_tris * 24 * 4
         if mesh_bytes > 6 * 1024 * 1024:
             return "jnp"
+    if os.environ.get("RTVS_TWOPHASE", "") == "1" and cfg is not None:
+        two_phase_ok = (
+            cfg.samples_per_pixel == 1
+            and cfg.any_glass
+            and float(flat.aperture_size) <= 1e-3
+        )
+        if two_phase_ok:
+            return "pallas2"
     return "pallas"
 
 
@@ -215,7 +236,8 @@ class Engine:
             return img
         if self._flat is None:
             raise RuntimeError("update_scene() must be called before render()")
-        backend = self.backend if self.backend != "auto" else _pick_backend(self._flat)
+        backend = (self.backend if self.backend != "auto"
+                   else _pick_backend(self._flat, self._cfg))
         if self._cfg.enable_denoiser and self._denoise_state is None:
             from ..post import denoise as denoise_mod
 
