@@ -84,7 +84,7 @@ def _bench_config(engine, cfg, backend, reps, batch=8):
     return best_s, mean_rays
 
 
-def _mesh_engine(width, height):
+def _mesh_engine(width, height, material="glass"):
     import tempfile
 
     import numpy as np
@@ -105,12 +105,16 @@ def _mesh_engine(width, height):
     scene.settings.samples_per_pixel = 1
     scene.settings.max_bounces = 6
     scene.settings.enable_denoiser = False
-    glass = MaterialData(base_color=np.array([0.95, 0.95, 0.95, 1.0]),
-                         transmission=1.0, ior=1.05, roughness=0.1)
+    if material == "glass":
+        mat = MaterialData(base_color=np.array([0.95, 0.95, 0.95, 1.0]),
+                           transmission=1.0, ior=1.05, roughness=0.1)
+    else:  # opaque: pure BVH traversal throughput (no specular path trees)
+        mat = MaterialData(base_color=np.array([0.85, 0.85, 0.9, 1.0]),
+                           roughness=0.4)
     scene.objects += [
         MeshObjectData(mesh_name="WineGlass",
                        transform=Transform(scale=np.array([2.0, 2.0, 2.0])),
-                       material=glass),
+                       material=mat),
         PlaneData(),
     ]
     scene.lights += [
@@ -173,6 +177,14 @@ def main():
                                           mesh_backend, frames)
         result["mesh_mrays"] = round(mesh_rays / best_s / 1e6, 3)
         result["mesh_frame_ms"] = round(best_s * 1000.0, 2)
+        # 4b) opaque mesh: BVH traversal throughput without the glass
+        # path-tree divergence (primary + shadow walks only)
+        op_engine = _mesh_engine(width, height, material="opaque")
+        op_backend = _pick_backend(op_engine._flat, op_engine._cfg)
+        best_s, op_rays = _bench_config(op_engine, op_engine._cfg,
+                                        op_backend, frames)
+        result["mesh_opaque_mrays"] = round(op_rays / best_s / 1e6, 3)
+        result["mesh_opaque_frame_ms"] = round(best_s * 1000.0, 2)
     except Exception as e:  # mesh assets absent: keep the headline metric
         result["mesh_error"] = str(e)[:120]
 

@@ -1872,7 +1872,7 @@ def _bind_ks(caps, sph_ref, pln_ref, box_ref, mat_ref, lts_ref, fp_ref, ip_ref,
     if mesh_refs is not None:
         num_nodes, num_tris, leaf_size, num_inst = caps[4:]
         kk.mesh = KMesh(mesh_refs[0], mesh_refs[1], mesh_refs[2], mesh_refs[3],
-                        mesh_refs[4], num_nodes, num_tris, leaf_size, num_inst)
+                        num_nodes, num_tris, leaf_size, num_inst)
         kk.i_cap = num_inst
     return kk
 
@@ -1906,7 +1906,7 @@ def make_kernel(cfg: RenderConfig, caps, phase_a: bool = False):
         xx = col0 + jax.lax.broadcasted_iota(I32, shape, 1)
         frame = ip_ref[0, IP_FRAME]
         kk = _bind_ks(caps, sph_ref, pln_ref, box_ref, mat_ref, lts_ref,
-                      fp_ref, ip_ref, rest[:5] if has_mesh else None)
+                      fp_ref, ip_ref, rest[:4] if has_mesh else None)
 
         def sample_body(s, accs):
             bn = _blue_noise_tile_channels(bn_ref, frame, s, row0)
@@ -1998,7 +1998,7 @@ def make_kernel_b(cfg: RenderConfig, caps):
         out_ref = rest[-1]
         shape = (TILE_H, TILE_W)
         kk = _bind_ks(caps, sph_ref, pln_ref, box_ref, mat_ref, lts_ref,
-                      fp_ref, ip_ref, rest[:5] if has_mesh else None)
+                      fp_ref, ip_ref, rest[:4] if has_mesh else None)
         frame = ip_ref[0, IP_FRAME]
         xx = xx_ref[...]
         yy = yy_ref[...]
@@ -2287,16 +2287,16 @@ def _tri_hit_plane_k(o, d, g, k, tmin, tmax):
     the leaf loops are VPU-issue-bound, so this is a direct time cut.
     Same u/v/t contract as ops/bvh.py _tri_hit up to rounding; the
     |n.d| > 1e-9 guard equals MT's |det| > 1e-9 (det = -n.d)."""
-    nx_, ny_, nz_ = g[k, 0], g[k, 1], g[k, 2]
+    nx_, ny_, nz_ = _tg(g, k, 0), _tg(g, k, 1), _tg(g, k, 2)
     nd = d[0] * nx_ + d[1] * ny_ + d[2] * nz_
     no = o[0] * nx_ + o[1] * ny_ + o[2] * nz_
     ok = jnp.abs(nd) > 1e-9  # TRIANGLE_CULL_DISABLE: both windings hit
-    t = (g[k, 3] - no) / jnp.where(ok, nd, 1.0)
+    t = (_tg(g, k, 3) - no) / jnp.where(ok, nd, 1.0)
     hx = o[0] + t * d[0]
     hy = o[1] + t * d[1]
     hz = o[2] + t * d[2]
-    u = g[k, 7] + hx * g[k, 4] + hy * g[k, 5] + hz * g[k, 6]
-    v = g[k, 11] + hx * g[k, 8] + hy * g[k, 9] + hz * g[k, 10]
+    u = _tg(g, k, 7) + hx * _tg(g, k, 4) + hy * _tg(g, k, 5) + hz * _tg(g, k, 6)
+    v = _tg(g, k, 11) + hx * _tg(g, k, 8) + hy * _tg(g, k, 9) + hz * _tg(g, k, 10)
     hit = ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t >= tmin) & (t <= tmax)
     return hit, t, u, v, nd
 
@@ -2304,12 +2304,11 @@ def _tri_hit_plane_k(o, d, g, k, tmin, tmax):
 class KMesh:
     """Kernel-side mesh refs + static sizes."""
 
-    def __init__(self, nodes_f, nodes_i, tri_geo, tri_extra, inst_tbl,
+    def __init__(self, nodes_fi, tri_geo, tri_extra, inst_tbl,
                  num_nodes, num_tris, leaf_size, num_inst):
-        self.nodes_f = nodes_f  # [Nn,8]: bbmin3 bbmax3 pad2
-        self.nodes_i = nodes_i  # [Nn,4]: hit_next miss_next tri_start tri_count
-        self.tri_geo = tri_geo  # [T,12]: plane repr n d0 pu pu0 pv pv0
-        self.tri_extra = tri_extra  # [T,12]: n0 n1 n2 inst(asf32) pad2
+        self.nodes_fi = nodes_fi  # [Nn,16]: bbmin3 bbmax3 hit miss ts tc pad6
+        self.tri_geo = tri_geo  # [T/8,128]: 8 tris/row, 12 plane-repr fields each
+        self.tri_extra = tri_extra  # [T/8,128]: 8 tris/row, n0 n1 n2 inst(asf32)
         self.inst_tbl = inst_tbl  # [I,8]: transmission absorb3 beer3 pad
         self.num_nodes = num_nodes
         self.num_tris = num_tris
@@ -2318,28 +2317,44 @@ class KMesh:
 
 
 def _node_row(km, node):
-    nf = km.nodes_f[pl.ds(node, 1), :]  # (1,8)
-    ni = km.nodes_i[pl.ds(node, 1), :]  # (1,4)
+    nf = km.nodes_fi[pl.ds(node, 1), :]  # (1,16)
     bb_lo = (nf[0, 0], nf[0, 1], nf[0, 2])
     bb_hi = (nf[0, 3], nf[0, 4], nf[0, 5])
-    return bb_lo, bb_hi, ni[0, 0], ni[0, 1], ni[0, 2], ni[0, 3]
+    return (bb_lo, bb_hi, nf[0, 6].astype(I32), nf[0, 7].astype(I32),
+            nf[0, 8].astype(I32), nf[0, 9].astype(I32))
 
 
 def _leaf_pad(leaf_size):
     return -(-leaf_size // 8) * 8
 
 
-def _leaf_rows(km, tri_start, extra=False):
-    """Fetch a whole leaf's triangle rows with one aligned block load each.
+def _tg(tbl, k, j):
+    """Field j of triangle k in a dense-packed leaf window (8 tris/row,
+    12 fields each; k and j are Python ints — fully static indexing)."""
+    return tbl[k >> 3, (k & 7) * 12 + j]
 
-    Leaf tri ranges are 8-aligned and padded by construction
-    (ops/bvh.py collapse_leaves align=8), so the dynamic sublane start is
-    provably a multiple of 8 and the over-read rows are in-bounds padding.
+
+def _leaf_rows(km, tri_start, extra=False):
+    """Fetch a whole leaf's dense triangle rows with one aligned block load.
+
+    Leaf tri ranges are 8-aligned (ops/bvh.py collapse_leaves align=8), so
+    a leaf occupies whole 8-tri rows starting at dense row tri_start/8 —
+    but that row index is not itself 8-aligned, and Mosaic requires
+    provably-%8 sublane starts for block loads. So: load the enclosing
+    8-aligned SIXTEEN-row window (covers offset 0..7 plus up to 8 leaf
+    rows = leaf_size 64) and roll the leaf's first row to the top; the
+    per-triangle indexing below the roll is fully static (_tg).
     """
-    base = pl.multiple_of(tri_start, 8)
-    pad = _leaf_pad(km.leaf_size)
-    g = km.tri_geo[pl.ds(base, pad), :]
-    ex = km.tri_extra[pl.ds(base, pad), :] if extra else None
+    r0 = tri_start >> 3
+    w0 = pl.multiple_of((r0 >> 3) << 3, 8)
+    off = r0 - w0  # dynamic, 0..7
+    g = km.tri_geo[pl.ds(w0, 16), :]
+    g = pltpu.roll(g, (16 - off) % 16, axis=0)
+    if extra:
+        ex = km.tri_extra[pl.ds(w0, 16), :]
+        ex = pltpu.roll(ex, (16 - off) % 16, axis=0)
+    else:
+        ex = None
     return g, ex
 
 
@@ -2384,16 +2399,16 @@ def mesh_closest_k(km: KMesh, o, d, tmin, tmax, skip_active, skip_inst):
             (best_t, best_inst, nx, ny, nz, gdot) = carry
             g, exm = _leaf_rows(km, tri_start, extra=True)
             for k in range(km.leaf_size):
-                inst = exm[k, 9].astype(I32)
+                inst = _tg(exm, k, 9).astype(I32)
                 th, tt, tu, tv, nd = _tri_hit_plane_k(o, d, g, k, tmin, best_t)
                 th = th & (lh_i != 0) & (k < tri_count) & (inst != skip_i)
                 better = th & (tt < best_t)
                 best_t = jnp.where(better, tt, best_t)
                 best_inst = jnp.where(better, inst, best_inst)
                 tw = 1.0 - tu - tv
-                nx = jnp.where(better, exm[k, 0] * tw + exm[k, 3] * tu + exm[k, 6] * tv, nx)
-                ny = jnp.where(better, exm[k, 1] * tw + exm[k, 4] * tu + exm[k, 7] * tv, ny)
-                nz = jnp.where(better, exm[k, 2] * tw + exm[k, 5] * tu + exm[k, 8] * tv, nz)
+                nx = jnp.where(better, _tg(exm, k, 0) * tw + _tg(exm, k, 3) * tu + _tg(exm, k, 6) * tv, nx)
+                ny = jnp.where(better, _tg(exm, k, 1) * tw + _tg(exm, k, 4) * tu + _tg(exm, k, 7) * tv, ny)
+                nz = jnp.where(better, _tg(exm, k, 2) * tw + _tg(exm, k, 5) * tu + _tg(exm, k, 8) * tv, nz)
                 # d . n_geo of the winner decides front-face; the
                 # geometric normal itself is never needed (small carry
                 # = less spilled VMEM per node visit)
@@ -2455,7 +2470,7 @@ def mesh_shadow_k(km: KMesh, o, d, max_dist):
             vis, cr, cg, cb, occ, blocked_i = carry
             g, exm = _leaf_rows(km, tri_start, extra=True)
             for k in range(km.leaf_size):
-                inst = exm[k, 9].astype(I32)
+                inst = _tg(exm, k, 9).astype(I32)
                 th, tt, _, _, _ = _tri_hit_plane_k(o, d, g, k, tmin, max_dist)
                 th = th & (lh_i != 0) & (k < tri_count)
                 # Beer factors pre-exponentiated per instance (pack_mesh)
@@ -2518,7 +2533,7 @@ def mesh_thickness_k(km: KMesh, o, d, inst_id, active=None):
         def leaf_tests(best_t):
             g, exm = _leaf_rows(km, tri_start, extra=True)
             for k in range(km.leaf_size):
-                inst = exm[k, 9].astype(I32)
+                inst = _tg(exm, k, 9).astype(I32)
                 th, tt, _, _, _ = _tri_hit_plane_k(o, d, g, k, tmin, best_t)
                 th = th & (lh_i != 0) & (k < tri_count) & (inst == inst_id)
                 best_t = jnp.where(th & (tt < best_t), tt, best_t)
@@ -2549,17 +2564,34 @@ def pack_mesh(mesh, shadow_absorb_scale=None) -> tuple:
 
     nn = mesh.mk_num_nodes
     nt = mesh.mk_num_tris
-    nodes_f = jnp.zeros((nn, 8), F32)
-    nodes_f = nodes_f.at[:, 0:3].set(mesh.mk_bbox_min).at[:, 3:6].set(mesh.mk_bbox_max)
-    nodes_i = jnp.stack(
-        [mesh.mk_hit_next, mesh.mk_miss_next, mesh.mk_tri_start, mesh.mk_tri_count],
-        axis=1,
-    ).astype(I32)
+    # One 16-lane row per node: bbmin3 bbmax3 hit miss tstart tcount pad6
+    # (links stored as f32 — exact below 2**24). Fusing the f32/i32 tables
+    # halves node VMEM (Mosaic pads the lane dim to 128 either way) and
+    # makes each node visit one load instead of two.
+    nodes_fi = jnp.zeros((nn, 16), F32)
+    nodes_fi = (nodes_fi.at[:, 0:3].set(mesh.mk_bbox_min)
+                .at[:, 3:6].set(mesh.mk_bbox_max)
+                .at[:, 6].set(mesh.mk_hit_next.astype(F32))
+                .at[:, 7].set(mesh.mk_miss_next.astype(F32))
+                .at[:, 8].set(mesh.mk_tri_start.astype(F32))
+                .at[:, 9].set(mesh.mk_tri_count.astype(F32)))
     tri_geo = bvh_mod._plane_table(mesh.mk_v0, mesh.mk_edge1, mesh.mk_edge2)
     tri_extra = jnp.zeros((nt, 12), F32)
     tri_extra = (tri_extra.at[:, 0:3].set(mesh.mk_n0).at[:, 3:6].set(mesh.mk_n1)
                  .at[:, 6:9].set(mesh.mk_n2)
                  .at[:, 9].set(mesh.mk_inst.astype(F32)))
+    # Dense-pack 8 triangles per 128-lane row (12 fields each, 96 lanes
+    # used): the naive [T,12] layout pads every row to 128 lanes in VMEM —
+    # an 8x waste that was the real ceiling on megakernel mesh size.
+    # Leaf ranges are 8-aligned (bvh collapse align=8), so a leaf's
+    # triangles occupy whole rows; _leaf_rows fetches an 8-row-aligned
+    # 16-row window and rolls the leaf to the top.
+    rt = -(-nt // 8)
+    rt_pad = -(-max(rt, 1) // 8) * 8 + 16
+    tri_geo = jnp.pad(tri_geo, ((0, rt * 8 - nt), (0, 0))).reshape(rt, 96)
+    tri_geo = jnp.pad(tri_geo, ((0, rt_pad - rt), (0, 32)))
+    tri_extra = jnp.pad(tri_extra, ((0, rt * 8 - nt), (0, 0))).reshape(rt, 96)
+    tri_extra = jnp.pad(tri_extra, ((0, rt_pad - rt), (0, 32)))
     ni = mesh.inst_transmission.shape[0]
     inst_tbl = jnp.zeros((max(ni, 1), 8), F32)
     inst_tbl = (inst_tbl.at[:ni, 0].set(mesh.inst_transmission)
@@ -2570,4 +2602,11 @@ def pack_mesh(mesh, shadow_absorb_scale=None) -> tuple:
     beer = jnp.where(has_ab, jnp.exp(-mesh.inst_absorption * shadow_absorb_scale),
                      1.0)
     inst_tbl = inst_tbl.at[:ni, 4:7].set(beer)
-    return nodes_f, nodes_i, tri_geo, tri_extra, inst_tbl
+    return nodes_fi, tri_geo, tri_extra, inst_tbl
+
+
+def mesh_table_bytes(num_nodes: int, num_tris: int) -> int:
+    """Physical VMEM footprint of the pack_mesh tables (dense layout):
+    nodes [Nn,16] tile-padded to 128 lanes -> 512 B/node; each tri table
+    packs 8 triangles per 128-lane row -> 64 B/tri, two tables."""
+    return num_nodes * 512 + num_tris * 128

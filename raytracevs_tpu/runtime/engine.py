@@ -100,8 +100,9 @@ def _pick_backend(flat: FlatScene, cfg=None) -> str:
     if platform == "cpu":
         return "jnp"
     if flat.mesh is not None:
-        mesh_bytes = flat.mesh.mk_num_nodes * (8 + 4) * 4 + flat.mesh.mk_num_tris * 24 * 4
-        if mesh_bytes > 6 * 1024 * 1024:
+        from ..ops.pallas.megakernel import mesh_table_bytes
+
+        if mesh_table_bytes(flat.mesh.mk_num_nodes, flat.mesh.mk_num_tris) > 6 * 1024 * 1024:
             return "jnp"
     if os.environ.get("RTVS_TWOPHASE", "") == "1" and cfg is not None:
         two_phase_ok = (
