@@ -671,6 +671,9 @@ def traverse_shadow(mesh: MeshArrays, o, d, max_dist, absorb_scale=1.0,
 
     def body(carry):
         step, node, vis, color, occ, blocked = carry
+        # Opaque hits END the search (AcceptHitAndEndSearch,
+        # AnyHit_Shadow.hlsl:44-49,76-81): a blocked lane's walk terminates.
+        node = jnp.where(blocked, _END, node)
         live = node != _END
         ni = jnp.clip(node, 0, mesh.num_nodes - 1)
         box_hit = live & _ray_aabb(o, inv_d, mesh.bbox_min[ni], mesh.bbox_max[ni], tmin, max_dist)

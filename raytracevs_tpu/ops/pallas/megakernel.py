@@ -2462,6 +2462,11 @@ def mesh_shadow_k(km: KMesh, o, d, max_dist):
         node, vis, cr, cg, cb, occ, blocked_i = c
         bb_lo, bb_hi, hit_next, miss_next, tri_start, tri_count = _node_row(km, node)
         lane_hit = _ray_aabb_k(o, inv_d, bb_lo, bb_hi, tmin, max_dist)
+        # Opaque hits END the search (AcceptHitAndEndSearch,
+        # AnyHit_Shadow.hlsl:44-49,76-81): blocked lanes stop steering the
+        # packet and stop accumulating — the whole walk exits once every
+        # shadowed lane is blocked.
+        lane_hit = lane_hit & (blocked_i == 0)
         any_hit = jnp.any(lane_hit)
         is_leaf = tri_count > 0
         lh_i = lane_hit.astype(I32)

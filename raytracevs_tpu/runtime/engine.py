@@ -78,7 +78,7 @@ def _pick_backend(flat: FlatScene, cfg=None) -> str:
     """Megakernel on real TPUs; jnp on CPU and for meshes too big for VMEM.
 
     Mesh scenes use in-kernel packet BVH traversal; the node/triangle
-    tables live in VMEM, so very large meshes (tables beyond ~6 MB) fall
+    tables live in VMEM, so very large meshes (tables beyond ~12 MB) fall
     back to the jnp wavefront.
 
     RTVS_TWOPHASE=1 opts spp==1 glass scenes into the two-phase megakernel
@@ -102,7 +102,10 @@ def _pick_backend(flat: FlatScene, cfg=None) -> str:
     if flat.mesh is not None:
         from ..ops.pallas.megakernel import mesh_table_bytes
 
-        if mesh_table_bytes(flat.mesh.mk_num_nodes, flat.mesh.mk_num_tris) > 6 * 1024 * 1024:
+        # Budget probed on v5e (16 MB VMEM): a 60k-tri glass mesh with
+        # 12.5 MB of dense tables compiles and runs alongside the full
+        # 8-deep spawn stacks; 12 MB (~58k tris) keeps a safety margin.
+        if mesh_table_bytes(flat.mesh.mk_num_nodes, flat.mesh.mk_num_tris) > 12 * 1024 * 1024:
             return "jnp"
     if os.environ.get("RTVS_TWOPHASE", "") == "1" and cfg is not None:
         two_phase_ok = (
