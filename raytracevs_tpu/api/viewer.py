@@ -92,6 +92,12 @@ class ViewerState:
         self.overrides = dict(overrides or {})
         self.backend = backend
         self.lock = threading.Lock()
+        # Serializes key-command handling: ThreadingHTTPServer runs each
+        # request on its own thread, and cmd() stops/reloads/starts the
+        # engine — two concurrent keystrokes must not interleave that.
+        # Separate from self.lock (frame buffer): cmd holds cmd_lock while
+        # loop.stop() joins the worker, whose on_frame takes self.lock.
+        self.cmd_lock = threading.Lock()
         self.frame_png: bytes = b""
         self.render_ms = 0.0
         self.fps = 0.0
@@ -140,6 +146,10 @@ class ViewerState:
 
     # -- commands (the key handlers) ----------------------------------------
     def cmd(self, op: str, args: dict) -> dict:
+        with self.cmd_lock:
+            return self._cmd(op, args)
+
+    def _cmd(self, op: str, args: dict) -> dict:
         if op == "photon":
             # P-key cycle (RenderWindow.xaml.cs:628): advance mode 0-12.
             # The engine is single-threaded: pause the worker around the

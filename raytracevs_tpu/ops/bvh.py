@@ -197,10 +197,23 @@ class BLASCache:
         self.build_count = 0  # SAH builds performed (tests assert on this)
 
     def get(self, name: str, cached_mesh, leaf_size: int = None) -> "BuiltBVH":
+        import zlib
+
         if leaf_size is None:
             leaf_size = LEAF_SIZE  # read the module global at call time
-        blas = self._cache.get(name)
-        if blas is None:
+        # Content fingerprint guards against the same mesh NAME mapping to
+        # different geometry across a long-lived engine session (mesh file
+        # edited on disk, mesh_service swapped): a name-only key would
+        # silently serve the stale BLAS. crc32 over the raw arrays is
+        # ~0.3 ms for the wine glass — negligible next to a scene update.
+        pos_a = np.ascontiguousarray(cached_mesh.positions)
+        nrm_a = np.ascontiguousarray(cached_mesh.normals)
+        idx = np.ascontiguousarray(cached_mesh.indices)
+        fp = (pos_a.size, idx.size, zlib.crc32(pos_a.tobytes()),
+              zlib.crc32(nrm_a.tobytes()), zlib.crc32(idx.tobytes()),
+              leaf_size)
+        entry = self._cache.get(name)
+        if entry is None or entry[0] != fp:
             pos = np.asarray(cached_mesh.positions, np.float32)
             nrm = np.asarray(cached_mesh.normals, np.float32)
             tris = np.asarray(cached_mesh.indices).reshape(-1, 3).astype(np.int64)
@@ -210,8 +223,8 @@ class BLASCache:
                 np.zeros(len(tris), np.int32), leaf_size=leaf_size,
             )
             self.build_count += 1
-            self._cache[name] = blas
-        return blas
+            self._cache[name] = (fp, blas)  # one entry per name: bounded
+        return self._cache[name][1]
 
 
 def transform_blas(b: BuiltBVH, m4: np.ndarray, inst_index: int) -> BuiltBVH:
@@ -276,6 +289,13 @@ def collapse_leaves(b: BuiltBVH, max_leaf: int, align: int = 8) -> BuiltBVH:
     Pallas walk can then fetch a whole leaf with one aligned block load
     instead of one dynamic slice per triangle.
     """
+    if max_leaf > 64:
+        raise ValueError(
+            f"leaf size {max_leaf} > 64: the Pallas leaf fetch loads a fixed "
+            "16-row dense window (8 tris/row), which covers a dynamic row "
+            "offset of 0..7 plus at most 8 leaf rows (megakernel._leaf_rows); "
+            "larger leaves would silently wrap onto the wrong triangles"
+        )
     n = len(b.bbox_min)
     out_min, out_max = [], []
     out_hit, out_miss, out_start, out_count = [], [], [], []

@@ -248,7 +248,7 @@ def denoise_frame(gbuffer, height: int, width: int, state: DenoiserState,
     (tile-quantized reprojection; ~30x faster at 1080p); the jnp path is
     the semantic oracle and the CPU/fallback path.
     """
-    if backend == "pallas":
+    if backend in ("pallas", "pallas2"):
         from ..ops.pallas import denoise_kernels as dk
 
         if dk.reproject_supported(height, width) and dk.stencil_supported(height, width):

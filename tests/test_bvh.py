@@ -155,6 +155,24 @@ def test_blas_cache_skips_sah_on_transform_edit():
     assert (v0 >= lo - 1e-4).all() and (v0 <= hi + 1e-4).all()
 
 
+def test_blas_cache_rebuilds_on_content_change():
+    """Same mesh NAME, different geometry -> the cache must rebuild, not
+    serve the stale BLAS (content fingerprint, not name-only keying)."""
+    mesh_a = _quad_mesh()
+    pos_b = mesh_a.positions.copy()
+    pos_b[:, 0] *= 3.0  # stretched quad under the same name
+    mesh_b = _FakeMesh(pos_b, mesh_a.normals, mesh_a.indices)
+
+    cache = bvh.BLASCache()
+    blas_a = cache.get("Quad", mesh_a)
+    assert cache.build_count == 1
+    assert cache.get("Quad", mesh_a) is blas_a  # unchanged content: cache hit
+    assert cache.build_count == 1
+    blas_b = cache.get("Quad", mesh_b)
+    assert cache.build_count == 2  # content changed: rebuilt
+    assert float(blas_b.bbox_max[0][0]) > float(blas_a.bbox_max[0][0]) + 1.0
+
+
 def test_multi_instance_forest_traversal():
     """Two instances of the same mesh chain into one traversable forest and
     both are hit at their transformed locations."""
