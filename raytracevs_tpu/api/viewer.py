@@ -18,6 +18,13 @@ Keys (in the browser):
     0-9      composite debug mode (0 = off)
     r        reset temporal history
     [ / ]    cycle resolution presets
+    u / y    undo / redo property edits
+
+The side panel is the property-editor analog (NodeEditorView property
+panel + PropertyCommands): it lists the scene's node graph, lets you edit
+any node's .rtvs-shaped properties as JSON while the scene renders, and
+applies them through the undoable command stack (scene/commands.py);
+"save .rtvs" writes the edited graph back with save_graph.
 """
 from __future__ import annotations
 
@@ -34,20 +41,49 @@ RESOLUTIONS = [(640, 360), (1280, 720), (1920, 1080)]
 
 _PAGE = """<!DOCTYPE html>
 <html><head><title>raytracevs_tpu viewer</title><style>
-body { background:#111; color:#ddd; font:13px monospace; margin:0; }
+body { background:#111; color:#ddd; font:13px monospace; margin:0;
+       display:flex; flex-direction:column; height:100vh; }
 #bar { padding:6px 10px; background:#1c1c1c; }
-#view { display:block; margin:0 auto; image-rendering:pixelated; }
+#main { display:flex; flex:1; min-height:0; }
+#view { display:block; margin:0 auto; image-rendering:pixelated;
+        max-width:100%; max-height:100%; object-fit:contain; }
+#vwrap { flex:1; overflow:hidden; text-align:center; }
+#panel { width:340px; background:#181818; overflow-y:auto; padding:8px;
+         border-left:1px solid #333; }
+#panel h4 { margin:8px 0 4px; color:#8cf; }
+.node { cursor:pointer; padding:2px 4px; border-radius:3px; }
+.node:hover { background:#262626; }
+.node.sel { background:#234; }
+textarea { width:100%; height:150px; background:#0d0d0d; color:#cfc;
+           font:12px monospace; border:1px solid #333; }
+button { background:#333; color:#ddd; border:1px solid #555;
+         border-radius:3px; margin:2px; cursor:pointer; }
 kbd { background:#333; padding:1px 5px; border-radius:3px; }
 </style></head><body>
 <div id="bar">connecting…</div>
-<img id="view" alt="render">
+<div id="main">
+  <div id="vwrap"><img id="view" alt="render"></div>
+  <div id="panel">
+    <div>
+      <button onclick="cmd('op=undo')">undo</button>
+      <button onclick="cmd('op=redo')">redo</button>
+      <button onclick="cmd('op=save')">save .rtvs</button>
+      <button onclick="loadGraph()">refresh</button>
+    </div>
+    <h4>nodes</h4><div id="nodes"></div>
+    <h4 id="seltitle"></h4>
+    <textarea id="props" style="display:none" spellcheck="false"></textarea>
+    <button id="apply" style="display:none" onclick="applyProps()">apply</button>
+    <h4>connections</h4><div id="conns" style="color:#888"></div>
+  </div>
+</div>
 <div id="bar2" style="padding:6px 10px">
 <kbd>p</kbd> photon debug &nbsp; <kbd>0-9</kbd> debug view &nbsp;
 <kbd>r</kbd> reset history &nbsp; <kbd>[</kbd>/<kbd>]</kbd> resolution</div>
 <script>
 const img = document.getElementById('view');
 const bar = document.getElementById('bar');
-let busy = false;
+let busy = false, selId = null, graph = null;
 async function tick() {
   if (!busy) {
     busy = true;
@@ -71,15 +107,51 @@ async function tick() {
   setTimeout(tick, 100);
 }
 tick();
+async function cmd(q) { await fetch('/cmd?' + q); loadGraph(); }
+async function loadGraph() {
+  graph = await (await fetch('/graph')).json();
+  const list = document.getElementById('nodes');
+  list.innerHTML = '';
+  for (const n of graph.nodes) {
+    const d = document.createElement('div');
+    d.className = 'node' + (n.id === selId ? ' sel' : '');
+    d.textContent = `${n.title}  (${n.type})`;
+    d.onclick = () => selectNode(n.id);
+    list.appendChild(d);
+  }
+  document.getElementById('conns').innerHTML =
+    graph.connections.map(c => `${c.from} → ${c.to}`).join('<br>');
+  if (selId) showProps();
+}
+function selectNode(id) { selId = id; loadGraph(); showProps(); }
+function showProps() {
+  const n = graph.nodes.find(n => n.id === selId);
+  if (!n) return;
+  document.getElementById('seltitle').textContent = 'edit: ' + n.title;
+  const ta = document.getElementById('props');
+  ta.style.display = 'block';
+  ta.value = JSON.stringify(n.properties, null, 1);
+  document.getElementById('apply').style.display = 'inline';
+}
+async function applyProps() {
+  const ta = document.getElementById('props');
+  try { JSON.parse(ta.value); } catch (e) { alert('bad JSON: ' + e); return; }
+  await cmd('op=setprop&node=' + selId +
+            '&props=' + encodeURIComponent(ta.value));
+}
 document.addEventListener('keydown', (e) => {
+  if (e.target.tagName === 'TEXTAREA') return;  // typing in the editor
   let q = null;
   if (e.key === 'p' || e.key === 'P') q = 'op=photon';
   else if (e.key >= '0' && e.key <= '9') q = 'op=debug&mode=' + e.key;
   else if (e.key === 'r' || e.key === 'R') q = 'op=reset';
   else if (e.key === '[') q = 'op=res&dir=-1';
   else if (e.key === ']') q = 'op=res&dir=1';
-  if (q) fetch('/cmd?' + q);
+  else if (e.key === 'u' || e.key === 'U') q = 'op=undo';
+  else if (e.key === 'y' || e.key === 'Y') q = 'op=redo';
+  if (q) cmd(q);
 });
+loadGraph();
 </script></body></html>"""
 
 
@@ -107,7 +179,21 @@ class ViewerState:
         self._last_frame_t = None
         self.engine = None
         self.loop = None
+        self.graph = None
+        from ..scene.commands import CommandManager
+
+        self.cmds = CommandManager()
         self._start_engine(width, height)
+
+    def _push_scene(self) -> None:
+        """Evaluate the in-memory graph and hand the result to the engine."""
+        from ..scene.evaluator import evaluate_scene
+
+        ov = dict(self.overrides)
+        ov["photon_debug_mode"] = self.photon_debug_mode
+        if self.photon_debug_mode > 0:
+            ov["enable_caustics"] = True
+        self.engine.update_scene(evaluate_scene(self.graph), **ov)
 
     # -- engine lifecycle ---------------------------------------------------
     def _start_engine(self, width: int, height: int) -> None:
@@ -118,9 +204,12 @@ class ViewerState:
         if self.loop is not None:
             self.loop.stop()
         self.engine = Engine(width, height, backend=self.backend)
-        ov = dict(self.overrides)
-        ov["photon_debug_mode"] = self.photon_debug_mode
-        self.engine.load_rtvs(self.scene_path, **ov)
+        if self.graph is None:
+            # Load the node graph ONCE; every later rebuild (key commands,
+            # property edits, undo/redo) re-evaluates the in-memory graph so
+            # edits survive photon toggles and resolution switches.
+            self.graph = self.engine.load_rtvs_graph(self.scene_path)
+        self._push_scene()
 
         def on_frame(frame: np.ndarray, ms: float) -> None:
             # runs on the render worker; debug views render here too so the
@@ -149,21 +238,42 @@ class ViewerState:
         with self.cmd_lock:
             return self._cmd(op, args)
 
+    def _rebuild(self) -> None:
+        # The engine is single-threaded: pause the worker around the scene
+        # rebuild, exactly like the reference rebuilds pipeline state on
+        # the UI thread.
+        self.loop.stop()
+        self._push_scene()
+        self.loop.start()
+        self.loop.request_frame()
+
     def _cmd(self, op: str, args: dict) -> dict:
         if op == "photon":
             # P-key cycle (RenderWindow.xaml.cs:628): advance mode 0-12.
-            # The engine is single-threaded: pause the worker around the
-            # scene reload, exactly like the reference rebuilds its
-            # pipeline state on the UI thread.
             self.photon_debug_mode = (self.photon_debug_mode + 1) % 13
-            ov = dict(self.overrides)
-            ov["photon_debug_mode"] = self.photon_debug_mode
-            if self.photon_debug_mode > 0:
-                ov["enable_caustics"] = True
-            self.loop.stop()
-            self.engine.load_rtvs(self.scene_path, **ov)
-            self.loop.start()
-            self.loop.request_frame()
+            self._rebuild()
+        elif op == "setprop":
+            # Property-panel edit: .rtvs-shaped properties, undoable
+            # (PropertyCommands + CommandManager, like the editor).
+            import uuid
+
+            from ..scene.commands import ApplyPropertiesCommand
+
+            node_id = uuid.UUID(args.get("node", [""])[0])
+            props = json.loads(args.get("props", ["{}"])[0])
+            node = next(n for n in self.graph.nodes if n.id == node_id)
+            self.cmds.execute(ApplyPropertiesCommand(node, props))
+            self._rebuild()
+        elif op == "undo":
+            if self.cmds.undo():
+                self._rebuild()
+        elif op == "redo":
+            if self.cmds.redo():
+                self._rebuild()
+        elif op == "save":
+            from ..scene.rtvs import save_graph
+
+            save_graph(self.graph, self.scene_path)
         elif op == "debug":
             self.debug_mode = max(0, min(10, int(args.get("mode", ["0"])[0])))
             self.loop.request_frame()
@@ -179,6 +289,32 @@ class ViewerState:
             w, h = RESOLUTIONS[(idx + d) % len(RESOLUTIONS)]
             self._start_engine(w, h)
         return self.status()
+
+    def graph_json(self) -> dict:
+        """Node-graph snapshot for the editor panel (.rtvs property shapes)."""
+        from ..scene.rtvs import _serialize_properties
+
+        with self.cmd_lock:
+            return {
+                "nodes": [
+                    {
+                        "id": str(n.id),
+                        "type": n.type_name,
+                        "title": n.title,
+                        "properties": _serialize_properties(n),
+                    }
+                    for n in self.graph.nodes
+                ],
+                "connections": [
+                    {
+                        "from": f"{c.output_node.title}.{c.output_socket.name}",
+                        "to": f"{c.input_node.title}.{c.input_socket.name}",
+                    }
+                    for c in self.graph.connections
+                ],
+                "can_undo": self.cmds.can_undo,
+                "can_redo": self.cmds.can_redo,
+            }
 
     def status(self) -> dict:
         with self.lock:
@@ -223,6 +359,9 @@ def make_server(state: ViewerState, port: int = 8173) -> ThreadingHTTPServer:
                 elif url.path == "/status":
                     self._send(200, "application/json",
                                json.dumps(state.status()).encode())
+                elif url.path == "/graph":
+                    self._send(200, "application/json",
+                               json.dumps(state.graph_json()).encode())
                 elif url.path == "/cmd":
                     q = parse_qs(url.query)
                     op = q.get("op", [""])[0]

@@ -182,8 +182,18 @@ class Engine:
         self._cfg = make_config(clean, self.width, self.height, **config_overrides)
         self._prev_view_proj = np.asarray(self._flat.view_proj)
 
-    def load_rtvs(self, path: str, **config_overrides) -> None:
+    def load_rtvs(self, path: str, **config_overrides):
         """Convenience: load a .rtvs file and update the scene.
+
+        Returns the loaded NodeGraph so callers that keep editing it (the
+        viewer's property panel) can re-evaluate and push updates.
+        """
+        graph = self.load_rtvs_graph(path)
+        self.update_scene(evaluate_scene(graph), **config_overrides)
+        return graph
+
+    def load_rtvs_graph(self, path: str):
+        """Load a .rtvs node graph WITHOUT updating the scene.
 
         FBX mesh names resolve against Resource/Model next to the scene file
         (the reference scans the application's Resource/Model directory,
@@ -210,8 +220,7 @@ class Engine:
                         pass
                     break
         resolver = self.mesh_service.get_mesh if self.mesh_service is not None else None
-        graph = load_graph(path, mesh_resolver=resolver)
-        self.update_scene(evaluate_scene(graph), **config_overrides)
+        return load_graph(path, mesh_resolver=resolver)
 
     # -- rendering --------------------------------------------------------
     def _sentinel(self, rgb) -> np.ndarray:

@@ -120,6 +120,35 @@ class SetPropertyCommand(EditorCommand):
         self.node.set_property(self.attr, self._old)
 
 
+class ApplyPropertiesCommand(EditorCommand):
+    """Undoable .rtvs-shaped property edit — the property-panel analog.
+
+    Takes properties in the same JSON shape the .rtvs file uses
+    (SceneFileService.cs:308-560), so the viewer's editor speaks the
+    serialization contract rather than raw Python attributes. Undo restores
+    the node's full serialized snapshot."""
+
+    def __init__(self, node: Node, props: dict):
+        self.node = node
+        self.props = dict(props)
+        self.description = f"edit {node.title}"
+        self._old: dict = None
+
+    def execute(self) -> None:
+        from .rtvs import _apply_properties, _serialize_properties
+
+        if self._old is None:
+            self._old = _serialize_properties(self.node)
+        _apply_properties(self.node, self.props)
+        self.node.mark_dirty()
+
+    def undo(self) -> None:
+        from .rtvs import _apply_properties
+
+        _apply_properties(self.node, self._old)
+        self.node.mark_dirty()
+
+
 class CompositeCommand(EditorCommand):
     """CompositeCommand.cs analog: group of commands as one undo step."""
 

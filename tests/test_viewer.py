@@ -93,3 +93,46 @@ def test_viewer_status_fields(viewer):
     for key in ("fps", "render_ms", "frames", "debug_mode", "photon_debug_mode",
                 "backend", "rays"):
         assert key in s
+
+
+def test_viewer_graph_editor_roundtrip(viewer):
+    """The property-panel flow: /graph lists nodes, setprop edits through
+    the undoable command stack, undo restores the original value."""
+    import urllib.parse
+
+    state, port = viewer
+    _wait_for_frame(port)
+
+    code, body = _get(port, "/graph")
+    g = json.loads(body)
+    assert code == 200 and g["nodes"] and g["connections"]
+    # Camera FieldOfView is property-driven in the sample scene (Position
+    # and LookAt arrive through sockets, which would shadow property edits
+    # -- the editor contract).
+    cam = next(n for n in g["nodes"] if n["type"] == "CameraNode")
+    old_fov = float(cam["properties"]["FieldOfView"])
+    new_fov = old_fov + 10.0
+
+    props = urllib.parse.quote(json.dumps({"FieldOfView": new_fov}))
+    _get(port, f"/cmd?op=setprop&node={cam['id']}&props={props}")
+    g2 = json.loads(_get(port, "/graph")[1])
+    c2 = next(n for n in g2["nodes"] if n["id"] == cam["id"])
+    assert float(c2["properties"]["FieldOfView"]) == new_fov
+    assert g2["can_undo"]
+    # the engine scene picked the edit up (re-evaluated graph)
+    assert abs(float(state.engine._scene.camera.field_of_view) - new_fov) < 1e-6
+
+    _get(port, "/cmd?op=undo")
+    g3 = json.loads(_get(port, "/graph")[1])
+    c3 = next(n for n in g3["nodes"] if n["id"] == cam["id"])
+    assert float(c3["properties"]["FieldOfView"]) == old_fov
+    assert g3["can_redo"]
+    assert abs(float(state.engine._scene.camera.field_of_view) - old_fov) < 1e-6
+
+    # edits survive a resolution switch (the graph is the source of truth)
+    _get(port, "/cmd?op=redo")
+    _get(port, "/cmd?op=res&dir=1")
+    g4 = json.loads(_get(port, "/graph")[1])
+    c4 = next(n for n in g4["nodes"] if n["id"] == cam["id"])
+    assert float(c4["properties"]["FieldOfView"]) == new_fov
+    _get(port, "/cmd?op=undo")
