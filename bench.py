@@ -169,6 +169,16 @@ def main():
     result["fast_fps"] = round(1.0 / best_s, 2)
     result["fast_mrays"] = round(fast_rays / best_s / 1e6, 3)
 
+    # 3b) resolution scaling of the interactive config — BASELINE.md's FPS
+    # table rows (README.md:304-307: 60+ @720p, 30-60 @1080p, 15-30 @1440p)
+    for label, (rw, rh) in (("720p", (1280, 720)), ("1440p", (2560, 1440))):
+        eng_r = Engine(rw, rh)
+        eng_r.load_rtvs(SCENE, enable_denoiser=True, samples_per_pixel=1,
+                        max_bounces=5)
+        b_r = _pick_backend(eng_r._flat, eng_r._cfg)
+        best_s, _ = _bench_config(eng_r, eng_r._cfg, b_r, max(2, frames // 2))
+        result[f"fast_fps_{label}"] = round(1.0 / best_s, 2)
+
     # 4) mesh scene (BVH traversal path)
     try:
         mesh_engine = _mesh_engine(width, height)

@@ -263,13 +263,19 @@ def reproject_accumulate(packed_state, curr, motion, view_z, interpret: bool = F
 # ---------------------------------------------------------------------------
 def _stencil_sizes(height: int, width: int, halo: int):
     # full-width row bands: per-program DMA count is the stencil's cost on
-    # TPU (compute is trivial), so fetch 3 bands instead of 9 tiles
-    th = 16
-    if height % th or width % 128 or height < 2 * th:
+    # TPU (compute is trivial), so fetch 3 bands instead of 9 tiles.
+    # The 3-band window's VMEM footprint scales with th*(width+2*padx);
+    # measured anchor: th=16 at 2560-wide (wp=2816) allocates 19.68 MB and
+    # OOMs the 16 MB budget, so wide frames (1440p/4K) drop to th=8 bands.
+    if width % 128:
         return None
-    if halo > th or halo > 128:
-        return None
-    return th, width
+    wp = width + 2 * _STENCIL_PADX
+    for th in (16, 8):
+        if height % th or height < 2 * th or halo > th:
+            continue
+        if 440 * th * wp <= 15_500_000:  # bytes, calibrated on the anchor
+            return th, width
+    return None
 
 
 def _atrous_pass_kernel(th, padx, w, stride, nch, win, out_ref):

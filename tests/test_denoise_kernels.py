@@ -175,3 +175,26 @@ def test_denoise_frame_pallas_path_matches_oracle_static():
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(st2.diffuse), np.asarray(st1.diffuse),
                                atol=2e-5)
+
+
+def test_atrous_wide_frame_uses_narrow_bands():
+    """1440p/4K widths exceed the 16-row band window's VMEM budget; the
+    sizing drops to 8-row bands instead of falling back to the jnp path.
+    Equivalence must hold through the narrower window."""
+    wh, ww = 16, 2560  # 1440p width; th=16 would allocate ~19.7 MB on-chip
+    assert dk._stencil_sizes(wh, ww, 1) == (8, ww)
+    assert dk._stencil_sizes(1088, 1920, 1) == (16, 1920)  # 1080p unchanged
+    assert dk.stencil_supported(1440, 2560)
+    assert dk.stencil_supported(2160, 3840)  # 4K fits at th=8
+
+    rng = np.random.RandomState(11)
+    img = jnp.asarray(rng.rand(wh, ww, 6).astype(np.float32))
+    view_z = jnp.asarray((rng.rand(wh, ww) * 50 + 1).astype(np.float32))
+    nr = jnp.asarray(rng.rand(wh, ww, 4).astype(np.float32))
+    normal = D._decode_oct(nr)
+
+    ref = D.atrous(img, view_z, normal)
+    out = dk.atrous(img.transpose(2, 0, 1), view_z, normal.transpose(2, 0, 1),
+                    interpret=True)
+    np.testing.assert_allclose(np.asarray(out.transpose(1, 2, 0)),
+                               np.asarray(ref), atol=2e-5)
