@@ -70,10 +70,23 @@ kbd { background:#333; padding:1px 5px; border-radius:3px; }
       <button onclick="cmd('op=save')">save .rtvs</button>
       <button onclick="loadGraph()">refresh</button>
     </div>
+    <div>
+      <select id="ntype"></select>
+      <button onclick="addNode()">add node</button>
+    </div>
     <h4>nodes</h4><div id="nodes"></div>
     <h4 id="seltitle"></h4>
     <textarea id="props" style="display:none" spellcheck="false"></textarea>
     <button id="apply" style="display:none" onclick="applyProps()">apply</button>
+    <button id="delnode" style="display:none" onclick="delNode()">delete node</button>
+    <h4>connect</h4>
+    <div>
+      <select id="c_out_n" onchange="fillSocks()"></select>
+      <select id="c_out_s"></select> →<br>
+      <select id="c_in_n" onchange="fillSocks()"></select>
+      <select id="c_in_s"></select>
+      <button onclick="connectSock()">connect</button>
+    </div>
     <h4>connections</h4><div id="conns" style="color:#888"></div>
   </div>
 </div>
@@ -120,8 +133,48 @@ async function loadGraph() {
     list.appendChild(d);
   }
   document.getElementById('conns').innerHTML =
-    graph.connections.map(c => `${c.from} → ${c.to}`).join('<br>');
+    graph.connections.map(c =>
+      `<span style="cursor:pointer" title="disconnect" onclick=` +
+      `"cmd('op=disconnect&in_node=${c.in_node}&in_sock=` +
+      `${encodeURIComponent(c.in_sock)}')">✕</span> ${c.from} → ${c.to}`
+    ).join('<br>');
+  const tsel = document.getElementById('ntype');
+  if (!tsel.options.length)
+    for (const t of graph.node_types)
+      tsel.add(new Option(t, t));
+  for (const [nid, sid] of [['c_out_n', null], ['c_in_n', null]]) {
+    const sel = document.getElementById(nid);
+    const cur = sel.value;
+    sel.innerHTML = '';
+    for (const n of graph.nodes) sel.add(new Option(n.title, n.id));
+    if (cur) sel.value = cur;
+  }
+  fillSocks();
   if (selId) showProps();
+}
+function fillSocks() {
+  const on = graph.nodes.find(n => n.id === document.getElementById('c_out_n').value);
+  const inn = graph.nodes.find(n => n.id === document.getElementById('c_in_n').value);
+  const os = document.getElementById('c_out_s'), is = document.getElementById('c_in_s');
+  os.innerHTML = ''; is.innerHTML = '';
+  if (on) for (const s of on.outputs) os.add(new Option(s, s));
+  if (inn) for (const s of inn.inputs) is.add(new Option(s, s));
+}
+function addNode() {
+  cmd('op=addnode&type=' + document.getElementById('ntype').value);
+}
+function delNode() {
+  if (selId) { cmd('op=delnode&node=' + selId); selId = null;
+    document.getElementById('props').style.display = 'none';
+    document.getElementById('apply').style.display = 'none';
+    document.getElementById('delnode').style.display = 'none';
+    document.getElementById('seltitle').textContent = ''; }
+}
+function connectSock() {
+  cmd('op=connect&out_node=' + document.getElementById('c_out_n').value +
+      '&out_sock=' + encodeURIComponent(document.getElementById('c_out_s').value) +
+      '&in_node=' + document.getElementById('c_in_n').value +
+      '&in_sock=' + encodeURIComponent(document.getElementById('c_in_s').value));
 }
 function selectNode(id) { selId = id; loadGraph(); showProps(); }
 function showProps() {
@@ -132,6 +185,7 @@ function showProps() {
   ta.style.display = 'block';
   ta.value = JSON.stringify(n.properties, null, 1);
   document.getElementById('apply').style.display = 'inline';
+  document.getElementById('delnode').style.display = 'inline';
 }
 async function applyProps() {
   const ta = document.getElementById('props');
@@ -264,6 +318,47 @@ class ViewerState:
             node = next(n for n in self.graph.nodes if n.id == node_id)
             self.cmds.execute(ApplyPropertiesCommand(node, props))
             self._rebuild()
+        elif op == "addnode":
+            from ..models import NODE_TYPES
+            from ..scene.commands import AddNodeCommand
+
+            cls = NODE_TYPES[args.get("type", [""])[0]]
+            self.cmds.execute(AddNodeCommand(self.graph, cls()))
+            self._rebuild()
+        elif op == "delnode":
+            import uuid
+
+            from ..scene.commands import RemoveNodeCommand
+
+            node_id = uuid.UUID(args.get("node", [""])[0])
+            node = next(n for n in self.graph.nodes if n.id == node_id)
+            self.cmds.execute(RemoveNodeCommand(self.graph, node))
+            self._rebuild()
+        elif op == "connect":
+            import uuid
+
+            from ..scene.commands import ConnectCommand
+
+            out_n = next(n for n in self.graph.nodes
+                         if n.id == uuid.UUID(args.get("out_node", [""])[0]))
+            in_n = next(n for n in self.graph.nodes
+                        if n.id == uuid.UUID(args.get("in_node", [""])[0]))
+            out_s = out_n.find_output(args.get("out_sock", [""])[0])
+            in_s = in_n.find_input(args.get("in_sock", [""])[0])
+            self.cmds.execute(ConnectCommand(self.graph, out_s, in_s))
+            self._rebuild()
+        elif op == "disconnect":
+            import uuid
+
+            from ..scene.commands import DisconnectCommand
+
+            in_n = next(n for n in self.graph.nodes
+                        if n.id == uuid.UUID(args.get("in_node", [""])[0]))
+            in_s = in_n.find_input(args.get("in_sock", [""])[0])
+            conn = self.graph.connection_into(in_s)
+            if conn is not None:
+                self.cmds.execute(DisconnectCommand(self.graph, conn))
+                self._rebuild()
         elif op == "undo":
             if self.cmds.undo():
                 self._rebuild()
@@ -302,6 +397,8 @@ class ViewerState:
                         "type": n.type_name,
                         "title": n.title,
                         "properties": _serialize_properties(n),
+                        "inputs": [s.name for s in n.input_sockets],
+                        "outputs": [s.name for s in n.output_sockets],
                     }
                     for n in self.graph.nodes
                 ],
@@ -309,12 +406,21 @@ class ViewerState:
                     {
                         "from": f"{c.output_node.title}.{c.output_socket.name}",
                         "to": f"{c.input_node.title}.{c.input_socket.name}",
+                        "in_node": str(c.input_node.id),
+                        "in_sock": c.input_socket.name,
                     }
                     for c in self.graph.connections
                 ],
+                "node_types": sorted(self._node_types()),
                 "can_undo": self.cmds.can_undo,
                 "can_redo": self.cmds.can_redo,
             }
+
+    @staticmethod
+    def _node_types():
+        from ..models import NODE_TYPES
+
+        return list(NODE_TYPES.keys())
 
     def status(self) -> dict:
         with self.lock:

@@ -2,6 +2,7 @@
 import json
 import threading
 import time
+import urllib.parse
 import urllib.request
 
 import numpy as np
@@ -136,3 +137,36 @@ def test_viewer_graph_editor_roundtrip(viewer):
     c4 = next(n for n in g4["nodes"] if n["id"] == cam["id"])
     assert float(c4["properties"]["FieldOfView"]) == new_fov
     _get(port, "/cmd?op=undo")
+
+
+def test_viewer_graph_structure_edits(viewer):
+    """Add/delete/disconnect through the command stack, all undoable."""
+    state, port = viewer
+    _wait_for_frame(port)
+    g0 = json.loads(_get(port, "/graph")[1])
+    n0 = len(g0["nodes"])
+    assert "PointLightNode" in g0["node_types"]
+
+    _get(port, "/cmd?op=addnode&type=PointLightNode")
+    g1 = json.loads(_get(port, "/graph")[1])
+    assert len(g1["nodes"]) == n0 + 1
+    added = next(n for n in g1["nodes"] if n["id"] not in
+                 {m["id"] for m in g0["nodes"]})
+    assert added["type"] == "PointLightNode"
+    assert added["outputs"]  # sockets exposed for the connect UI
+
+    _get(port, f"/cmd?op=delnode&node={added['id']}")
+    assert len(json.loads(_get(port, "/graph")[1])["nodes"]) == n0
+    _get(port, "/cmd?op=undo")  # un-delete
+    assert len(json.loads(_get(port, "/graph")[1])["nodes"]) == n0 + 1
+    _get(port, "/cmd?op=undo")  # un-add
+    assert len(json.loads(_get(port, "/graph")[1])["nodes"]) == n0
+
+    # disconnect an existing connection, then restore it
+    c = g0["connections"][0]
+    nconn = len(g0["connections"])
+    _get(port, f"/cmd?op=disconnect&in_node={c['in_node']}"
+               f"&in_sock={urllib.parse.quote(c['in_sock'])}")
+    assert len(json.loads(_get(port, "/graph")[1])["connections"]) == nconn - 1
+    _get(port, "/cmd?op=undo")
+    assert len(json.loads(_get(port, "/graph")[1])["connections"]) == nconn
