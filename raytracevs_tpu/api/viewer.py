@@ -32,6 +32,7 @@ import argparse
 import json
 import threading
 import time
+import uuid
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
@@ -309,8 +310,6 @@ class ViewerState:
         elif op == "setprop":
             # Property-panel edit: .rtvs-shaped properties, undoable
             # (PropertyCommands + CommandManager, like the editor).
-            import uuid
-
             from ..scene.commands import ApplyPropertiesCommand
 
             node_id = uuid.UUID(args.get("node", [""])[0])
@@ -326,8 +325,6 @@ class ViewerState:
             self.cmds.execute(AddNodeCommand(self.graph, cls()))
             self._rebuild()
         elif op == "delnode":
-            import uuid
-
             from ..scene.commands import RemoveNodeCommand
 
             node_id = uuid.UUID(args.get("node", [""])[0])
@@ -335,8 +332,6 @@ class ViewerState:
             self.cmds.execute(RemoveNodeCommand(self.graph, node))
             self._rebuild()
         elif op == "connect":
-            import uuid
-
             from ..scene.commands import ConnectCommand
 
             out_n = next(n for n in self.graph.nodes
@@ -348,8 +343,6 @@ class ViewerState:
             self.cmds.execute(ConnectCommand(self.graph, out_s, in_s))
             self._rebuild()
         elif op == "disconnect":
-            import uuid
-
             from ..scene.commands import DisconnectCommand
 
             in_n = next(n for n in self.graph.nodes

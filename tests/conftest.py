@@ -21,3 +21,43 @@ import pytest  # noqa: E402
 @pytest.fixture(scope="session")
 def sample_scene_path():
     return "/root/reference/sample_scene.rtvs"
+
+
+def wine_glass_scene():
+    """The canonical mesh+glass test scene (also the bench mesh workload):
+    a 5.9k-triangle WineGlass.fbx as ior-1.05 glass over a checker plane."""
+    import tempfile
+
+    import numpy as np
+
+    from raytracevs_tpu.io.mesh_cache import MeshCacheService
+    from raytracevs_tpu.scene.data import (
+        LightData, LightType, MaterialData, MeshObjectData, PlaneData, SceneData,
+    )
+    from raytracevs_tpu.scene.transform import Transform
+
+    ms = MeshCacheService(
+        "/root/reference/Resource/Model", cache_dir=tempfile.mkdtemp()
+    )
+    ms.initialize()
+    scene = SceneData()
+    scene.camera.position = np.array([0.0, 1.5, -3.5])
+    scene.camera.look_at = np.array([0.0, 0.9, 0.0])
+    scene.settings.samples_per_pixel = 1
+    scene.settings.max_bounces = 6
+    glass = MaterialData(
+        base_color=np.array([0.95, 0.95, 0.95, 1.0]), transmission=1.0,
+        ior=1.05, roughness=0.1,
+    )
+    scene.objects += [
+        MeshObjectData(mesh_name="WineGlass",
+                       transform=Transform(scale=np.array([2.0, 2.0, 2.0])),
+                       material=glass),
+        PlaneData(),
+    ]
+    scene.lights += [
+        LightData(type=LightType.POINT, position=np.array([3.0, 5.0, -3.0]),
+                  intensity=10.0),
+        LightData(type=LightType.AMBIENT, color=np.array([0.3, 0.3, 0.3, 1.0])),
+    ]
+    return scene, ms

@@ -7,8 +7,6 @@ transitions are lane-local, so regrouping must not change any pixel's ray
 tree — ray counts match EXACTLY; color differs only by float association
 (A.color + B.color vs the interleaved monolithic accumulation).
 """
-import tempfile
-
 import numpy as np
 import pytest
 
@@ -23,36 +21,9 @@ from raytracevs_tpu.ops.render import render_rows
 
 
 def _mesh_glass_scene():
-    from raytracevs_tpu.io.mesh_cache import MeshCacheService
-    from raytracevs_tpu.scene.data import (
-        LightData, LightType, MaterialData, MeshObjectData, PlaneData, SceneData,
-    )
-    from raytracevs_tpu.scene.transform import Transform
+    from conftest import wine_glass_scene
 
-    ms = MeshCacheService(
-        "/root/reference/Resource/Model", cache_dir=tempfile.mkdtemp()
-    )
-    ms.initialize()
-    scene = SceneData()
-    scene.camera.position = np.array([0.0, 1.5, -3.5])
-    scene.camera.look_at = np.array([0.0, 0.9, 0.0])
-    scene.settings.samples_per_pixel = 1
-    scene.settings.max_bounces = 6
-    glass = MaterialData(
-        base_color=np.array([0.95, 0.95, 0.95, 1.0]), transmission=1.0,
-        ior=1.05, roughness=0.1,
-    )
-    scene.objects += [
-        MeshObjectData(mesh_name="WineGlass",
-                       transform=Transform(scale=np.array([2.0, 2.0, 2.0])),
-                       material=glass),
-        PlaneData(),
-    ]
-    scene.lights += [
-        LightData(type=LightType.POINT, position=np.array([3.0, 5.0, -3.0]),
-                  intensity=10.0),
-        LightData(type=LightType.AMBIENT, color=np.array([0.3, 0.3, 0.3, 1.0])),
-    ]
+    scene, ms = wine_glass_scene()
     flat = flatten_scene(scene, 64, 64, mesh_service=ms)
     cfg = make_config(scene, 64, 64)
     return flat, cfg
