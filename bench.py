@@ -14,7 +14,11 @@ Extra keys cover the BASELINE.md metric set:
   fast_fps / fast_frame_ms    spp=1, bounces=5 (the reference's defaults,
                               README.md:228) with the denoiser on — the
                               interactive configuration (30+ FPS target)
+  fast_fps_720p / _1440p      the same config at the reference README's
+                              other FPS-ladder rungs (README.md:304-307)
   mesh_mrays / mesh_frame_ms  5.9k-triangle WineGlass.fbx scene (BVH path)
+  mesh_opaque_*               the same mesh opaque: BVH throughput without
+                              glass path-tree divergence
 
 Baseline: the reference RayTraceVS sustains 30-60 FPS at 1080p on an RTX
 3060 with ~2-4 traced rays/pixel ~= 125-500 Mrays/s (README.md:305, see

@@ -2474,12 +2474,30 @@ def mesh_shadow_k(km: KMesh, o, d, max_dist):
         def leaf_tests(carry):
             vis, cr, cg, cb, occ, blocked_i = carry
             g, exm = _leaf_rows(km, tri_start, extra=True)
+            # Hoist the per-instance material rows out of the triangle
+            # loop: a dynamic inst_tbl row load per triangle per leaf
+            # visit measured ~9 ms/frame on the wine glass (56.1 -> 47.1).
+            # Few-instance scenes preload every row and select by the
+            # triangle's instance id (tiny [1,8] selects); only >8
+            # instances fall back to the dynamic load.
+            if km.num_inst <= 8:
+                it_rows = [km.inst_tbl[pl.ds(i, 1), :] for i in range(km.num_inst)]
+            else:
+                it_rows = None
             for k in range(km.leaf_size):
-                inst = _tg(exm, k, 9).astype(I32)
                 th, tt, _, _, _ = _tri_hit_plane_k(o, d, g, k, tmin, max_dist)
                 th = th & (lh_i != 0) & (k < tri_count)
                 # Beer factors pre-exponentiated per instance (pack_mesh)
-                it = km.inst_tbl[pl.ds(inst, 1), :]
+                if it_rows is None:
+                    inst = _tg(exm, k, 9).astype(I32)
+                    it = km.inst_tbl[pl.ds(inst, 1), :]
+                elif len(it_rows) == 1:
+                    it = it_rows[0]
+                else:
+                    inst = _tg(exm, k, 9).astype(I32)
+                    it = it_rows[0]
+                    for i in range(1, len(it_rows)):
+                        it = jnp.where(inst == i, it_rows[i], it)
                 trans = it[0, 0]
                 opaque = th & (trans < 0.01)
                 blocked_i = blocked_i | opaque.astype(I32)

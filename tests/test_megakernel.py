@@ -119,3 +119,43 @@ def test_pallas_photon_gather_matches_jnp():
     pal0 = np.asarray(photon_gather.gather_pallas(
         pmap, pos, nrm, jnp.zeros((n,), bool), h, w, interpret=True))
     assert np.abs(pal0).max() == 0.0
+
+
+def test_megakernel_multi_instance_mesh_matches_jnp():
+    """Two glass instances (i_cap > 1): the shadow loop's per-triangle
+    instance-row loads (not the single-instance hoist) must stay in
+    lockstep with the jnp path, including per-instance Beer factors."""
+    import numpy as np
+
+    from conftest import wine_glass_scene
+    from raytracevs_tpu.scene.data import MaterialData, MeshObjectData
+    from raytracevs_tpu.scene.transform import Transform
+
+    scene, ms = wine_glass_scene()
+    tinted = MaterialData(
+        base_color=np.array([0.9, 0.95, 1.0, 1.0]), transmission=1.0,
+        ior=1.1, roughness=0.05,
+        absorption=np.array([0.1, 0.05, 0.0]),
+    )
+    scene.objects.insert(1, MeshObjectData(
+        mesh_name="WineGlass",
+        transform=Transform(position=np.array([1.2, 0.0, 0.3]),
+                            scale=np.array([1.5, 1.5, 1.5])),
+        material=tinted,
+    ))
+    flat = flatten_scene(scene, 64, 64, mesh_service=ms)
+    cfg = make_config(scene, 64, 64)
+    assert flat.mesh is not None
+    assert flat.mesh.inst_transmission.shape[0] == 2
+
+    ref = render_rows(flat, cfg, jnp.int32(0), 64)
+    pal = render_rows(flat, cfg, jnp.int32(0), 64, backend="pallas",
+                      interpret=True)
+    r_ref = float(np.asarray(ref.rays))
+    r_pal = float(np.asarray(pal.rays))
+    assert abs(r_pal - r_ref) / r_ref < 2e-3
+    cd = np.abs(np.asarray(pal.color) - np.asarray(ref.color)).max(axis=-1)
+    assert (cd > 1e-3).mean() < 0.02, f"{(cd > 1e-3).mean():.4f} diverge"
+    np.testing.assert_array_equal(
+        np.asarray(pal.gbuffer.obj_id), np.asarray(ref.gbuffer.obj_id)
+    )
