@@ -40,6 +40,12 @@ LEAF_SIZE = 4
 # (pointer chase + all-lane AABB test), so it wants far fewer, fatter
 # leaves than the per-lane jnp walk; measured optimum on v5e ~24.
 MK_LEAF_SIZE = int(os.environ.get("RTVS_MK_LEAF_SIZE", "24"))
+# Leaf-range alignment in triangles. 8 (one dense row) needs a rolled
+# 16-row window per leaf fetch; 64 (eight rows) makes the dense row start
+# provably 8-aligned so the kernel block-loads the leaf directly, at the
+# cost of duplicate-triangle padding between leaves (~2.3x table rows for
+# 24-tri leaves).
+MK_LEAF_ALIGN = int(os.environ.get("RTVS_MK_LEAF_ALIGN", "8"))
 _END = -1
 
 
@@ -487,7 +493,7 @@ def to_device(b: BuiltBVH, inst_transmission, inst_absorption,
     collapse each BLAS before combine_blas (scene/flatten.py does).
     """
     if mk_built is None:
-        mk_built = collapse_leaves(b, MK_LEAF_SIZE)
+        mk_built = collapse_leaves(b, MK_LEAF_SIZE, align=MK_LEAF_ALIGN)
     return MeshArrays(
         bbox_min=jnp.asarray(b.bbox_min),
         bbox_max=jnp.asarray(b.bbox_max),

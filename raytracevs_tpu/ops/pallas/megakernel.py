@@ -2345,7 +2345,17 @@ def _leaf_rows(km, tri_start, extra=False):
     rows = leaf_size 64) and roll the leaf's first row to the top; the
     per-triangle indexing below the roll is fully static (_tg).
     """
+    from .. import bvh as bvh_mod
+
     r0 = tri_start >> 3
+    if bvh_mod.MK_LEAF_ALIGN % 64 == 0:
+        # 64-tri-aligned leaf ranges: the dense row start is provably %8,
+        # so the leaf block-loads directly — no window, no roll (the
+        # padding trade is ~2.3x table rows for 24-tri leaves).
+        base = pl.multiple_of(r0, 8)
+        g = km.tri_geo[pl.ds(base, 8), :]
+        ex = km.tri_extra[pl.ds(base, 8), :] if extra else None
+        return g, ex
     w0 = pl.multiple_of((r0 >> 3) << 3, 8)
     off = r0 - w0  # dynamic, 0..7
     g = km.tri_geo[pl.ds(w0, 16), :]

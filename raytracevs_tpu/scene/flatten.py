@@ -344,7 +344,9 @@ def flatten_scene(scene: SceneData, frame_index: int = 0, aspect: float = 16.0 /
         # Fat-leaf forest for the Pallas packet traversal: collapse each
         # BLAS before chaining (collapse assumes a single preorder tree).
         mk_built = bvh_mod.combine_blas(
-            [bvh_mod.collapse_leaves(b, bvh_mod.MK_LEAF_SIZE) for b in world_blas]
+            [bvh_mod.collapse_leaves(b, bvh_mod.MK_LEAF_SIZE,
+                                     align=bvh_mod.MK_LEAF_ALIGN)
+             for b in world_blas]
         )
         mesh_arrays = bvh_mod.to_device(built, np.asarray(inst_trans, f32),
                                         np.asarray(inst_absorb, f32),
