@@ -159,3 +159,59 @@ def test_megakernel_multi_instance_mesh_matches_jnp():
     np.testing.assert_array_equal(
         np.asarray(pal.gbuffer.obj_id), np.asarray(ref.gbuffer.obj_id)
     )
+
+
+def test_megakernel_nine_instance_fallback_matches_jnp():
+    """More than 8 instances falls back to the per-triangle dynamic
+    inst_tbl row load — the only instance path the preload doesn't cover."""
+    import numpy as np
+
+    from raytracevs_tpu.io.mesh_cache import CachedMesh, MeshCacheService
+    from raytracevs_tpu.scene.data import (
+        LightData, LightType, MaterialData, MeshObjectData, PlaneData, SceneData,
+    )
+    from raytracevs_tpu.scene.transform import Transform
+    import tempfile
+
+    # one quad, instanced 9x in a row with alternating opaque/glass
+    verts = np.zeros((4, 8), np.float32)
+    verts[:, 0:3] = [[-.4, 0, -.4], [.4, 0, -.4], [.4, 0, .4], [-.4, 0, .4]]
+    verts[:, 4:7] = [0, 1, 0]
+    ms = MeshCacheService("/nonexistent", cache_dir=tempfile.mkdtemp())
+    ms.register("Quad", CachedMesh(
+        "Quad", verts.reshape(-1), np.array([0, 1, 2, 0, 2, 3], np.uint32),
+        np.array([-.4, 0, -.4]), np.array([.4, 0, .4])))
+
+    scene = SceneData()
+    scene.camera.position = np.array([0.0, 3.0, -4.0])
+    scene.camera.look_at = np.array([0.0, 0.5, 0.0])
+    scene.settings.samples_per_pixel = 1
+    scene.settings.max_bounces = 3
+    for i in range(9):
+        if i % 2:
+            mat = MaterialData(base_color=np.array([0.9, 0.9, 1.0, 1.0]),
+                               transmission=1.0, ior=1.2,
+                               absorption=np.array([0.02 * i, 0.01, 0.0]))
+        else:
+            mat = MaterialData(base_color=np.array([0.8, 0.4, 0.3, 1.0]),
+                               roughness=0.6)
+        scene.objects.append(MeshObjectData(
+            mesh_name="Quad", material=mat,
+            transform=Transform(position=np.array([(i - 4) * 0.9, 0.4 + 0.1 * i, 0.0])),
+        ))
+    scene.objects.append(PlaneData())
+    scene.lights.append(LightData(type=LightType.POINT,
+                                  position=np.array([2.0, 6.0, -2.0]),
+                                  intensity=12.0))
+    flat = flatten_scene(scene, 64, 32, mesh_service=ms)
+    cfg = make_config(scene, 64, 32)
+    assert flat.mesh is not None and flat.mesh.inst_transmission.shape[0] == 9
+
+    ref = render_rows(flat, cfg, jnp.int32(0), 32)
+    pal = render_rows(flat, cfg, jnp.int32(0), 32, backend="pallas",
+                      interpret=True)
+    cd = np.abs(np.asarray(pal.color) - np.asarray(ref.color)).max(axis=-1)
+    assert (cd > 1e-3).mean() < 0.02
+    np.testing.assert_array_equal(
+        np.asarray(pal.gbuffer.obj_id), np.asarray(ref.gbuffer.obj_id)
+    )
