@@ -88,6 +88,36 @@ def _bench_config(engine, cfg, backend, reps, batch=8):
     return best_s, mean_rays
 
 
+def _ssim_proxy(res=256) -> float:
+    """Cross-backend SSIM: compiled megakernel vs the portable jnp oracle on
+    the sample scene — the BASELINE.json "SSIM" metric's falsifiable stand-in
+    (a true DXR comparison needs Windows/D3D12 hardware; the oracle carries
+    the reference semantics, tests/test_backend_parity.py)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from raytracevs_tpu.ops.render import render_rows
+    from raytracevs_tpu.post import composite as composite_mod
+    from raytracevs_tpu.post import tonemap as tonemap_mod
+    from raytracevs_tpu.runtime.engine import Engine
+    from raytracevs_tpu.utils.ssim import ssim
+
+    engine = Engine(res, res)
+    engine.load_rtvs(SCENE, samples_per_pixel=2, max_bounces=6,
+                     enable_denoiser=False)
+    flat, cfg = engine._flat, engine._cfg
+
+    def frame(backend):
+        out = render_rows(flat, cfg, jnp.int32(0), cfg.height, backend=backend)
+        color01 = composite_mod.composite(
+            out.gbuffer, out.raw_specular, flat.exposure,
+            flat.tone_map_operator, flat.gamma, use_denoised=False,
+        )
+        return np.asarray(tonemap_mod.to_rgba8(color01)).reshape(res, res, 4)
+
+    return ssim(frame("pallas"), frame("jnp"))
+
+
 def _mesh_engine(width, height, material="glass"):
     import tempfile
 
@@ -174,14 +204,53 @@ def main():
     result["fast_mrays"] = round(fast_rays / best_s / 1e6, 3)
 
     # 3b) resolution scaling of the interactive config — BASELINE.md's FPS
-    # table rows (README.md:304-307: 60+ @720p, 30-60 @1080p, 15-30 @1440p)
-    for label, (rw, rh) in (("720p", (1280, 720)), ("1440p", (2560, 1440))):
+    # table rows (README.md:304-307: 60+ @720p, 30-60 @1080p, 15-30 @1440p,
+    # 10-30 @2160p)
+    for label, (rw, rh) in (("720p", (1280, 720)), ("1440p", (2560, 1440)),
+                            ("4k", (3840, 2160))):
         eng_r = Engine(rw, rh)
         eng_r.load_rtvs(SCENE, enable_denoiser=True, samples_per_pixel=1,
                         max_bounces=5)
         b_r = _pick_backend(eng_r._flat, eng_r._cfg)
         best_s, _ = _bench_config(eng_r, eng_r._cfg, b_r, max(2, frames // 2))
         result[f"fast_fps_{label}"] = round(1.0 / best_s, 2)
+
+    # 3c) caustics: the photon pass at the reference's own budget for this
+    # scene (DXRPipeline.cpp:3604-3633 TDR caps) AND at the reference's
+    # global 131,072-photon safe cap (DXRPipeline.h:483-487). Reported as
+    # the full frame time with the photon pass on, plus the delta vs the
+    # same config with it off.
+    try:
+        from raytracevs_tpu.ops.photon import photon_budget
+
+        base_cfg = make_config(engine._scene, width, height,
+                               samples_per_pixel=1, max_bounces=5,
+                               enable_denoiser=False)
+        ref_budget = photon_budget(engine._scene)
+        best_off, _ = _bench_config(engine, base_cfg, backend,
+                                    max(2, frames // 2))
+        for tag, n_ph in (("", ref_budget), ("_max", 131072)):
+            if n_ph <= 0:
+                continue
+            cfg_c = make_config(engine._scene, width, height,
+                                samples_per_pixel=1, max_bounces=5,
+                                enable_denoiser=False, num_photons=n_ph)
+            best_s, _ = _bench_config(engine, cfg_c, backend,
+                                      max(2, frames // 2))
+            result[f"caustics{tag}_photons"] = n_ph
+            result[f"caustics{tag}_frame_ms"] = round(best_s * 1000.0, 2)
+            result[f"caustics{tag}_delta_ms"] = round(
+                (best_s - best_off) * 1000.0, 2)
+    except Exception as e:
+        result["caustics_error"] = str(e)[:120]
+
+    # 3d) SSIM proxy (BASELINE.json metric set): megakernel vs the portable
+    # jnp oracle on the sample scene at 256x256 — the cross-backend parity
+    # number the nightly sweep checks, surfaced to the driver every round.
+    try:
+        result["ssim_vs_oracle"] = round(_ssim_proxy(), 4)
+    except Exception as e:
+        result["ssim_error"] = str(e)[:120]
 
     # 4) mesh scene (BVH traversal path)
     try:

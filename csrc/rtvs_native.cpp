@@ -235,6 +235,139 @@ int rtvs_build_bvh(const float* v0, const float* v1, const float* v2,
     return (int)builder.nodes.size();
 }
 
+// Build a threaded BVH over EXPLICIT reference bounds (pre-split
+// references: several tight boxes may point at the same triangle, the
+// SBVH-style answer to sliver triangles — the driver BLAS the reference
+// relies on does equivalent splitting internally). Outputs are
+// caller-allocated with capacity 2*num_refs nodes; `ref_order` maps leaf
+// slots back to reference indices. Returns the node count (or -1).
+int rtvs_build_bvh_refs(const float* ref_min, const float* ref_max,
+                        int num_refs, int leaf_size, float* bbox_min,
+                        float* bbox_max, int* hit_next, int* miss_next,
+                        int* tri_start, int* tri_count, int* ref_order) {
+    if (num_refs <= 0 || leaf_size <= 0) return -1;
+    std::vector<AABB> tb((size_t)num_refs);
+    for (int i = 0; i < num_refs; ++i) {
+        tb[i].lo = {ref_min[i * 3], ref_min[i * 3 + 1], ref_min[i * 3 + 2]};
+        tb[i].hi = {ref_max[i * 3], ref_max[i * 3 + 1], ref_max[i * 3 + 2]};
+    }
+    Builder builder;
+    builder.tri_bounds = tb.data();
+    builder.leaf_size = leaf_size;
+    builder.order.resize((size_t)num_refs);
+    for (int i = 0; i < num_refs; ++i) builder.order[i] = i;
+    builder.nodes.reserve((size_t)num_refs * 2);
+    builder.build(0, num_refs);
+    thread_bvh(builder.nodes, 0, hit_next, miss_next, tri_start, tri_count,
+               bbox_min, bbox_max);
+    std::memcpy(ref_order, builder.order.data(), sizeof(int) * (size_t)num_refs);
+    return (int)builder.nodes.size();
+}
+
+// Pre-split sliver triangles into multiple tight reference boxes
+// (Ernst & Greiner "early split clipping"). Splits the largest-area
+// references at their box's longest-axis midpoint, clipping the triangle
+// polygon to each half, until the reference budget is reached. Outputs
+// (ref_tri, ref_min, ref_max) arrays of capacity max_refs; returns the
+// reference count.
+int rtvs_presplit(const float* v0, const float* v1, const float* v2,
+                  int num_tris, int max_refs, int* ref_tri, float* ref_min,
+                  float* ref_max) {
+    if (num_tris <= 0 || max_refs < num_tris) return -1;
+    struct Ref {
+        AABB box;
+        int tri;
+    };
+    std::vector<Ref> refs;
+    refs.reserve((size_t)max_refs);
+    for (int i = 0; i < num_tris; ++i) {
+        AABB b;
+        b.grow(Vec3{v0[i * 3], v0[i * 3 + 1], v0[i * 3 + 2]});
+        b.grow(Vec3{v1[i * 3], v1[i * 3 + 1], v1[i * 3 + 2]});
+        b.grow(Vec3{v2[i * 3], v2[i * 3 + 1], v2[i * 3 + 2]});
+        refs.push_back({b, i});
+    }
+    // max-heap on box surface area: always split the fattest box
+    auto cmp = [](const Ref& a, const Ref& b) {
+        return a.box.area() < b.box.area();
+    };
+    std::make_heap(refs.begin(), refs.end(), cmp);
+
+    // Clip the triangle polygon to a half-space and grow the clipped box.
+    auto clipped_box = [](const Vec3* tri, int axis, float plane, bool keep_lo,
+                          const AABB& parent) {
+        AABB out;
+        for (int e = 0; e < 3; ++e) {
+            Vec3 a = tri[e], b = tri[(e + 1) % 3];
+            float va = axis == 0 ? a.x : (axis == 1 ? a.y : a.z);
+            float vb = axis == 0 ? b.x : (axis == 1 ? b.y : b.z);
+            bool ina = keep_lo ? (va <= plane) : (va >= plane);
+            bool inb = keep_lo ? (vb <= plane) : (vb >= plane);
+            if (ina) out.grow(a);
+            if (ina != inb) {
+                float t = (plane - va) / (vb - va);
+                out.grow(Vec3{a.x + t * (b.x - a.x), a.y + t * (b.y - a.y),
+                              a.z + t * (b.z - a.z)});
+            }
+        }
+        // stay inside the parent reference box (repeated splits clip
+        // against every ancestor plane)
+        out.lo = vmax(out.lo, parent.lo);
+        out.hi = vmin(out.hi, parent.hi);
+        return out;
+    };
+
+    std::vector<Ref> done;  // references that refused to split further
+    done.reserve((size_t)max_refs);
+    while (!refs.empty() && (int)(refs.size() + done.size()) < max_refs) {
+        std::pop_heap(refs.begin(), refs.end(), cmp);
+        Ref r = refs.back();
+        refs.pop_back();
+        Vec3 ext = {r.box.hi.x - r.box.lo.x, r.box.hi.y - r.box.lo.y,
+                    r.box.hi.z - r.box.lo.z};
+        int axis = 0;
+        float w = ext.x;
+        if (ext.y > w) { axis = 1; w = ext.y; }
+        if (ext.z > w) { axis = 2; w = ext.z; }
+        if (w < 1e-6f) {  // the fattest leftover is tiny: everything is
+            done.push_back(r);
+            break;
+        }
+        int i = r.tri;
+        Vec3 tri[3] = {{v0[i * 3], v0[i * 3 + 1], v0[i * 3 + 2]},
+                       {v1[i * 3], v1[i * 3 + 1], v1[i * 3 + 2]},
+                       {v2[i * 3], v2[i * 3 + 1], v2[i * 3 + 2]}};
+        float plane = axis == 0 ? (r.box.lo.x + r.box.hi.x) * 0.5f
+                    : axis == 1 ? (r.box.lo.y + r.box.hi.y) * 0.5f
+                                : (r.box.lo.z + r.box.hi.z) * 0.5f;
+        AABB lo_box = clipped_box(tri, axis, plane, true, r.box);
+        AABB hi_box = clipped_box(tri, axis, plane, false, r.box);
+        bool lo_ok = lo_box.hi.x >= lo_box.lo.x;
+        bool hi_ok = hi_box.hi.x >= hi_box.lo.x;
+        if (lo_ok && hi_ok) {
+            refs.push_back({lo_box, i});
+            std::push_heap(refs.begin(), refs.end(), cmp);
+            refs.push_back({hi_box, i});
+            std::push_heap(refs.begin(), refs.end(), cmp);
+        } else {
+            done.push_back(r);  // degenerate clip: keep as-is
+        }
+    }
+    for (const Ref& r : refs) done.push_back(r);
+
+    int n = (int)done.size();
+    for (int i = 0; i < n; ++i) {
+        ref_tri[i] = done[i].tri;
+        ref_min[i * 3] = done[i].box.lo.x;
+        ref_min[i * 3 + 1] = done[i].box.lo.y;
+        ref_min[i * 3 + 2] = done[i].box.lo.z;
+        ref_max[i * 3] = done[i].box.hi.x;
+        ref_max[i * 3 + 1] = done[i].box.hi.y;
+        ref_max[i * 3 + 2] = done[i].box.hi.z;
+    }
+    return n;
+}
+
 // FNV-1a 64-bit checksum (scene-change detection; DebugLog-free).
 uint64_t rtvs_fnv1a(const uint8_t* data, uint64_t len) {
     uint64_t h = 14695981039346656037ull;

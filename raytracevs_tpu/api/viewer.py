@@ -49,17 +49,31 @@ body { background:#111; color:#ddd; font:13px monospace; margin:0;
 #view { display:block; margin:0 auto; image-rendering:pixelated;
         max-width:100%; max-height:100%; object-fit:contain; }
 #vwrap { flex:1; overflow:hidden; text-align:center; }
-#panel { width:340px; background:#181818; overflow-y:auto; padding:8px;
+#panel { width:320px; background:#181818; overflow-y:auto; padding:8px;
          border-left:1px solid #333; }
 #panel h4 { margin:8px 0 4px; color:#8cf; }
-.node { cursor:pointer; padding:2px 4px; border-radius:3px; }
-.node:hover { background:#262626; }
-.node.sel { background:#234; }
+#graphwrap { height:42%; min-height:180px; border-top:1px solid #333;
+             background:#141414; position:relative; }
+#graphsvg { width:100%; height:100%; display:block; cursor:default; }
+.nodebox { fill:#222a33; stroke:#49617a; stroke-width:1; rx:5; }
+.nodebox.sel { stroke:#8cf; stroke-width:2; }
+.nodetitle { fill:#cde; font:12px monospace; pointer-events:none; }
+.nodetype { fill:#789; font:10px monospace; pointer-events:none; }
+.sockname { fill:#9ab; font:10px monospace; pointer-events:none; }
+.sock { stroke:#111; stroke-width:1; cursor:crosshair; }
+.sock.compat { stroke:#8f8; stroke-width:2.5; }
+.conn { fill:none; stroke:#7fa0c0; stroke-width:1.6; cursor:pointer; }
+.conn:hover { stroke:#cf6060; stroke-width:2.5; }
+.pending { fill:none; stroke:#8f8; stroke-width:1.5; stroke-dasharray:5 3;
+           pointer-events:none; }
+#boxsel { fill:rgba(120,160,255,0.12); stroke:#78a0ff; stroke-width:1;
+          pointer-events:none; }
 textarea { width:100%; height:150px; background:#0d0d0d; color:#cfc;
            font:12px monospace; border:1px solid #333; }
 button { background:#333; color:#ddd; border:1px solid #555;
          border-radius:3px; margin:2px; cursor:pointer; }
 kbd { background:#333; padding:1px 5px; border-radius:3px; }
+#err { color:#f88; }
 </style></head><body>
 <div id="bar">connecting…</div>
 <div id="main">
@@ -75,29 +89,27 @@ kbd { background:#333; padding:1px 5px; border-radius:3px; }
       <select id="ntype"></select>
       <button onclick="addNode()">add node</button>
     </div>
-    <h4>nodes</h4><div id="nodes"></div>
+    <div id="err"></div>
     <h4 id="seltitle"></h4>
     <textarea id="props" style="display:none" spellcheck="false"></textarea>
     <button id="apply" style="display:none" onclick="applyProps()">apply</button>
-    <button id="delnode" style="display:none" onclick="delNode()">delete node</button>
-    <h4>connect</h4>
-    <div>
-      <select id="c_out_n" onchange="fillSocks()"></select>
-      <select id="c_out_s"></select> →<br>
-      <select id="c_in_n" onchange="fillSocks()"></select>
-      <select id="c_in_s"></select>
-      <button onclick="connectSock()">connect</button>
-    </div>
-    <h4>connections</h4><div id="conns" style="color:#888"></div>
+    <button id="delnode" style="display:none" onclick="delSelected()">delete</button>
   </div>
 </div>
+<div id="graphwrap"><svg id="graphsvg">
+  <g id="vp"></g><rect id="boxsel" style="display:none"></rect>
+</svg></div>
 <div id="bar2" style="padding:6px 10px">
-<kbd>p</kbd> photon debug &nbsp; <kbd>0-9</kbd> debug view &nbsp;
-<kbd>r</kbd> reset history &nbsp; <kbd>[</kbd>/<kbd>]</kbd> resolution</div>
+<kbd>p</kbd> photon &nbsp; <kbd>0-9</kbd> debug &nbsp; <kbd>r</kbd> reset
+&nbsp; <kbd>[</kbd>/<kbd>]</kbd> resolution &nbsp; <kbd>del</kbd> delete sel
+&nbsp; drag sockets to connect · drag canvas to box-select · alt/middle-drag
+pans · wheel zooms</div>
 <script>
 const img = document.getElementById('view');
 const bar = document.getElementById('bar');
-let busy = false, selId = null, graph = null;
+const SVGNS = 'http://www.w3.org/2000/svg';
+let busy = false, graph = null, sel = new Set();
+let viewT = {x: 40, y: 30, k: 1};  // pan/zoom (PanZoomHandler analog)
 async function tick() {
   if (!busy) {
     busy = true;
@@ -121,65 +133,250 @@ async function tick() {
   setTimeout(tick, 100);
 }
 tick();
-async function cmd(q) { await fetch('/cmd?' + q); loadGraph(); }
+async function cmd(q) {
+  const out = await (await fetch('/cmd?' + q)).json();
+  document.getElementById('err').textContent = out.error || '';
+  await loadGraph();
+  return out;
+}
+// ---- node-graph canvas (NodeEditorView.xaml.cs analog) --------------------
+const TYPECOL = {OBJECT:'#e0a060', VECTOR3:'#70b0e0', FLOAT:'#a0d0a0',
+  COLOR:'#e0e070', MATERIAL:'#c080d0', CAMERA:'#80d0d0', LIGHT:'#f0f0a0',
+  SCENE:'#f08080', TRANSFORM:'#b0b0f0'};
+const NW = 150, ROWH = 17, HEADH = 30;
+function nodeH(n) {
+  return HEADH + ROWH * Math.max(n.inputs.length, n.outputs.length) + 6;
+}
+function sockPos(n, name, isInput) {
+  const list = isInput ? n.inputs : n.outputs;
+  const i = list.findIndex(s => s.name === name);
+  return {x: n.x + (isInput ? 0 : NW),
+          y: n.y + HEADH + ROWH * i + ROWH / 2};
+}
+function compatible(a, b) {
+  if (a === b) return true;  // sockets_compatible (scene/graph.py:33-41)
+  const p = [a, b].sort().join();
+  return p === 'COLOR,VECTOR3';
+}
+function bezier(p1, p2) {
+  const dx = Math.max(Math.abs(p2.x - p1.x) / 2, 30);
+  return `M ${p1.x} ${p1.y} C ${p1.x + dx} ${p1.y}, ` +
+         `${p2.x - dx} ${p2.y}, ${p2.x} ${p2.y}`;
+}
+function el(tag, attrs, cls) {
+  const e = document.createElementNS(SVGNS, tag);
+  for (const k in attrs) e.setAttribute(k, attrs[k]);
+  if (cls) e.setAttribute('class', cls);
+  return e;
+}
+function renderCanvas() {
+  const vp = document.getElementById('vp');
+  vp.setAttribute('transform',
+    `translate(${viewT.x},${viewT.y}) scale(${viewT.k})`);
+  vp.innerHTML = '';
+  if (!graph) return;
+  for (const c of graph.connections) {
+    const on = graph.nodes.find(n => n.id === c.out_node);
+    const inn = graph.nodes.find(n => n.id === c.in_node);
+    if (!on || !inn) continue;
+    const p = el('path', {d: bezier(sockPos(on, c.out_sock, false),
+                                    sockPos(inn, c.in_sock, true))}, 'conn');
+    p.addEventListener('mousedown', ev => { ev.stopPropagation();
+      cmd('op=disconnect&in_node=' + c.in_node +
+          '&in_sock=' + encodeURIComponent(c.in_sock)); });
+    const t = document.createElementNS(SVGNS, 'title');
+    t.textContent = c.from + ' → ' + c.to + '  (click to disconnect)';
+    p.appendChild(t);
+    vp.appendChild(p);
+  }
+  for (const n of graph.nodes) {
+    const g = el('g', {transform: `translate(${n.x},${n.y})`});
+    const box = el('rect', {width: NW, height: nodeH(n) , rx: 5},
+                   'nodebox' + (sel.has(n.id) ? ' sel' : ''));
+    box.addEventListener('mousedown', ev => startNodeDrag(ev, n));
+    g.appendChild(box);
+    const title = el('text', {x: 8, y: 14}, 'nodetitle');
+    title.textContent = n.title;
+    g.appendChild(title);
+    const ty = el('text', {x: 8, y: 25}, 'nodetype');
+    ty.textContent = n.type;
+    g.appendChild(ty);
+    n.inputs.forEach((s, i) => {
+      const y = HEADH + ROWH * i + ROWH / 2;
+      const c = el('circle', {cx: 0, cy: y, r: 4.5,
+        fill: TYPECOL[s.type] || '#999', 'data-node': n.id,
+        'data-sock': s.name, 'data-input': '1', 'data-type': s.type}, 'sock');
+      c.addEventListener('mousedown', ev => startConnect(ev, n, s, true));
+      g.appendChild(c);
+      const t = el('text', {x: 8, y: y + 3}, 'sockname');
+      t.textContent = s.name; g.appendChild(t);
+    });
+    n.outputs.forEach((s, i) => {
+      const y = HEADH + ROWH * i + ROWH / 2;
+      const c = el('circle', {cx: NW, cy: y, r: 4.5,
+        fill: TYPECOL[s.type] || '#999', 'data-node': n.id,
+        'data-sock': s.name, 'data-input': '0', 'data-type': s.type}, 'sock');
+      c.addEventListener('mousedown', ev => startConnect(ev, n, s, false));
+      g.appendChild(c);
+      const t = el('text', {x: NW - 8, y: y + 3, 'text-anchor': 'end'},
+                   'sockname');
+      t.textContent = s.name; g.appendChild(t);
+    });
+    vp.appendChild(g);
+  }
+}
+function svgPoint(ev) {
+  const r = document.getElementById('graphsvg').getBoundingClientRect();
+  return {x: (ev.clientX - r.left - viewT.x) / viewT.k,
+          y: (ev.clientY - r.top - viewT.y) / viewT.k};
+}
+let drag = null;  // {kind:'node'|'pan'|'box'|'conn', ...}
+function startNodeDrag(ev, n) {
+  ev.stopPropagation(); ev.preventDefault();
+  if (ev.altKey) return;
+  if (!sel.has(n.id)) { sel = ev.shiftKey ? sel.add(n.id) : new Set([n.id]); }
+  showProps(n.id);
+  const p = svgPoint(ev);
+  drag = {kind: 'node', start: p, moved: false,
+          orig: graph.nodes.filter(m => sel.has(m.id))
+                     .map(m => ({id: m.id, x: m.x, y: m.y}))};
+  renderCanvas();
+}
+function startConnect(ev, n, s, isInput) {
+  ev.stopPropagation(); ev.preventDefault();
+  drag = {kind: 'conn', node: n, sock: s, isInput: isInput, pos: svgPoint(ev)};
+  // highlight type-compatible drop targets (ConnectionHandler.cs:342-354)
+  for (const c of document.querySelectorAll('.sock')) {
+    if (c.getAttribute('data-input') === (isInput ? '0' : '1') &&
+        c.getAttribute('data-node') !== n.id &&
+        compatible(c.getAttribute('data-type'), s.type))
+      c.classList.add('compat');
+  }
+}
+const svg = document.getElementById('graphsvg');
+svg.addEventListener('mousedown', ev => {
+  const p = svgPoint(ev);
+  if (ev.button === 1 || ev.altKey) {
+    drag = {kind: 'pan', sx: ev.clientX, sy: ev.clientY,
+            ox: viewT.x, oy: viewT.y};
+    ev.preventDefault();
+  } else if (ev.button === 0) {
+    drag = {kind: 'box', start: p, cur: p};  // SelectionHandler.cs analog
+    if (!ev.shiftKey) { sel = new Set(); renderCanvas(); }
+  }
+});
+svg.addEventListener('wheel', ev => {
+  ev.preventDefault();
+  const r = svg.getBoundingClientRect();
+  const mx = ev.clientX - r.left, my = ev.clientY - r.top;
+  const k2 = Math.min(3, Math.max(0.2, viewT.k * Math.pow(1.0015, -ev.deltaY)));
+  viewT.x = mx - (mx - viewT.x) * k2 / viewT.k;
+  viewT.y = my - (my - viewT.y) * k2 / viewT.k;
+  viewT.k = k2;
+  renderCanvas();
+});
+document.addEventListener('mousemove', ev => {
+  if (!drag) return;
+  if (drag.kind === 'pan') {
+    viewT.x = drag.ox + ev.clientX - drag.sx;
+    viewT.y = drag.oy + ev.clientY - drag.sy;
+    renderCanvas();
+  } else if (drag.kind === 'node') {
+    const p = svgPoint(ev);
+    const dx = p.x - drag.start.x, dy = p.y - drag.start.y;
+    if (Math.abs(dx) + Math.abs(dy) > 2) drag.moved = true;
+    for (const o of drag.orig) {
+      const n = graph.nodes.find(m => m.id === o.id);
+      n.x = o.x + dx; n.y = o.y + dy;
+    }
+    renderCanvas();
+  } else if (drag.kind === 'conn') {
+    drag.pos = svgPoint(ev);
+    renderCanvas();
+    const a = drag.isInput ? drag.pos
+            : sockPos(drag.node, drag.sock.name, false);
+    const b = drag.isInput ? sockPos(drag.node, drag.sock.name, true)
+            : drag.pos;
+    document.getElementById('vp').appendChild(
+      el('path', {d: bezier(a, b)}, 'pending'));
+  } else if (drag.kind === 'box') {
+    drag.cur = svgPoint(ev);
+    const bs = document.getElementById('boxsel');
+    const x1 = Math.min(drag.start.x, drag.cur.x) * viewT.k + viewT.x;
+    const y1 = Math.min(drag.start.y, drag.cur.y) * viewT.k + viewT.y;
+    bs.style.display = 'block';
+    bs.setAttribute('x', x1); bs.setAttribute('y', y1);
+    bs.setAttribute('width', Math.abs(drag.cur.x - drag.start.x) * viewT.k);
+    bs.setAttribute('height', Math.abs(drag.cur.y - drag.start.y) * viewT.k);
+  }
+});
+document.addEventListener('mouseup', ev => {
+  if (!drag) return;
+  const d = drag; drag = null;
+  if (d.kind === 'node' && d.moved) {
+    const moves = d.orig.map(o => {
+      const n = graph.nodes.find(m => m.id === o.id);
+      return {node: o.id, x: n.x, y: n.y};
+    });
+    cmd('op=move&moves=' + encodeURIComponent(JSON.stringify(moves)));
+  } else if (d.kind === 'conn') {
+    const t = ev.target;
+    if (t.classList && t.classList.contains('sock') &&
+        t.getAttribute('data-input') === (d.isInput ? '0' : '1') &&
+        t.getAttribute('data-node') !== d.node.id &&
+        compatible(t.getAttribute('data-type'), d.sock.type)) {
+      const on = d.isInput ? t.getAttribute('data-node') : d.node.id;
+      const os = d.isInput ? t.getAttribute('data-sock') : d.sock.name;
+      const inn = d.isInput ? d.node.id : t.getAttribute('data-node');
+      const ins = d.isInput ? d.sock.name : t.getAttribute('data-sock');
+      cmd('op=connect&out_node=' + on + '&out_sock=' +
+          encodeURIComponent(os) + '&in_node=' + inn +
+          '&in_sock=' + encodeURIComponent(ins));
+    } else renderCanvas();
+    for (const c of document.querySelectorAll('.sock.compat'))
+      c.classList.remove('compat');
+  } else if (d.kind === 'box') {
+    document.getElementById('boxsel').style.display = 'none';
+    const x1 = Math.min(d.start.x, d.cur.x), x2 = Math.max(d.start.x, d.cur.x);
+    const y1 = Math.min(d.start.y, d.cur.y), y2 = Math.max(d.start.y, d.cur.y);
+    if (x2 - x1 > 3 || y2 - y1 > 3) {
+      for (const n of graph.nodes)
+        if (n.x < x2 && n.x + NW > x1 && n.y < y2 && n.y + nodeH(n) > y1)
+          sel.add(n.id);
+      if (sel.size === 1) showProps([...sel][0]);
+    }
+    renderCanvas();
+  }
+});
+svg.addEventListener('contextmenu', ev => ev.preventDefault());
+// ---- panel ----------------------------------------------------------------
 async function loadGraph() {
   graph = await (await fetch('/graph')).json();
-  const list = document.getElementById('nodes');
-  list.innerHTML = '';
-  for (const n of graph.nodes) {
-    const d = document.createElement('div');
-    d.className = 'node' + (n.id === selId ? ' sel' : '');
-    d.textContent = `${n.title}  (${n.type})`;
-    d.onclick = () => selectNode(n.id);
-    list.appendChild(d);
-  }
-  document.getElementById('conns').innerHTML =
-    graph.connections.map(c =>
-      `<span style="cursor:pointer" title="disconnect" onclick=` +
-      `"cmd('op=disconnect&in_node=${c.in_node}&in_sock=` +
-      `${encodeURIComponent(c.in_sock)}')">✕</span> ${c.from} → ${c.to}`
-    ).join('<br>');
   const tsel = document.getElementById('ntype');
   if (!tsel.options.length)
     for (const t of graph.node_types)
       tsel.add(new Option(t, t));
-  for (const [nid, sid] of [['c_out_n', null], ['c_in_n', null]]) {
-    const sel = document.getElementById(nid);
-    const cur = sel.value;
-    sel.innerHTML = '';
-    for (const n of graph.nodes) sel.add(new Option(n.title, n.id));
-    if (cur) sel.value = cur;
-  }
-  fillSocks();
-  if (selId) showProps();
-}
-function fillSocks() {
-  const on = graph.nodes.find(n => n.id === document.getElementById('c_out_n').value);
-  const inn = graph.nodes.find(n => n.id === document.getElementById('c_in_n').value);
-  const os = document.getElementById('c_out_s'), is = document.getElementById('c_in_s');
-  os.innerHTML = ''; is.innerHTML = '';
-  if (on) for (const s of on.outputs) os.add(new Option(s, s));
-  if (inn) for (const s of inn.inputs) is.add(new Option(s, s));
+  renderCanvas();
+  if (sel.size === 1) showProps([...sel][0]);
 }
 function addNode() {
-  cmd('op=addnode&type=' + document.getElementById('ntype').value);
+  const r = svg.getBoundingClientRect();
+  const cx = (r.width / 2 - viewT.x) / viewT.k;
+  const cy = (r.height / 2 - viewT.y) / viewT.k;
+  cmd('op=addnode&type=' + document.getElementById('ntype').value +
+      '&x=' + cx.toFixed(1) + '&y=' + cy.toFixed(1));
 }
-function delNode() {
-  if (selId) { cmd('op=delnode&node=' + selId); selId = null;
-    document.getElementById('props').style.display = 'none';
-    document.getElementById('apply').style.display = 'none';
-    document.getElementById('delnode').style.display = 'none';
-    document.getElementById('seltitle').textContent = ''; }
+function delSelected() {
+  if (!sel.size) return;
+  cmd('op=delnodes&nodes=' + [...sel].join(','));
+  sel = new Set();
+  document.getElementById('props').style.display = 'none';
+  document.getElementById('apply').style.display = 'none';
+  document.getElementById('delnode').style.display = 'none';
+  document.getElementById('seltitle').textContent = '';
 }
-function connectSock() {
-  cmd('op=connect&out_node=' + document.getElementById('c_out_n').value +
-      '&out_sock=' + encodeURIComponent(document.getElementById('c_out_s').value) +
-      '&in_node=' + document.getElementById('c_in_n').value +
-      '&in_sock=' + encodeURIComponent(document.getElementById('c_in_s').value));
-}
-function selectNode(id) { selId = id; loadGraph(); showProps(); }
-function showProps() {
-  const n = graph.nodes.find(n => n.id === selId);
+function showProps(id) {
+  const n = graph.nodes.find(n => n.id === id);
   if (!n) return;
   document.getElementById('seltitle').textContent = 'edit: ' + n.title;
   const ta = document.getElementById('props');
@@ -191,11 +388,11 @@ function showProps() {
 async function applyProps() {
   const ta = document.getElementById('props');
   try { JSON.parse(ta.value); } catch (e) { alert('bad JSON: ' + e); return; }
-  await cmd('op=setprop&node=' + selId +
+  await cmd('op=setprop&node=' + [...sel][0] +
             '&props=' + encodeURIComponent(ta.value));
 }
 document.addEventListener('keydown', (e) => {
-  if (e.target.tagName === 'TEXTAREA') return;  // typing in the editor
+  if (e.target.tagName === 'TEXTAREA' || e.target.tagName === 'INPUT') return;
   let q = null;
   if (e.key === 'p' || e.key === 'P') q = 'op=photon';
   else if (e.key >= '0' && e.key <= '9') q = 'op=debug&mode=' + e.key;
@@ -204,6 +401,7 @@ document.addEventListener('keydown', (e) => {
   else if (e.key === ']') q = 'op=res&dir=1';
   else if (e.key === 'u' || e.key === 'U') q = 'op=undo';
   else if (e.key === 'y' || e.key === 'Y') q = 'op=redo';
+  else if (e.key === 'Delete' || e.key === 'Backspace') { delSelected(); return; }
   if (q) cmd(q);
 });
 loadGraph();
@@ -290,17 +488,55 @@ class ViewerState:
 
     # -- commands (the key handlers) ----------------------------------------
     def cmd(self, op: str, args: dict) -> dict:
+        """Run one editor command; failures come back as a JSON error.
+
+        A bad uuid, unknown node, or a property edit whose re-evaluation
+        throws must never take the viewer down (or leave its render loop
+        stopped) — mirror the reference editor's per-command exception
+        guards. A mutation whose re-evaluation fails is rolled back via the
+        command stack so the graph never stays in an unevaluable state.
+        """
         with self.cmd_lock:
-            return self._cmd(op, args)
+            try:
+                return self._cmd(op, args)
+            except Exception as e:  # noqa: BLE001 — report, don't crash
+                from ..utils.logging import log_error
+
+                log_error("viewer cmd %r failed: %s", op, e)
+                return {"error": f"{type(e).__name__}: {e}", **self.status()}
+
+    def _node_by_id(self, args: dict, key: str = "node"):
+        """Validated node lookup: raises ValueError with a useful message."""
+        raw = args.get(key, [""])[0]
+        try:
+            node_id = uuid.UUID(raw)
+        except ValueError:
+            raise ValueError(f"bad node id {raw!r}")
+        node = next((n for n in self.graph.nodes if n.id == node_id), None)
+        if node is None:
+            raise ValueError(f"no node with id {raw}")
+        return node
 
     def _rebuild(self) -> None:
         # The engine is single-threaded: pause the worker around the scene
         # rebuild, exactly like the reference rebuilds pipeline state on
-        # the UI thread.
+        # the UI thread. The loop restarts even when evaluation throws
+        # (try/finally) so a bad edit can't freeze the viewer; the failed
+        # mutation itself is undone by _cmd's caller via the command stack.
         self.loop.stop()
-        self._push_scene()
-        self.loop.start()
-        self.loop.request_frame()
+        try:
+            self._push_scene()
+        except Exception:
+            # Roll back the command that broke evaluation (if any) and
+            # restore a renderable scene before re-raising to the JSON
+            # error path.
+            if self.cmds.can_undo:
+                self.cmds.undo()
+                self._push_scene()
+            raise
+        finally:
+            self.loop.start()
+            self.loop.request_frame()
 
     def _cmd(self, op: str, args: dict) -> dict:
         if op == "photon":
@@ -312,42 +548,75 @@ class ViewerState:
             # (PropertyCommands + CommandManager, like the editor).
             from ..scene.commands import ApplyPropertiesCommand
 
-            node_id = uuid.UUID(args.get("node", [""])[0])
+            node = self._node_by_id(args)
             props = json.loads(args.get("props", ["{}"])[0])
-            node = next(n for n in self.graph.nodes if n.id == node_id)
+            if not isinstance(props, dict):
+                raise ValueError("props must be a JSON object")
             self.cmds.execute(ApplyPropertiesCommand(node, props))
             self._rebuild()
         elif op == "addnode":
             from ..models import NODE_TYPES
             from ..scene.commands import AddNodeCommand
 
-            cls = NODE_TYPES[args.get("type", [""])[0]]
-            self.cmds.execute(AddNodeCommand(self.graph, cls()))
+            type_name = args.get("type", [""])[0]
+            if type_name not in NODE_TYPES:
+                raise ValueError(f"unknown node type {type_name!r}")
+            node = NODE_TYPES[type_name]()
+            # canvas drop position (palette drag / add-at-center)
+            node.position = (float(args.get("x", ["0"])[0]),
+                             float(args.get("y", ["0"])[0]))
+            self.cmds.execute(AddNodeCommand(self.graph, node))
             self._rebuild()
         elif op == "delnode":
             from ..scene.commands import RemoveNodeCommand
 
-            node_id = uuid.UUID(args.get("node", [""])[0])
-            node = next(n for n in self.graph.nodes if n.id == node_id)
+            node = self._node_by_id(args)
             self.cmds.execute(RemoveNodeCommand(self.graph, node))
             self._rebuild()
+        elif op == "delnodes":
+            # canvas multi-delete: one composite undo entry for the whole
+            # selection (EditCommandHandler.cs delete-selection analog)
+            from ..scene.commands import CompositeCommand, RemoveNodeCommand
+
+            ids = [i for i in args.get("nodes", [""])[0].split(",") if i]
+            nodes = [self._node_by_id({"node": [i]}) for i in ids]
+            if nodes:
+                self.cmds.execute(CompositeCommand(
+                    [RemoveNodeCommand(self.graph, n) for n in nodes],
+                    description=f"delete {len(nodes)} node(s)"))
+                self._rebuild()
+        elif op == "move":
+            # canvas drag end: JSON list [{node, x, y}] -> one undo entry
+            # (NodeDragHandler registers the completed drag). Positions
+            # don't affect rendering, so no scene rebuild.
+            from ..scene.commands import MoveNodesCommand
+
+            moves = json.loads(args.get("moves", ["[]"])[0])
+            resolved = [
+                (self._node_by_id({"node": [m["node"]]}),
+                 (float(m["x"]), float(m["y"])))
+                for m in moves
+            ]
+            if resolved:
+                self.cmds.execute(MoveNodesCommand(resolved))
         elif op == "connect":
             from ..scene.commands import ConnectCommand
 
-            out_n = next(n for n in self.graph.nodes
-                         if n.id == uuid.UUID(args.get("out_node", [""])[0]))
-            in_n = next(n for n in self.graph.nodes
-                        if n.id == uuid.UUID(args.get("in_node", [""])[0]))
+            out_n = self._node_by_id(args, "out_node")
+            in_n = self._node_by_id(args, "in_node")
             out_s = out_n.find_output(args.get("out_sock", [""])[0])
             in_s = in_n.find_input(args.get("in_sock", [""])[0])
+            if out_s is None or in_s is None:
+                raise ValueError("no such socket")
             self.cmds.execute(ConnectCommand(self.graph, out_s, in_s))
             self._rebuild()
         elif op == "disconnect":
             from ..scene.commands import DisconnectCommand
 
-            in_n = next(n for n in self.graph.nodes
-                        if n.id == uuid.UUID(args.get("in_node", [""])[0]))
+            in_n = self._node_by_id(args, "in_node")
             in_s = in_n.find_input(args.get("in_sock", [""])[0])
+            if in_s is None:
+                raise ValueError("no such socket")
             conn = self.graph.connection_into(in_s)
             if conn is not None:
                 self.cmds.execute(DisconnectCommand(self.graph, conn))
@@ -382,6 +651,9 @@ class ViewerState:
         """Node-graph snapshot for the editor panel (.rtvs property shapes)."""
         from ..scene.rtvs import _serialize_properties
 
+        def sock(s):
+            return {"name": s.name, "type": s.type.name}
+
         with self.cmd_lock:
             return {
                 "nodes": [
@@ -389,9 +661,11 @@ class ViewerState:
                         "id": str(n.id),
                         "type": n.type_name,
                         "title": n.title,
+                        "x": float(n.position[0]),
+                        "y": float(n.position[1]),
                         "properties": _serialize_properties(n),
-                        "inputs": [s.name for s in n.input_sockets],
-                        "outputs": [s.name for s in n.output_sockets],
+                        "inputs": [sock(s) for s in n.input_sockets],
+                        "outputs": [sock(s) for s in n.output_sockets],
                     }
                     for n in self.graph.nodes
                 ],
@@ -399,6 +673,8 @@ class ViewerState:
                     {
                         "from": f"{c.output_node.title}.{c.output_socket.name}",
                         "to": f"{c.input_node.title}.{c.input_socket.name}",
+                        "out_node": str(c.output_node.id),
+                        "out_sock": c.output_socket.name,
                         "in_node": str(c.input_node.id),
                         "in_sock": c.input_socket.name,
                     }

@@ -46,6 +46,15 @@ MK_LEAF_SIZE = int(os.environ.get("RTVS_MK_LEAF_SIZE", "24"))
 # cost of duplicate-triangle padding between leaves (~2.3x table rows for
 # 24-tri leaves).
 MK_LEAF_ALIGN = int(os.environ.get("RTVS_MK_LEAF_ALIGN", "8"))
+# The dense mesh layout packs 8 triangles per 128-lane row and the
+# megakernel indexes rows as tri_start >> 3; a non-multiple-of-8 alignment
+# would silently read the wrong triangles. Fail fast like the max_leaf
+# guard in collapse_leaves. (Only 8 and multiples of 64 select the two
+# intended leaf-fetch paths — rolled window vs direct block load.)
+if MK_LEAF_ALIGN % 8 != 0 or MK_LEAF_ALIGN <= 0:
+    raise ValueError(
+        f"RTVS_MK_LEAF_ALIGN={MK_LEAF_ALIGN} must be a positive multiple of 8 "
+        "(the dense mesh layout packs 8 tris/row)")
 _END = -1
 
 
@@ -83,6 +92,43 @@ def build_bvh(v0, v1, v2, n0, n1, n2, inst, leaf_size: int = LEAF_SIZE,
     t = len(v0)
     if t == 0:
         raise ValueError("empty triangle list")
+
+    # SBVH-style reference pre-splitting (RTVS_PRESPLIT=<budget factor>,
+    # e.g. 2.0 = up to 2x references): sliver triangles — surfaces of
+    # revolution like the wine glass tessellate into long thin quads —
+    # get several tight clipped boxes instead of one fat one, cutting the
+    # packet walk's union leaf visits. The driver BLAS the reference
+    # leans on (AccelerationStructure.cpp:560-663, PREFER_FAST_TRACE)
+    # does equivalent splitting internally. Duplicated leaf entries are
+    # harmless for closest/thickness walks (min-reduce); shadow walks
+    # can double-multiply a crossing's Beer-Lambert factor when both
+    # clipped boxes are visited — the same duplicate-any-hit semantics
+    # DXR exhibits without NO_DUPLICATE_ANYHIT_INVOCATION, which the
+    # reference does not set.
+    presplit = float(os.environ.get("RTVS_PRESPLIT", "0") or 0)
+    if presplit > 1.0 and use_native:
+        from ..io import native as native_mod
+
+        sp = native_mod.presplit_native(v0, v1, v2, presplit)
+        if sp is not None:
+            ref_tri, ref_min, ref_max = sp
+            res = native_mod.build_bvh_refs_native(ref_min, ref_max, leaf_size)
+            if res is not None:
+                (bbox_min, bbox_max, hit_next, miss_next, tri_start,
+                 tri_count, order) = res
+                o = ref_tri[order.astype(np.int64)].astype(np.int64)
+                e1 = (np.asarray(v1) - np.asarray(v0)).astype(np.float32)
+                e2 = (np.asarray(v2) - np.asarray(v0)).astype(np.float32)
+                return BuiltBVH(
+                    bbox_min=bbox_min, bbox_max=bbox_max,
+                    hit_next=hit_next, miss_next=miss_next,
+                    tri_start=tri_start, tri_count=tri_count,
+                    v0=v0[o], edge1=e1[o], edge2=e2[o],
+                    n0=np.asarray(n0, np.float32)[o],
+                    n1=np.asarray(n1, np.float32)[o],
+                    n2=np.asarray(n2, np.float32)[o],
+                    inst=np.asarray(inst, np.int32)[o],
+                )
 
     if use_native:
         from ..io import native as native_mod

@@ -1843,7 +1843,7 @@ def _merge_sample(accs, a, s):
 
 
 def _bind_ks(caps, sph_ref, pln_ref, box_ref, mat_ref, lts_ref, fp_ref, ip_ref,
-             mesh_refs):
+             mesh_refs, mesh_scratch=None):
     """Bind scene-table refs + scalar params into the kernel-side KScene."""
     s_cap, p_cap, b_cap, l_cap = caps[:4]
 
@@ -1872,17 +1872,25 @@ def _bind_ks(caps, sph_ref, pln_ref, box_ref, mat_ref, lts_ref, fp_ref, ip_ref,
     if mesh_refs is not None:
         num_nodes, num_tris, leaf_size, num_inst = caps[4:]
         kk.mesh = KMesh(mesh_refs[0], mesh_refs[1], mesh_refs[2], mesh_refs[3],
-                        num_nodes, num_tris, leaf_size, num_inst)
+                        num_nodes, num_tris, leaf_size, num_inst,
+                        hbm_scratch=mesh_scratch)
         kk.i_cap = num_inst
     return kk
 
 
-def make_kernel(cfg: RenderConfig, caps, phase_a: bool = False):
+def make_kernel(cfg: RenderConfig, caps, phase_a: bool = False,
+                mesh_hbm: bool = False):
     """Build the tile kernel for static (config, table capacities).
 
     caps = (s, p, b, l) for analytic-only scenes, or
     (s, p, b, l, num_nodes, num_tris, leaf_size, num_inst) with a mesh —
     the mesh variant takes five extra table refs.
+
+    mesh_hbm=True: the two triangle tables stay HBM-resident and arrive as
+    ANY-space refs; three trailing scratch args (two [16,128] VMEM leaf
+    windows + a DMA semaphore pair) stream leaves on demand. Removes the
+    VMEM mesh-size cap entirely (the reference's driver BLAS has none,
+    AccelerationStructure.cpp:560-663).
 
     phase_a=True (two-phase renderer, spp==1 only): the DFS runs exactly
     ONE machine iteration — primary trace, full shade, records, spawn
@@ -1891,12 +1899,18 @@ def make_kernel(cfg: RenderConfig, caps, phase_a: bool = False):
     """
     s_cap, p_cap, b_cap, l_cap = caps[:4]
     has_mesh = len(caps) > 4
+    assert not (mesh_hbm and not has_mesh)
     if phase_a:
         assert cfg.samples_per_pixel == 1, "two-phase requires spp == 1"
 
     def kernel(sph_ref, pln_ref, box_ref, mat_ref, lts_ref, fp_ref, ip_ref, bn_ref,
                *rest):
-        out_ref = rest[-1]
+        if mesh_hbm:
+            out_ref = rest[-4]
+            mesh_scratch = (rest[-3], rest[-2], rest[-1])
+        else:
+            out_ref = rest[-1]
+            mesh_scratch = None
         shape = (TILE_H, TILE_W)
         ti = pl.program_id(0)
         tj = pl.program_id(1)
@@ -1906,7 +1920,8 @@ def make_kernel(cfg: RenderConfig, caps, phase_a: bool = False):
         xx = col0 + jax.lax.broadcasted_iota(I32, shape, 1)
         frame = ip_ref[0, IP_FRAME]
         kk = _bind_ks(caps, sph_ref, pln_ref, box_ref, mat_ref, lts_ref,
-                      fp_ref, ip_ref, rest[:4] if has_mesh else None)
+                      fp_ref, ip_ref, rest[:4] if has_mesh else None,
+                      mesh_scratch=mesh_scratch)
 
         def sample_body(s, accs):
             bn = _blue_noise_tile_channels(bn_ref, frame, s, row0)
@@ -2101,27 +2116,49 @@ def _accum_dict(out, num_rows, width):
 
 
 def render_accum_pallas(scene: FlatScene, cfg: RenderConfig, row_start, num_rows: int,
-                        interpret: bool = False):
+                        interpret: bool = False, mesh_hbm: bool = False):
     """Run the megakernel over the row slab; returns the 17 accumulators.
 
     Output arrays are flattened to [num_rows*width] lanes to match the jnp
     wavefront's accumulator contract (ops/render.py).
+
+    mesh_hbm=True keeps the triangle tables in HBM and streams leaves via
+    per-visit DMA (see make_kernel) — the no-size-cap path for meshes whose
+    dense tables exceed the VMEM budget.
     """
     args, caps = _pack_args(scene, cfg, row_start)
     grid_h = _cdiv(num_rows, TILE_H)
     grid_w = _cdiv(cfg.width, TILE_W)
+    mesh_hbm = mesh_hbm and len(caps) > 4
 
     def table_spec(arr):
         return pl.BlockSpec(arr.shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM)
 
+    def any_spec(arr):
+        # whole-array ref left in HBM; the kernel DMAs slices on demand
+        return pl.BlockSpec(memory_space=pl.ANY)
+
+    in_specs = [table_spec(a) for a in args]
+    scratch_shapes = []
+    if mesh_hbm:
+        # args layout: 8 scene tables + [nodes_fi, tri_geo, tri_extra, inst_tbl]
+        in_specs[9] = any_spec(args[9])
+        in_specs[10] = any_spec(args[10])
+        scratch_shapes = [
+            pltpu.VMEM((16, 128), F32),
+            pltpu.VMEM((16, 128), F32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+
     out = pl.pallas_call(
-        make_kernel(cfg, caps),
+        make_kernel(cfg, caps, mesh_hbm=mesh_hbm),
         out_shape=jax.ShapeDtypeStruct((NUM_CH, grid_h * TILE_H, grid_w * TILE_W), F32),
         grid=(grid_h, grid_w),
-        in_specs=[table_spec(a) for a in args],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (NUM_CH, TILE_H, TILE_W), lambda i, j: (0, i, j), memory_space=pltpu.VMEM
         ),
+        scratch_shapes=scratch_shapes,
         interpret=interpret,
     )(*args)
 
@@ -2172,6 +2209,18 @@ def render_accum_pallas_twophase(scene: FlatScene, cfg: RenderConfig, row_start,
     re-derives the machine state from them bit-exactly instead of paying a
     wide (slow) gather of exported state.
     """
+    # Phase B re-derives primary rays with zeroed DoF blue-noise channels,
+    # so a defocused camera would resume subtrees from primaries that
+    # differ from phase A's. engine._pick_backend gates auto-selection to
+    # aperture==0 and Engine.render re-checks forced 'pallas2' on the
+    # concrete scene; here the value is usually traced, so only enforce
+    # when it is concrete (mirrors the spp==1 gate).
+    import jax.core as _core
+
+    if not isinstance(scene.aperture_size, _core.Tracer):
+        assert float(scene.aperture_size) <= 1e-3, (
+            "two-phase megakernel requires aperture ~ 0 (phase B re-derives "
+            f"primaries without DoF jitter); got {float(scene.aperture_size)}")
     args, caps = _pack_args(scene, cfg, row_start)
     grid_h = _cdiv(num_rows, TILE_H)
     grid_w = _cdiv(cfg.width, TILE_W)
@@ -2302,10 +2351,15 @@ def _tri_hit_plane_k(o, d, g, k, tmin, tmax):
 
 
 class KMesh:
-    """Kernel-side mesh refs + static sizes."""
+    """Kernel-side mesh refs + static sizes.
+
+    With hbm_scratch set, tri_geo/tri_extra are HBM-resident refs that the
+    leaf fetch streams through the given VMEM scratch buffers by async DMA
+    (the BLAS-without-a-size-cap analog of AccelerationStructure.cpp:560-663
+    — only the node table must fit VMEM)."""
 
     def __init__(self, nodes_fi, tri_geo, tri_extra, inst_tbl,
-                 num_nodes, num_tris, leaf_size, num_inst):
+                 num_nodes, num_tris, leaf_size, num_inst, hbm_scratch=None):
         self.nodes_fi = nodes_fi  # [Nn,16]: bbmin3 bbmax3 hit miss ts tc pad6
         self.tri_geo = tri_geo  # [T/8,128]: 8 tris/row, 12 plane-repr fields each
         self.tri_extra = tri_extra  # [T/8,128]: 8 tris/row, n0 n1 n2 inst(asf32)
@@ -2314,6 +2368,8 @@ class KMesh:
         self.num_tris = num_tris
         self.leaf_size = leaf_size
         self.num_inst = num_inst
+        # (geo_scratch [16,128], extra_scratch [16,128], dma_sems [2]) or None
+        self.hbm_scratch = hbm_scratch
 
 
 def _node_row(km, node):
@@ -2348,6 +2404,29 @@ def _leaf_rows(km, tri_start, extra=False):
     from .. import bvh as bvh_mod
 
     r0 = tri_start >> 3
+    if km.hbm_scratch is not None:
+        # HBM-resident tables: DMA the same 8-aligned 16-row window into
+        # VMEM scratch, then roll exactly like the resident path. The two
+        # copies run concurrently; latency is paid once per LEAF visit
+        # (node walks stay VMEM-resident), which measures within ~2x of
+        # the resident path on leaf-bound scenes.
+        geo_s, ex_s, sems = km.hbm_scratch
+        w0 = pl.multiple_of((r0 >> 3) << 3, 8)
+        off = r0 - w0
+        cp_g = pltpu.make_async_copy(
+            km.tri_geo.at[pl.ds(w0, 16), :], geo_s, sems.at[0])
+        cp_g.start()
+        if extra:
+            cp_e = pltpu.make_async_copy(
+                km.tri_extra.at[pl.ds(w0, 16), :], ex_s, sems.at[1])
+            cp_e.start()
+        cp_g.wait()
+        g = pltpu.roll(geo_s[...], (16 - off) % 16, axis=0)
+        ex = None
+        if extra:
+            cp_e.wait()
+            ex = pltpu.roll(ex_s[...], (16 - off) % 16, axis=0)
+        return g, ex
     if bvh_mod.MK_LEAF_ALIGN % 64 == 0:
         # 64-tri-aligned leaf ranges: the dense row start is provably %8,
         # so the leaf block-loads directly — no window, no roll (the

@@ -3,17 +3,27 @@
 The portable gather (ops/photon.py::gather) replicates the reference's
 19-cell spatial-hash walk (Common.hlsli:887-967) with per-pixel dynamic
 indexing — XLA lowers that to millions of small gathers, ~6 s/frame at
-1080p on a v5e. This kernel reformulates it TPU-first: photons are sorted
-by the Morton code of their hash cell (spatially coherent), the whole
-table lives in VMEM, and each 32x128 pixel tile scans photon *chunks* of
-64, skipping any chunk whose bounding box (dilated by the gather radius)
-misses every lane. Within the radius it accumulates the same Gaussian
-kernel exp(-d^2/r^2) * max(dot(-photon_dir, N), 0) and respects the
-32-photon accept cap (MAX_GATHER_PHOTONS_THRESHOLD); the *subset* kept
-when the cap binds follows Morton order instead of the reference's cell
-walk, which only matters in overdense foci where both estimates saturate.
-Two further deliberate deviations from the hash-walk (both make this the
-*more* correct estimator): corner-diagonal photons culled by the walk's
+1080p on a v5e. This kernel reformulates it TPU-first:
+
+- photons are sorted by the Morton code of their hash cell (spatially
+  coherent) and DENSE-PACKED 8 per 128-lane VMEM row (16 fields each) —
+  the naive [P,12] layout lane-pads every photon to 512 B, which at the
+  reference's 131k-photon budget (DXRPipeline.h:483-487) would be a 67 MB
+  VMEM table;
+- a two-level bounding-box hierarchy culls in O(P/2048) per tile: each
+  32x128 pixel tile tests SUPERCHUNK boxes (2048 photons), descends into
+  near ones, tests their 32 chunk boxes (64 photons), and only then
+  block-loads the chunk's 8 aligned rows and evaluates the 64 photons
+  with fully static indexing — no per-photon dynamic row loads;
+- tiles with no eligible lanes (sky, specular) skip everything.
+
+Within the radius it accumulates the same Gaussian kernel
+exp(-d^2/r^2) * max(dot(-photon_dir, N), 0) and respects the 32-photon
+accept cap (MAX_GATHER_PHOTONS_THRESHOLD); the *subset* kept when the cap
+binds follows Morton order instead of the reference's cell walk, which
+only matters in overdense foci where both estimates saturate. Two further
+deliberate deviations from the hash-walk (both make this the *more*
+correct estimator): corner-diagonal photons culled by the walk's
 cellDistSq<=2 test are accepted when inside the radius, and photons the
 walk double-counts through hash-slot collisions are counted once.
 """
@@ -31,7 +41,9 @@ I32 = jnp.int32
 
 TILE_H = 32
 TILE_W = 128
-CHUNK = 64
+CHUNK = 64        # photons per chunk = 8 dense rows
+SUPER = 32        # chunks per superchunk (2048 photons)
+PH_FIELDS = 16    # pos3 dir3 col3 power valid pad5 -> 8 photons/row
 
 
 def _morton10(v):
@@ -45,11 +57,12 @@ def _morton10(v):
 
 
 def pack_photons(pmap):
-    """Morton-sort the photon table and build chunk bounding boxes.
+    """Morton-sort the photon table, dense-pack it, and build the two-level
+    chunk/superchunk bounding boxes.
 
-    Returns (ph_tbl [P,12], bbox_tbl [P/CHUNK, 8], n_chunks).
-    ph row: pos3, dir3, col3, power, valid, pad. Invalid photons get a
-    far-away position so chunk bboxes and distance tests exclude them.
+    Returns (ph_tbl [P/8,128], chunk_bb [n_chunks,8], super_bb [n_super,8],
+    n_chunks). Invalid photons get a far-away position so boxes and
+    distance tests exclude them.
     """
     p = pmap.position.shape[0]
     assert p % CHUNK == 0, "photon budget must be a multiple of 64"
@@ -64,7 +77,7 @@ def pack_photons(pmap):
     valid = (pmap.valid & (jnp.arange(p) < pmap.count))[order]
     far = F32(1e8)
     pos = jnp.where(valid[:, None], pmap.position[order], far)
-    tbl = jnp.zeros((p, 12), F32)
+    tbl = jnp.zeros((p, PH_FIELDS), F32)
     tbl = (
         tbl.at[:, 0:3].set(pos)
         .at[:, 3:6].set(pmap.direction[order])
@@ -72,73 +85,115 @@ def pack_photons(pmap):
         .at[:, 9].set(jnp.where(valid, pmap.power[order], 0.0))
         .at[:, 10].set(valid.astype(F32))
     )
+    # dense-pack 8 photons per 128-lane row; pad rows to a multiple of 8
+    # so chunk block-loads stay aligned
+    rows = p // 8
+    tbl = tbl.reshape(rows, 8 * PH_FIELDS)
+
     n_chunks = p // CHUNK
     cpos = pos.reshape(n_chunks, CHUNK, 3)
-    bbox = jnp.zeros((n_chunks, 8), F32)
-    bbox = bbox.at[:, 0:3].set(jnp.min(cpos, axis=1)).at[:, 3:6].set(jnp.max(cpos, axis=1))
-    return tbl, bbox, n_chunks
+    chunk_bb = jnp.zeros((n_chunks, 8), F32)
+    chunk_bb = (chunk_bb.at[:, 0:3].set(jnp.min(cpos, axis=1))
+                .at[:, 3:6].set(jnp.max(cpos, axis=1)))
+    n_super = -(-n_chunks // SUPER)
+    pad_c = n_super * SUPER - n_chunks
+    cb_pad = jnp.pad(chunk_bb, ((0, pad_c), (0, 0)),
+                     constant_values=far)  # empty boxes: lo=hi=far
+    spos = cb_pad.reshape(n_super, SUPER, 8)
+    super_bb = jnp.zeros((n_super, 8), F32)
+    super_bb = (super_bb.at[:, 0:3].set(jnp.min(spos[:, :, 0:3], axis=1))
+                .at[:, 3:6].set(jnp.max(spos[:, :, 3:6], axis=1)))
+    # chunk table padded so block-loads of SUPER rows never run off the end
+    chunk_bb = jnp.pad(chunk_bb, ((0, pad_c + SUPER), (0, 0)),
+                       constant_values=far)
+    return tbl, chunk_bb, super_bb, n_chunks
+
+
+def _pg(row_block, k, j):
+    """Field j of photon k in a dense-packed 8-row chunk block (static)."""
+    return row_block[k >> 3, (k & 7) * PH_FIELDS + j]
 
 
 def _make_kernel(n_chunks: int, radius: float, intensity: float):
     r2 = float(radius) * float(radius)
+    r = float(radius)
     max_gather = C.MAX_GATHER_PHOTONS_THRESHOLD
+    n_super = -(-n_chunks // SUPER)
 
-    def kernel(px_ref, ph_ref, bb_ref, out_ref):
+    def kernel(px_ref, ph_ref, cb_ref, sb_ref, out_ref):
         pos = (px_ref[0], px_ref[1], px_ref[2])
         nrm = (px_ref[3], px_ref[4], px_ref[5])
         elig_i = (px_ref[6] > 0.5).astype(I32)
         zero = pos[0] * 0.0
         izero = zero.astype(I32)
 
-        def chunk_body(c, carry):
-            cr, cg, cb, wsum, cnt = carry
-            bb = bb_ref[pl.ds(c, 1), :]
-            near = (
-                (elig_i != 0)
-                & (cnt < max_gather)
-                & (pos[0] >= bb[0, 0] - r2 ** 0.5) & (pos[0] <= bb[0, 3] + r2 ** 0.5)
-                & (pos[1] >= bb[0, 1] - r2 ** 0.5) & (pos[1] <= bb[0, 4] + r2 ** 0.5)
-                & (pos[2] >= bb[0, 2] - r2 ** 0.5) & (pos[2] <= bb[0, 5] + r2 ** 0.5)
+        out_ref[0, :, :] = jnp.zeros_like(zero)
+        out_ref[1, :, :] = jnp.zeros_like(zero)
+        out_ref[2, :, :] = jnp.zeros_like(zero)
+
+        def box_near(bb, active_i):
+            return (
+                (active_i != 0)
+                & (pos[0] >= bb[0, 0] - r) & (pos[0] <= bb[0, 3] + r)
+                & (pos[1] >= bb[0, 1] - r) & (pos[1] <= bb[0, 4] + r)
+                & (pos[2] >= bb[0, 2] - r) & (pos[2] <= bb[0, 5] + r)
             )
-            near_i = near.astype(I32)  # i1 can't cross the cond region
 
-            def scan_chunk(carry):
-                cr, cg, cb, wsum, cnt = carry
+        def chunk_scan(c, carry):
+            """Evaluate all 64 photons of chunk c (8 aligned dense rows)."""
+            cr, cg, cb_, wsum, cnt = carry
+            base = pl.multiple_of(c * (CHUNK // 8), 8)
+            blk = ph_ref[pl.ds(base, 8), :]
+            for k in range(CHUNK):
+                dx = pos[0] - _pg(blk, k, 0)
+                dy = pos[1] - _pg(blk, k, 1)
+                dz = pos[2] - _pg(blk, k, 2)
+                d2 = dx * dx + dy * dy + dz * dz
+                dot_n = -(_pg(blk, k, 3) * nrm[0] + _pg(blk, k, 4) * nrm[1]
+                          + _pg(blk, k, 5) * nrm[2])
+                accept = ((d2 < r2) & (dot_n > 0.0) & (cnt < max_gather)
+                          & (_pg(blk, k, 10) > 0.5))
+                w = jnp.exp(-d2 / F32(r2)) * dot_n
+                pw = _pg(blk, k, 9) * w
+                cr = jnp.where(accept, cr + _pg(blk, k, 6) * pw, cr)
+                cg = jnp.where(accept, cg + _pg(blk, k, 7) * pw, cg)
+                cb_ = jnp.where(accept, cb_ + _pg(blk, k, 8) * pw, cb_)
+                wsum = jnp.where(accept, wsum + w, wsum)
+                cnt = cnt + accept.astype(I32)
+            return cr, cg, cb_, wsum, cnt
 
-                def photon_body(k, inner):
-                    cr, cg, cb, wsum, cnt = inner
-                    row = ph_ref[pl.ds(c * CHUNK + k, 1), :]
-                    dx = pos[0] - row[0, 0]
-                    dy = pos[1] - row[0, 1]
-                    dz = pos[2] - row[0, 2]
-                    d2 = dx * dx + dy * dy + dz * dz
-                    dot_n = -(row[0, 3] * nrm[0] + row[0, 4] * nrm[1] + row[0, 5] * nrm[2])
-                    accept = (
-                        (near_i != 0) & (row[0, 10] > 0.5) & (d2 < r2)
-                        & (dot_n > 0.0) & (cnt < max_gather)
-                    )
-                    w = jnp.exp(-d2 / F32(r2)) * dot_n
-                    pw = row[0, 9] * w
-                    cr = jnp.where(accept, cr + row[0, 6] * pw, cr)
-                    cg = jnp.where(accept, cg + row[0, 7] * pw, cg)
-                    cb = jnp.where(accept, cb + row[0, 8] * pw, cb)
-                    wsum = jnp.where(accept, wsum + w, wsum)
-                    cnt = cnt + accept.astype(I32)
-                    return cr, cg, cb, wsum, cnt
+        def super_body(s, carry):
+            cr, cg, cb_, wsum, cnt = carry
+            sb = sb_ref[pl.ds(s, 1), :]
+            near_s = box_near(sb, elig_i & (cnt < max_gather).astype(I32))
+            near_s_i = near_s.astype(I32)  # i1 can't cross cond regions
 
-                return jax.lax.fori_loop(0, CHUNK, photon_body, carry)
+            def scan_super(carry):
+                def chunk_body(ci, inner):
+                    cr, cg, cb_, wsum, cnt = inner
+                    c = s * SUPER + ci
+                    cbb = cb_ref[pl.ds(c, 1), :]
+                    near_c = box_near(cbb, near_s_i & (cnt < max_gather).astype(I32))
+                    return jax.lax.cond(
+                        jnp.any(near_c), lambda x: chunk_scan(c, x),
+                        lambda x: x, (cr, cg, cb_, wsum, cnt))
 
-            return jax.lax.cond(jnp.any(near), scan_chunk, lambda x: x,
-                                (cr, cg, cb, wsum, cnt))
+                return jax.lax.fori_loop(0, SUPER, chunk_body, carry)
 
-        init = (zero, zero, zero, zero, izero)
-        cr, cg, cb, wsum, _cnt = jax.lax.fori_loop(0, n_chunks, chunk_body, init)
-        area = F32(3.14159265) * F32(r2)
-        hasw = wsum > 0.0
-        scale = F32(intensity) / area
-        out_ref[0, :, :] = jnp.where(hasw, cr * scale, 0.0)
-        out_ref[1, :, :] = jnp.where(hasw, cg * scale, 0.0)
-        out_ref[2, :, :] = jnp.where(hasw, cb * scale, 0.0)
+            return jax.lax.cond(jnp.any(near_s), scan_super, lambda x: x,
+                                (cr, cg, cb_, wsum, cnt))
+
+        @pl.when(jnp.any(elig_i != 0))
+        def _tile():
+            init = (zero, zero, zero, zero, izero)
+            cr, cg, cb_, wsum, _cnt = jax.lax.fori_loop(
+                0, n_super, super_body, init)
+            area = F32(3.14159265) * F32(r2)
+            hasw = wsum > 0.0
+            scale = F32(intensity) / area
+            out_ref[0, :, :] = jnp.where(hasw, cr * scale, 0.0)
+            out_ref[1, :, :] = jnp.where(hasw, cg * scale, 0.0)
+            out_ref[2, :, :] = jnp.where(hasw, cb_ * scale, 0.0)
 
     return kernel
 
@@ -151,7 +206,7 @@ def gather_pallas(pmap, position, normal, eligible, height: int, width: int,
                   interpret: bool = False):
     """Gather caustics for [N,3] positions laid out as a height x width
     image. Returns caustic [N,3] (zero on non-eligible lanes)."""
-    tbl, bbox, n_chunks = pack_photons(pmap)
+    tbl, chunk_bb, super_bb, n_chunks = pack_photons(pmap)
     hp = _cdiv(height, TILE_H) * TILE_H
     wp = _cdiv(width, TILE_W) * TILE_W
     px = jnp.zeros((8, hp, wp), F32)
@@ -177,12 +232,12 @@ def gather_pallas(pmap, position, normal, eligible, height: int, width: int,
         in_specs=[
             pl.BlockSpec((8, TILE_H, TILE_W), lambda i, j: (0, i, j),
                          memory_space=pltpu.VMEM),
-            table_spec(tbl), table_spec(bbox),
+            table_spec(tbl), table_spec(chunk_bb), table_spec(super_bb),
         ],
         out_specs=pl.BlockSpec((3, TILE_H, TILE_W), lambda i, j: (0, i, j),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(px, tbl, bbox)
+    )(px, tbl, chunk_bb, super_bb)
     out = out[:, :height, :width]
     n = height * width
     return jnp.stack([out[0].reshape(n), out[1].reshape(n), out[2].reshape(n)], axis=-1)

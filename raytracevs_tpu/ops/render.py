@@ -146,15 +146,18 @@ def render_rows(scene: FlatScene, cfg: RenderConfig, row_start, num_rows: int,
     device over a row slab with the scene replicated.
 
     backend="pallas" runs the VMEM-resident tile megakernel
-    (ops/pallas/megakernel.py) — the fast path on real TPUs; "jnp" is the
-    portable reference implementation.
+    (ops/pallas/megakernel.py) — the fast path on real TPUs;
+    "pallas_hbm" is the same kernel with HBM-resident triangle tables
+    (no mesh size cap, leaves streamed by DMA); "jnp" is the portable
+    reference implementation.
     """
-    if backend not in ("jnp", "pallas", "pallas2"):
+    if backend not in ("jnp", "pallas", "pallas2", "pallas_hbm"):
         raise ValueError(
-            f"unknown backend {backend!r}; expected 'jnp', 'pallas' or 'pallas2'"
+            f"unknown backend {backend!r}; expected 'jnp', 'pallas', "
+            "'pallas2' or 'pallas_hbm'"
         )
     n = cfg.width * num_rows
-    if backend in ("pallas", "pallas2"):
+    if backend in ("pallas", "pallas2", "pallas_hbm"):
         from .pallas import megakernel
 
         if backend == "pallas2":
@@ -164,8 +167,9 @@ def render_rows(scene: FlatScene, cfg: RenderConfig, row_start, num_rows: int,
                 scene, cfg, row_start, num_rows, interpret
             )
         else:
-            a = megakernel.render_accum_pallas(scene, cfg, row_start, num_rows,
-                                               interpret)
+            a = megakernel.render_accum_pallas(
+                scene, cfg, row_start, num_rows, interpret,
+                mesh_hbm=(backend == "pallas_hbm"))
         c = _apply_caustics(
             scene, cfg, row_start, num_rows, backend="pallas", interpret=interpret,
             accs=dict(acc_color=a["color"], acc_primary=a["primary"],

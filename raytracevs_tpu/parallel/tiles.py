@@ -99,3 +99,93 @@ def render_frame_sharded(scene: FlatScene, cfg: RenderConfig, mesh: Optional[Mes
         rows_per = cfg.height // n_dev
         backend = "pallas" if (is_tpu and rows_per % 32 == 0) else "jnp"
     return _render_sharded(scene, cfg, mesh, backend)
+
+
+@partial(jax.jit, static_argnums=(1, 2, 3))
+def _render_pipeline_sharded(scene: FlatScene, cfg: RenderConfig, mesh: Mesh,
+                             backend: str, denoise_state):
+    """Full frame pipeline under shard_map: render + denoise (halo-row
+    collectives) + composite, rows sharded over the mesh.
+
+    The engine-facing analog of runtime.engine._render_pipeline — same
+    return contract — with every stage executing per-device: the denoiser
+    exchanges TEMPORAL_HALO/SPATIAL_HALO boundary rows over ICI
+    (post/denoise.py::denoise_frame_sharded) and the composite/tonemap are
+    per-pixel. Output equals the single-device pipeline bit-for-bit.
+    """
+    from ..post import composite as composite_mod
+    from ..post import denoise as denoise_mod
+    from ..post import tonemap
+
+    n_dev = mesh.devices.size
+    rows_per = cfg.height // n_dev
+
+    def shard_fn(scene_rep, state_slab):
+        i = jax.lax.axis_index(TILE_AXIS)
+        out = render_rows(scene_rep, cfg, i * rows_per, rows_per,
+                          backend=backend)
+        if cfg.enable_denoiser and state_slab is not None:
+            dd, ds, dshadow, new_state = denoise_mod.denoise_frame_sharded(
+                out.gbuffer, rows_per, cfg.width, state_slab,
+                TILE_AXIS, n_dev, cfg.height,
+            )
+            denoised = (dd, ds, dshadow)
+            color01 = composite_mod.composite(
+                out.gbuffer, out.raw_specular, scene_rep.exposure,
+                scene_rep.tone_map_operator, scene_rep.gamma,
+                denoised_diffuse=dd, denoised_specular=ds, use_denoised=True,
+                nrd_bypass_distance=scene_rep.nrd_bypass_distance,
+                nrd_bypass_blend=scene_rep.nrd_bypass_blend,
+            )
+        else:
+            new_state = state_slab
+            denoised = None
+            color01 = composite_mod.composite(
+                out.gbuffer, out.raw_specular, scene_rep.exposure,
+                scene_rep.tone_map_operator, scene_rep.gamma,
+                use_denoised=False,
+            )
+        rgba = tonemap.to_rgba8(color01).reshape(rows_per, cfg.width, 4)
+        hdr = out.color.reshape(rows_per, cfg.width, 3)
+        return (rgba, hdr, out.rays.reshape(1), out.gbuffer,
+                new_state, denoised)
+
+    sharded = P(TILE_AXIS)
+    state_specs = (None if denoise_state is None
+                   else jax.tree_util.tree_map(lambda _: sharded, denoise_state))
+    denoised_specs = ((sharded, sharded, sharded)
+                      if (cfg.enable_denoiser and denoise_state is not None)
+                      else None)
+    specs_in = jax.tree_util.tree_map(lambda _: P(), scene)
+    gb = _gbuffer_spec()
+    return shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(specs_in, state_specs),
+        out_specs=(sharded, sharded, sharded, gb, state_specs, denoised_specs),
+        check_vma=False,
+    )(scene, denoise_state)
+
+
+def render_pipeline_sharded(scene: FlatScene, cfg: RenderConfig,
+                            mesh: Optional[Mesh] = None, denoise_state=None,
+                            backend: str = "auto"):
+    """Engine-level multi-chip frame: returns (rgba[H,W,4]u8, hdr[H,W,3],
+    rays[n_dev], gbuffer, new_state, denoised) with rows sharded.
+
+    cfg.height must divide by the device count; the megakernel additionally
+    needs 32-row-aligned shards (backend='auto' falls back to jnp
+    otherwise).
+    """
+    if mesh is None:
+        mesh = make_mesh()
+    n_dev = mesh.devices.size
+    if cfg.height % n_dev != 0:
+        raise ValueError(f"height {cfg.height} not divisible by {n_dev} devices")
+    rows_per = cfg.height // n_dev
+    if backend == "auto":
+        is_tpu = all(d.platform == "tpu" for d in mesh.devices.flat)
+        backend = "pallas" if (is_tpu and rows_per % 32 == 0) else "jnp"
+    elif backend.startswith("pallas") and rows_per % 32 != 0:
+        backend = "jnp"  # megakernel tiles are 32 rows tall
+    return _render_pipeline_sharded(scene, cfg, mesh, backend, denoise_state)

@@ -93,27 +93,40 @@ def _bilinear(img, xf, yf):
     )
 
 
-def temporal_accumulate(curr_diffuse, curr_specular, motion, view_z, state: DenoiserState):
+def temporal_accumulate(curr_diffuse, curr_specular, motion, view_z,
+                        state: DenoiserState, packed_ext=None, halo: int = 0,
+                        row0=0, global_h: int = None):
     """Motion-reprojected exponential accumulation with fast-history anti-lag.
 
     curr_*: [H,W,4]; motion [H,W,2] pixel-space (current - previous);
     view_z [H,W]. Returns (diffuse, specular [H,W,4], new_state fields).
+
+    Sharded mode (denoise_frame_sharded): `packed_ext` is the 16-channel
+    history slab EXTENDED by `halo` exchanged neighbor rows on each side,
+    `row0` is this shard's first global row, and `global_h` the full image
+    height — reprojection bounds and gather clamping then reproduce the
+    single-device result bit-exactly (halo must exceed the MV clamp + the
+    bilinear +1 tap). Defaults reduce to the original whole-frame path.
     """
     h, w = view_z.shape
-    ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0).astype(F32)
+    if global_h is None:
+        global_h = h
+    ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0).astype(F32) + row0
     xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1).astype(F32)
     prev_x = xs - motion[..., 0]
-    prev_y = ys - motion[..., 1]
+    prev_y = ys - motion[..., 1]  # global row coordinate
 
     # One fused 16-channel bilinear sample instead of six separate ones:
     # each bilinear tap is an XLA gather over the whole frame, and gathers
     # dominate the denoiser's cost on TPU — shared indices amortize them.
-    packed = jnp.concatenate(
-        [state.diffuse, state.specular, state.fast_diffuse, state.fast_specular,
-         state.frames[..., None], state.view_z[..., None]],
-        axis=-1,
-    )
-    hist = _bilinear(packed, prev_x, prev_y)
+    if packed_ext is None:
+        packed_ext = jnp.concatenate(
+            [state.diffuse, state.specular, state.fast_diffuse,
+             state.fast_specular, state.frames[..., None],
+             state.view_z[..., None]],
+            axis=-1,
+        )
+    hist = _bilinear(packed_ext, prev_x, prev_y - row0 + halo)
     hist_d = hist[..., 0:4]
     hist_s = hist[..., 4:8]
     fast_d = hist[..., 8:11]
@@ -121,7 +134,8 @@ def temporal_accumulate(curr_diffuse, curr_specular, motion, view_z, state: Deno
     hist_frames = hist[..., 14]
     hist_z = hist[..., 15]
 
-    in_bounds = (prev_x >= 0) & (prev_x <= w - 1) & (prev_y >= 0) & (prev_y <= h - 1)
+    in_bounds = ((prev_x >= 0) & (prev_x <= w - 1) & (prev_y >= 0)
+                 & (prev_y <= global_h - 1))
     depth_ok = jnp.abs(hist_z - view_z) <= 0.1 * jnp.maximum(view_z, C.VIEWZ_MIN)
     not_sky = view_z < C.VIEWZ_SKY * 0.99
     valid = in_bounds & depth_ok & not_sky
@@ -152,40 +166,43 @@ def _shifted(padded, pad, dy, dx, h, w):
     return padded[pad + dy : pad + dy + h, pad + dx : pad + dx + w]
 
 
+def _atrous_pass(img, view_z, normal, stride: int):
+    """One edge-stopping a-trous pass (edge-clamped borders). img [H,W,C]."""
+    offsets = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1)]
+    kernel = {0: 1.0, 1: 2.0 / 3.0, 2: 1.0 / 6.0}
+    im_h, im_w = view_z.shape
+    spec = [(stride, stride), (stride, stride)]
+    pimg = jnp.pad(img, spec + [(0, 0)], mode="edge")
+    pz = jnp.pad(view_z, spec, mode="edge")
+    pn = jnp.pad(normal, spec + [(0, 0)], mode="edge")
+    wsum = jnp.ones(view_z.shape, F32)
+    acc = img
+    for dy, dx in offsets:
+        q = _shifted(pimg, stride, dy * stride, dx * stride, im_h, im_w)
+        qz = _shifted(pz, stride, dy * stride, dx * stride, im_h, im_w)
+        qn = _shifted(pn, stride, dy * stride, dx * stride, im_h, im_w)
+        w_depth = jnp.exp(
+            -jnp.abs(qz - view_z) / (DEPTH_SIGMA * jnp.maximum(view_z, C.VIEWZ_MIN))
+        )
+        w_norm = jnp.power(
+            jnp.maximum(jnp.sum(qn * normal, axis=-1), 0.0), NORMAL_POWER
+        )
+        w_spatial = kernel[max(abs(dy), abs(dx))]
+        w = w_depth * w_norm * w_spatial
+        acc = acc + q * w[..., None]
+        wsum = wsum + w
+    return acc / wsum[..., None]
+
+
 def atrous(img, view_z, normal, passes: int = ATROUS_PASSES):
     """Edge-stopping a-trous wavelet filter. img [H,W,C].
 
     Neighbors clamp at the frame border (texture-load semantics, like the
     reference's compute filters) — NOT wrap-around.
     """
-    offsets = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1)]
-    kernel = {0: 1.0, 1: 2.0 / 3.0, 2: 1.0 / 6.0}
-    im_h, im_w = view_z.shape
-
     out = img
     for p in range(passes):
-        stride = 1 << p
-        spec = [(stride, stride), (stride, stride)]
-        pimg = jnp.pad(out, spec + [(0, 0)], mode="edge")
-        pz = jnp.pad(view_z, spec, mode="edge")
-        pn = jnp.pad(normal, spec + [(0, 0)], mode="edge")
-        wsum = jnp.ones(view_z.shape, F32)
-        acc = out
-        for dy, dx in offsets:
-            q = _shifted(pimg, stride, dy * stride, dx * stride, im_h, im_w)
-            qz = _shifted(pz, stride, dy * stride, dx * stride, im_h, im_w)
-            qn = _shifted(pn, stride, dy * stride, dx * stride, im_h, im_w)
-            w_depth = jnp.exp(
-                -jnp.abs(qz - view_z) / (DEPTH_SIGMA * jnp.maximum(view_z, C.VIEWZ_MIN))
-            )
-            w_norm = jnp.power(
-                jnp.maximum(jnp.sum(qn * normal, axis=-1), 0.0), NORMAL_POWER
-            )
-            w_spatial = kernel[max(abs(dy), abs(dx))]
-            w = w_depth * w_norm * w_spatial
-            acc = acc + q * w[..., None]
-            wsum = wsum + w
-        out = acc / wsum[..., None]
+        out = _atrous_pass(out, view_z, normal, 1 << p)
     return out
 
 
@@ -342,5 +359,140 @@ def _denoise_frame_pallas(gbuffer, height: int, width: int, state: DenoiserState
         out_ds[0:3].transpose(1, 2, 0).reshape(n, 3),
         out_ds[3:6].transpose(1, 2, 0).reshape(n, 3),
         out_shadow.transpose(1, 2, 0).reshape(n, 2),
+        new_state,
+    )
+
+
+# ---- multi-chip: sharded denoise with halo-row exchange ---------------------
+#
+# The denoiser is the full pipeline's only cross-pixel stage, so it is the
+# only place image-row sharding needs a collective (SURVEY §2.5/§5.8): each
+# shard exchanges boundary rows with its mesh neighbors over ICI
+# (jax.lax.ppermute), filters its extended slab, and crops the halo — output
+# bit-equal to the single-device denoiser.
+
+# History halo: the reprojection gather reaches at most MV_CLAMP_PIXELS rows
+# plus the bilinear +1 tap; 72 (a sublane multiple) covers 64 + 1.
+TEMPORAL_HALO = 72
+# The a-trous passes exchange per-pass halos of their own stride (1, 2, 4):
+# replicating the CURRENT pass input at the image boundary is exactly the
+# whole-frame filter's jnp.pad(mode='edge') — a one-shot input halo is not
+# (later passes would see replicated inputs where the whole-frame filter
+# edge-pads earlier pass OUTPUTS). The shadow filter is single-pass, so one
+# radius-2 halo suffices.
+SHADOW_HALO = 2
+
+
+def exchange_row_halo(img, halo: int, axis_name: str, n_shards: int):
+    """Return img [rows,...] extended to [halo+rows+halo,...] with neighbor
+    rows fetched over the mesh (jax.lax.ppermute ring hops). Where the image
+    boundary cuts the halo short, edge rows replicate — exactly the
+    jnp.pad(mode='edge') the whole-frame filters use.
+
+    Works for halo > rows (multi-hop), which the tiny-shape multichip
+    dryrun exercises.
+    """
+    rows = img.shape[0]
+    if n_shards == 1:
+        top = jnp.repeat(img[:1], halo, axis=0)
+        bot = jnp.repeat(img[-1:], halo, axis=0)
+        return jnp.concatenate([top, img, bot], axis=0)
+    hops = -(-halo // rows)
+    i = jax.lax.axis_index(axis_name)
+
+    # Full slabs from the k-th neighbor in each direction (zeros where the
+    # neighbor does not exist; replaced by edge replication below).
+    above = []  # k = hops..1: slab of shard i-k
+    below = []  # k = 1..hops: slab of shard i+k
+    for k in range(1, hops + 1):
+        above.append(jax.lax.ppermute(
+            img, axis_name, [(j, j + k) for j in range(n_shards - k)]))
+        below.append(jax.lax.ppermute(
+            img, axis_name, [(j + k, j) for j in range(n_shards - k)]))
+
+    # Own slab appended/prepended so boundary shards can clamp into their
+    # own edge rows — the per-shard equivalent of jnp.pad(mode='edge') at
+    # the global image boundary.
+    above_full = jnp.concatenate(above[::-1] + [img], axis=0)
+    below_full = jnp.concatenate([img] + below, axis=0)
+    ridx = jnp.arange(hops * rows)
+    # above_full rows = global slabs i-hops..i; valid from (hops-i)*rows on
+    vstart = jnp.maximum(hops - i, 0) * rows
+    ext_above = jnp.take(above_full, jnp.maximum(ridx, vstart), axis=0)
+    # below_full rows = global slabs i..i+hops; valid through the last
+    # existing neighbor (own slab is always valid)
+    vend = (jnp.minimum(n_shards - 1 - i, hops) + 1) * rows - 1
+    ext_below = jnp.take(below_full, jnp.minimum(rows + ridx, vend), axis=0)
+    return jnp.concatenate(
+        [ext_above[hops * rows - halo:], img, ext_below[:halo]], axis=0)
+
+
+def denoise_frame_sharded(gbuffer, rows: int, width: int, state: DenoiserState,
+                          axis_name: str, n_shards: int, global_h: int):
+    """Per-shard denoise_frame (call under shard_map with rows sharded).
+
+    gbuffer fields and `state` hold THIS shard's row slab; returns the same
+    (diffuse3, specular3, shadow2, new_state) contract, bit-equal to
+    denoise_frame over the assembled frame. Two collectives per frame: a
+    TEMPORAL_HALO exchange of the packed history and a SPATIAL_HALO
+    exchange of the filter inputs.
+    """
+    def img(a, c=None):
+        return a.reshape(rows, width, c) if c else a.reshape(rows, width)
+
+    diffuse = img(gbuffer.diffuse_hitdist, 4)
+    specular = img(gbuffer.specular_hitdist, 4)
+    motion = img(gbuffer.motion, 2)
+    view_z = img(gbuffer.view_z)
+    nr = img(gbuffer.normal_roughness, 4)
+    shadow = img(gbuffer.shadow_data, 2)
+    obj_id = img(gbuffer.obj_id)
+    row0 = jax.lax.axis_index(axis_name) * rows
+
+    packed = jnp.concatenate(
+        [state.diffuse, state.specular, state.fast_diffuse, state.fast_specular,
+         state.frames[..., None], state.view_z[..., None]],
+        axis=-1,
+    )
+    packed_ext = exchange_row_halo(packed, TEMPORAL_HALO, axis_name, n_shards)
+    acc_d, acc_s, fast_d, fast_s, frames = temporal_accumulate(
+        diffuse, specular, motion, view_z, state, packed_ext=packed_ext,
+        halo=TEMPORAL_HALO, row0=row0, global_h=global_h,
+    )
+
+    normal = _decode_oct(nr)
+    # a-trous with a per-pass halo exchange: pass p extends its own INPUT
+    # by `stride` neighbor rows, filters, and crops — bit-equal to the
+    # whole-frame filter (see SHADOW_HALO note above). z and normals ride
+    # along as 4 extra channels so each pass is one collective.
+    out_ds = jnp.concatenate([acc_d[..., :3], acc_s[..., :3]], axis=-1)
+    for p in range(ATROUS_PASSES):
+        stride = 1 << p
+        sp = jnp.concatenate([out_ds, view_z[..., None], normal], axis=-1)
+        spe = exchange_row_halo(sp, stride, axis_name, n_shards)
+        out_ds = _atrous_pass(
+            spe[..., 0:6], spe[..., 6], spe[..., 7:10], stride
+        )[stride:stride + rows]
+
+    # obj_id survives the f32 round trip exactly (packed ids < 2**24)
+    sh = jnp.concatenate(
+        [shadow, obj_id.astype(F32)[..., None], view_z[..., None], nr],
+        axis=-1,
+    )
+    she = exchange_row_halo(sh, SHADOW_HALO, axis_name, n_shards)
+    out_shadow = shadow_denoise(
+        she[..., 0:2], she[..., 2].astype(jnp.int32), she[..., 3],
+        she[..., 4:8],
+    )[SHADOW_HALO:SHADOW_HALO + rows]
+
+    new_state = DenoiserState(
+        diffuse=acc_d, specular=acc_s, fast_diffuse=fast_d,
+        fast_specular=fast_s, frames=frames, view_z=view_z,
+    )
+    n = rows * width
+    return (
+        out_ds[..., 0:3].reshape(n, 3),
+        out_ds[..., 3:6].reshape(n, 3),
+        out_shadow.reshape(n, 2),
         new_state,
     )

@@ -105,7 +105,27 @@ def _pick_backend(flat: FlatScene, cfg=None) -> str:
         # Budget probed on v5e (16 MB VMEM): a 60k-tri glass mesh with
         # 12.5 MB of dense tables compiles and runs alongside the full
         # 8-deep spawn stacks; 12 MB (~58k tris) keeps a safety margin.
-        if mesh_table_bytes(flat.mesh.mk_num_nodes, flat.mesh.mk_num_tris) > 12 * 1024 * 1024:
+        # Past that, the triangle tables move to HBM and leaves stream by
+        # DMA (backend 'pallas_hbm') — only the node table must still fit
+        # VMEM (512 B/node), the reference-BLAS-has-no-cap analog
+        # (AccelerationStructure.cpp:560-663).
+        table_mb = mesh_table_bytes(flat.mesh.mk_num_nodes, flat.mesh.mk_num_tris) / 2**20
+        node_mb = int(flat.mesh.mk_num_nodes) * 512 / 2**20
+        if table_mb > 12:
+            # Probed on v5e (scripts/probe_hbm_mesh.py): a 233k-tri mesh
+            # with 11.0 MB of VMEM nodes + 39.6 MB HBM tri tables runs at
+            # 28.1 ms opaque / 76.0 ms glass 1080p, and streaming costs
+            # ~1% vs resident tables at 60k tris (18.3 vs 18.1 ms).
+            if node_mb <= 12:
+                return "pallas_hbm"
+            from ..utils.logging import log_warn
+
+            log_warn(
+                "mesh BVH node table (%.1f MB, %d tris) exceeds the 12 MB "
+                "VMEM budget even with HBM-streamed triangles: falling back "
+                "to the portable jnp wavefront backend (~10x slower).",
+                node_mb, int(flat.mesh.mk_num_tris),
+            )
             return "jnp"
     if os.environ.get("RTVS_TWOPHASE", "") == "1" and cfg is not None:
         two_phase_ok = (
@@ -121,11 +141,29 @@ def _pick_backend(flat: FlatScene, cfg=None) -> str:
 class Engine:
     """Render engine with EngineWrapper-compatible surface."""
 
-    def __init__(self, width: int, height: int, mesh_service=None, backend: str = "auto"):
+    def __init__(self, width: int, height: int, mesh_service=None,
+                 backend: str = "auto", device_mesh="auto"):
+        """device_mesh: a jax.sharding.Mesh to shard image rows over
+        (parallel/tiles.py), None for single-device, or "auto" — shard
+        when more than one device is visible and the height divides
+        evenly (SURVEY §2.5: image-tile sharding is the TPU build's data
+        parallelism; the reference is single-GPU)."""
         self.width = int(width)
         self.height = int(height)
         self.mesh_service = mesh_service
-        self.backend = backend  # "auto" | "jnp" | "pallas"
+        self.backend = backend  # "auto" | "jnp" | "pallas" | "pallas_hbm"
+        if device_mesh == "auto":
+            try:
+                devices = jax.devices()
+            except Exception:
+                devices = []
+            if len(devices) > 1 and self.height % len(devices) == 0:
+                from ..parallel.tiles import make_mesh
+
+                device_mesh = make_mesh(devices)
+            else:
+                device_mesh = None
+        self.device_mesh = device_mesh
         self._flat: Optional[FlatScene] = None
         self._cfg: Optional[RenderConfig] = None
         self._scene: Optional[SceneData] = None
@@ -251,15 +289,34 @@ class Engine:
             raise RuntimeError("update_scene() must be called before render()")
         backend = (self.backend if self.backend != "auto"
                    else _pick_backend(self._flat, self._cfg))
+        if backend == "pallas2" and float(self._flat.aperture_size) > 1e-3:
+            # Phase B of the two-phase kernel re-derives primaries without
+            # DoF jitter; a defocused camera would silently diverge from
+            # phase A (megakernel.render_accum_pallas_twophase contract).
+            raise ValueError(
+                "backend 'pallas2' requires aperture ~ 0; scene has "
+                f"aperture {float(self._flat.aperture_size)}")
         if self._cfg.enable_denoiser and self._denoise_state is None:
             from ..post import denoise as denoise_mod
 
             self._denoise_state = denoise_mod.init_state(self.height, self.width)
         start = time.perf_counter()
-        (rgba, hdr, rays, self._last_gbuffer, self._denoise_state,
-         self._last_denoised) = _render_pipeline(
-            self._flat, self._cfg, backend, self._denoise_state
-        )
+        if self.device_mesh is not None:
+            from ..parallel.tiles import render_pipeline_sharded
+
+            (rgba, hdr, rays, self._last_gbuffer, self._denoise_state,
+             self._last_denoised) = render_pipeline_sharded(
+                self._flat, self._cfg, self.device_mesh, self._denoise_state,
+                backend=backend,
+            )
+            rgba = np.asarray(rgba).reshape(self.height, self.width, 4)
+            hdr = np.asarray(hdr).reshape(self.height, self.width, 3)
+            rays = np.asarray(rays).sum()
+        else:
+            (rgba, hdr, rays, self._last_gbuffer, self._denoise_state,
+             self._last_denoised) = _render_pipeline(
+                self._flat, self._cfg, backend, self._denoise_state
+            )
         rgba = np.asarray(rgba)
         self._last_render_ms = (time.perf_counter() - start) * 1000.0
         self._last_rgba = rgba

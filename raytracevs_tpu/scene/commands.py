@@ -139,7 +139,14 @@ class ApplyPropertiesCommand(EditorCommand):
 
         if self._old is None:
             self._old = _serialize_properties(self.node)
-        _apply_properties(self.node, self.props)
+        try:
+            _apply_properties(self.node, self.props)
+        except Exception:
+            # A bad property value must not leave the node half-edited:
+            # CommandManager only registers commands whose execute()
+            # succeeded, so restore the snapshot before re-raising.
+            _apply_properties(self.node, self._old)
+            raise
         self.node.mark_dirty()
 
     def undo(self) -> None:
@@ -147,6 +154,25 @@ class ApplyPropertiesCommand(EditorCommand):
 
         _apply_properties(self.node, self._old)
         self.node.mark_dirty()
+
+
+class MoveNodesCommand(EditorCommand):
+    """Canvas node-drag analog (Views/Handlers/NodeDragHandler.cs:119-219):
+    one undo entry per completed drag, covering every selected node."""
+
+    def __init__(self, moves):
+        # moves: iterable of (node, (x, y)) final positions
+        self.moves = [(n, (float(p[0]), float(p[1]))) for n, p in moves]
+        self._old = [(n, tuple(n.position)) for n, _ in self.moves]
+        self.description = f"move {len(self.moves)} node(s)"
+
+    def execute(self) -> None:
+        for n, p in self.moves:
+            n.position = p
+
+    def undo(self) -> None:
+        for n, p in self._old:
+            n.position = p
 
 
 class CompositeCommand(EditorCommand):

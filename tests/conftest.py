@@ -61,3 +61,16 @@ def wine_glass_scene():
         LightData(type=LightType.AMBIENT, color=np.array([0.3, 0.3, 0.3, 1.0])),
     ]
     return scene, ms
+
+
+def pytest_collection_modifyitems(config, items):
+    """Fast/nightly split (VERDICT r2 #6): interpret-mode parity suites are
+    minutes each, so they run only with RTVS_NIGHTLY=1 (the same env var
+    that unlocks the full 256x256 backend-parity sweep). The fast suite
+    keeps one always-on cross-backend smoke check per path."""
+    if os.environ.get("RTVS_NIGHTLY"):
+        return
+    skip = pytest.mark.skip(reason="nightly suite; set RTVS_NIGHTLY=1")
+    for item in items:
+        if "nightly" in item.keywords:
+            item.add_marker(skip)

@@ -9,6 +9,8 @@ backend pick now admits such meshes.
 """
 import tempfile
 
+import pytest
+
 import numpy as np
 
 import jax.numpy as jnp
@@ -45,7 +47,8 @@ def _uv_sphere(rings=78, segs=78, radius=0.9):
     return verts.reshape(-1), indices
 
 
-def test_big_mesh_megakernel_matches_jnp():
+def _big_scene():
+    """Flat scene + config for the ~12k-tri sphere (shared by both tests)."""
     verts, indices = _uv_sphere()
     num_tris = len(indices) // 3
     assert num_tris > 12000  # well beyond the wine glass's 5.9k
@@ -75,6 +78,12 @@ def test_big_mesh_megakernel_matches_jnp():
     cfg = make_config(scene, 64, 32)
     assert flat.mesh is not None
     assert int(flat.mesh.mk_num_tris) >= num_tris  # leaf-padded
+    return flat, cfg
+
+
+@pytest.mark.nightly
+def test_big_mesh_megakernel_matches_jnp():
+    flat, cfg = _big_scene()
 
     # The dense layout keeps this mesh inside the megakernel VMEM budget
     from raytracevs_tpu.ops.pallas.megakernel import mesh_table_bytes
@@ -91,3 +100,19 @@ def test_big_mesh_megakernel_matches_jnp():
     np.testing.assert_array_equal(
         np.asarray(pal.gbuffer.obj_id), np.asarray(ref.gbuffer.obj_id)
     )
+
+
+@pytest.mark.nightly
+def test_hbm_streamed_mesh_matches_resident():
+    """HBM-resident triangle tables (backend 'pallas_hbm', leaves streamed
+    by per-visit DMA) must be BIT-IDENTICAL to the VMEM-resident megakernel:
+    same kernel math, different table residency."""
+    flat, cfg = _big_scene()
+    res = render_rows(flat, cfg, jnp.int32(0), 32, backend="pallas",
+                      interpret=True)
+    hbm = render_rows(flat, cfg, jnp.int32(0), 32, backend="pallas_hbm",
+                      interpret=True)
+    np.testing.assert_array_equal(np.asarray(hbm.color), np.asarray(res.color))
+    np.testing.assert_array_equal(
+        np.asarray(hbm.gbuffer.obj_id), np.asarray(res.gbuffer.obj_id))
+    assert float(np.asarray(hbm.rays)) == float(np.asarray(res.rays))

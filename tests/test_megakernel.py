@@ -18,6 +18,7 @@ def sample_flat(sample_scene_path):
     return scene, flatten_scene(scene)
 
 
+@pytest.mark.nightly
 def test_megakernel_matches_jnp_wavefront(sample_flat):
     """Full sample-scene semantics: glass, metal, soft shadows, sky, checker."""
     scene, flat = sample_flat
@@ -43,6 +44,7 @@ def test_megakernel_matches_jnp_wavefront(sample_flat):
     )
 
 
+@pytest.mark.nightly
 def test_megakernel_mesh_matches_jnp_wavefront():
     """Packet BVH traversal (closest/shadow/thickness) vs the jnp path."""
     from conftest import wine_glass_scene
@@ -121,6 +123,7 @@ def test_pallas_photon_gather_matches_jnp():
     assert np.abs(pal0).max() == 0.0
 
 
+@pytest.mark.nightly
 def test_megakernel_multi_instance_mesh_matches_jnp():
     """Two glass instances (i_cap > 1): the shadow loop's per-triangle
     instance-row loads (not the single-instance hoist) must stay in
@@ -161,6 +164,7 @@ def test_megakernel_multi_instance_mesh_matches_jnp():
     )
 
 
+@pytest.mark.nightly
 def test_megakernel_nine_instance_fallback_matches_jnp():
     """More than 8 instances falls back to the per-triangle dynamic
     inst_tbl row load — the only instance path the preload doesn't cover."""

@@ -297,6 +297,7 @@ def test_render_loop_coalesces_updates():
     assert eng._scene.objects[0].radius == 1.3
 
 
+@pytest.mark.nightly
 def test_random_scenes_render_finite():
     """Robustness fuzz: random small scenes always produce finite frames
     (the reference's resilience story, SURVEY §4/§5.3)."""

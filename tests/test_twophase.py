@@ -10,6 +10,8 @@ tree — ray counts match EXACTLY; color differs only by float association
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.nightly
+
 import jax
 import jax.numpy as jnp
 

@@ -170,3 +170,90 @@ def test_viewer_graph_structure_edits(viewer):
     assert len(json.loads(_get(port, "/graph")[1])["connections"]) == nconn - 1
     _get(port, "/cmd?op=undo")
     assert len(json.loads(_get(port, "/graph")[1])["connections"]) == nconn
+
+
+def test_viewer_canvas_endpoints(viewer):
+    """The node-graph canvas contract (NodeEditorView analog): positions
+    and socket types in /graph, drag-move through the command stack
+    (undoable), add-at-position, multi-delete as one undo entry, and JSON
+    error responses for bad requests instead of a dead render loop."""
+    state, port = viewer
+    _wait_for_frame(port)
+    g0 = json.loads(_get(port, "/graph")[1])
+
+    # canvas data: every node carries a position and typed sockets
+    for n in g0["nodes"]:
+        assert isinstance(n["x"], float) and isinstance(n["y"], float)
+        for s in n["inputs"] + n["outputs"]:
+            assert set(s) == {"name", "type"}
+    # connections carry both endpoints for bezier drawing
+    c = g0["connections"][0]
+    assert {"out_node", "out_sock", "in_node", "in_sock"} <= set(c)
+
+    # drag-move: one undo entry for a multi-node move
+    a, b = g0["nodes"][0], g0["nodes"][1]
+    moves = json.dumps([
+        {"node": a["id"], "x": a["x"] + 50.0, "y": a["y"] - 20.0},
+        {"node": b["id"], "x": b["x"] + 5.0, "y": b["y"] + 5.0},
+    ])
+    _get(port, f"/cmd?op=move&moves={urllib.parse.quote(moves)}")
+    g1 = json.loads(_get(port, "/graph")[1])
+    a1 = next(n for n in g1["nodes"] if n["id"] == a["id"])
+    assert (a1["x"], a1["y"]) == (a["x"] + 50.0, a["y"] - 20.0)
+    _get(port, "/cmd?op=undo")  # single undo restores BOTH nodes
+    g2 = json.loads(_get(port, "/graph")[1])
+    for orig in (a, b):
+        n2 = next(n for n in g2["nodes"] if n["id"] == orig["id"])
+        assert (n2["x"], n2["y"]) == (orig["x"], orig["y"])
+
+    # add at a canvas position
+    _get(port, "/cmd?op=addnode&type=FloatNode&x=123.5&y=-7.25")
+    g3 = json.loads(_get(port, "/graph")[1])
+    added = next(n for n in g3["nodes"] if n["id"] not in
+                 {m["id"] for m in g0["nodes"]})
+    assert (added["x"], added["y"]) == (123.5, -7.25)
+
+    # multi-delete is one composite undo entry
+    _get(port, "/cmd?op=addnode&type=FloatNode&x=0&y=0")
+    g4 = json.loads(_get(port, "/graph")[1])
+    new_ids = [n["id"] for n in g4["nodes"]
+               if n["id"] not in {m["id"] for m in g0["nodes"]}]
+    assert len(new_ids) == 2
+    _get(port, f"/cmd?op=delnodes&nodes={','.join(new_ids)}")
+    assert len(json.loads(_get(port, "/graph")[1])["nodes"]) == len(g0["nodes"])
+    _get(port, "/cmd?op=undo")
+    assert (len(json.loads(_get(port, "/graph")[1])["nodes"])
+            == len(g0["nodes"]) + 2)
+    _get(port, "/cmd?op=undo")
+    _get(port, "/cmd?op=undo")
+    assert len(json.loads(_get(port, "/graph")[1])["nodes"]) == len(g0["nodes"])
+
+
+def test_viewer_cmd_error_responses(viewer):
+    """Bad commands come back as JSON errors; the render loop stays alive
+    (ADVICE round-2: /cmd must not crash or freeze the viewer)."""
+    state, port = viewer
+    _wait_for_frame(port)
+
+    out = json.loads(_get(port, "/cmd?op=delnode&node=not-a-uuid")[1])
+    assert "bad node id" in out["error"]
+    out = json.loads(_get(port, "/cmd?op=addnode&type=NopeNode")[1])
+    assert "unknown node type" in out["error"]
+    g = json.loads(_get(port, "/graph")[1])
+    cam = next(n for n in g["nodes"] if n["type"] == "CameraNode")
+    out = json.loads(_get(
+        port, f"/cmd?op=setprop&node={cam['id']}&props=%5B1%2C2%5D")[1])
+    assert "props must be a JSON object" in out["error"]
+    # incompatible sockets: server-side sockets_compatible guard
+    scene_n = next(n for n in g["nodes"] if n["type"] == "SceneNode")
+    cam_out = next(n for n in g["nodes"] if n["type"] == "CameraNode")
+    obj_in = next(s for s in scene_n["inputs"] if s["type"] == "OBJECT")
+    out = json.loads(_get(
+        port, f"/cmd?op=connect&out_node={cam_out['id']}"
+              f"&out_sock={urllib.parse.quote(cam_out['outputs'][0]['name'])}"
+              f"&in_node={scene_n['id']}"
+              f"&in_sock={urllib.parse.quote(obj_in['name'])}")[1])
+    assert out.get("error")
+    # the loop still renders after all that
+    before = json.loads(_get(port, "/status")[1])["frames"]
+    _wait_for_frame(port, min_frames=before + 1)
