@@ -2447,6 +2447,36 @@ def _leaf_rows(km, tri_start, extra=False):
     return g, ex
 
 
+_LEAF_TIERS = os.environ.get("RTVS_MK_LEAF_TIERS", "") == "1"
+
+
+def _leaf_dispatch(leaf_now, tri_count, leaf_size, leaf_fn, carry):
+    """Run leaf_fn(carry, n_tests) under lax.cond when leaf_now.
+
+    RTVS_MK_LEAF_TIERS=1 dispatches on the leaf's occupancy (<=8 / <=16 /
+    full): mean wine-glass leaf occupancy is 17.6 of 24, so the flat
+    leaf_size loop wastes ~27% of its triangle tests on (k < tri_count)
+    masked-off slots. Two extra SCALAR conds per leaf visit buy back the
+    skipped vector work.
+    """
+    if not _LEAF_TIERS or leaf_size <= 8:
+        return jax.lax.cond(leaf_now, lambda c: leaf_fn(c, leaf_size),
+                            lambda c: c, carry)
+    tiers = [t for t in (8, 16) if t < leaf_size] + [leaf_size]
+
+    def tier_fn(n):
+        return lambda cc: leaf_fn(cc, n)
+
+    def build(i):
+        if i == len(tiers) - 1:
+            return tier_fn(tiers[i])
+        nxt = build(i + 1)
+        t = tiers[i]
+        return lambda cc: jax.lax.cond(tri_count <= t, tier_fn(t), nxt, cc)
+
+    return jax.lax.cond(leaf_now, build(0), lambda c: c, carry)
+
+
 def mesh_closest_k(km: KMesh, o, d, tmin, tmax, skip_active, skip_inst):
     """Packet closest-hit over the threaded BVH.
 
@@ -2484,10 +2514,10 @@ def mesh_closest_k(km: KMesh, o, d, tmin, tmax, skip_active, skip_inst):
         # the i8->i1 trunc)
         lh_i = lane_hit.astype(I32)
 
-        def leaf_tests(carry):
+        def leaf_tests(carry, n_tests):
             (best_t, best_inst, nx, ny, nz, gdot) = carry
             g, exm = _leaf_rows(km, tri_start, extra=True)
-            for k in range(km.leaf_size):
+            for k in range(n_tests):
                 inst = _tg(exm, k, 9).astype(I32)
                 th, tt, tu, tv, nd = _tri_hit_plane_k(o, d, g, k, tmin, best_t)
                 th = th & (lh_i != 0) & (k < tri_count) & (inst != skip_i)
@@ -2505,8 +2535,8 @@ def mesh_closest_k(km: KMesh, o, d, tmin, tmax, skip_active, skip_inst):
             return (best_t, best_inst, nx, ny, nz, gdot)
 
         leaf_now = any_hit & is_leaf
-        updated = jax.lax.cond(
-            leaf_now, leaf_tests, lambda x: x,
+        updated = _leaf_dispatch(
+            leaf_now, tri_count, km.leaf_size, leaf_tests,
             (best_t, best_inst, nx, ny, nz, gdot),
         )
         nxt = jnp.where(any_hit, hit_next, miss_next)
@@ -2560,7 +2590,7 @@ def mesh_shadow_k(km: KMesh, o, d, max_dist):
         is_leaf = tri_count > 0
         lh_i = lane_hit.astype(I32)
 
-        def leaf_tests(carry):
+        def leaf_tests(carry, n_tests):
             vis, cr, cg, cb, occ, blocked_i = carry
             g, exm = _leaf_rows(km, tri_start, extra=True)
             # Hoist the per-instance material rows out of the triangle
@@ -2573,7 +2603,7 @@ def mesh_shadow_k(km: KMesh, o, d, max_dist):
                 it_rows = [km.inst_tbl[pl.ds(i, 1), :] for i in range(km.num_inst)]
             else:
                 it_rows = None
-            for k in range(km.leaf_size):
+            for k in range(n_tests):
                 th, tt, _, _, _ = _tri_hit_plane_k(o, d, g, k, tmin, max_dist)
                 th = th & (lh_i != 0) & (k < tri_count)
                 # Beer factors pre-exponentiated per instance (pack_mesh)
@@ -2599,8 +2629,9 @@ def mesh_shadow_k(km: KMesh, o, d, max_dist):
             return vis, cr, cg, cb, occ, blocked_i
 
         leaf_now = any_hit & is_leaf
-        vis, cr, cg, cb, occ, blocked_i = jax.lax.cond(
-            leaf_now, leaf_tests, lambda x: x, (vis, cr, cg, cb, occ, blocked_i)
+        vis, cr, cg, cb, occ, blocked_i = _leaf_dispatch(
+            leaf_now, tri_count, km.leaf_size, leaf_tests,
+            (vis, cr, cg, cb, occ, blocked_i)
         )
         nxt = jnp.where(any_hit, hit_next, miss_next)
         return (nxt, vis, cr, cg, cb, occ, blocked_i)
@@ -2642,16 +2673,17 @@ def mesh_thickness_k(km: KMesh, o, d, inst_id, active=None):
         is_leaf = tri_count > 0
         lh_i = lane_hit.astype(I32)
 
-        def leaf_tests(best_t):
+        def leaf_tests(best_t, n_tests):
             g, exm = _leaf_rows(km, tri_start, extra=True)
-            for k in range(km.leaf_size):
+            for k in range(n_tests):
                 inst = _tg(exm, k, 9).astype(I32)
                 th, tt, _, _, _ = _tri_hit_plane_k(o, d, g, k, tmin, best_t)
                 th = th & (lh_i != 0) & (k < tri_count) & (inst == inst_id)
                 best_t = jnp.where(th & (tt < best_t), tt, best_t)
             return best_t
 
-        best_t = jax.lax.cond(any_hit & is_leaf, leaf_tests, lambda x: x, best_t)
+        best_t = _leaf_dispatch(any_hit & is_leaf, tri_count, km.leaf_size,
+                                leaf_tests, best_t)
         return (jnp.where(any_hit, hit_next, miss_next), best_t)
 
     init_t = zero + big if active is None else jnp.where(active, big, 0.0) + zero
