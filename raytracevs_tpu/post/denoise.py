@@ -44,6 +44,18 @@ class DenoiserState(NamedTuple):
     view_z: jnp.ndarray  # [H,W] previous depth
 
 
+class DenoiserStateCF(NamedTuple):
+    """Channel-first packed history [16,H,W] — the TPU-kernel-native state.
+
+    Layout matches ops/pallas/denoise_kernels.STATE_CH: 0:4 diffuse slow,
+    4:8 specular slow, 8:11 fast diffuse, 11:14 fast specular, 14 frames,
+    15 view_z. Keeping the state in kernel layout across frames removes a
+    dozen [H,W,c]<->[c,H,W] transposes per frame from the pallas denoise
+    path (measured several ms at 4K)."""
+
+    packed: jnp.ndarray  # [16,H,W]
+
+
 def init_state(height: int, width: int) -> DenoiserState:
     return DenoiserState(
         diffuse=jnp.zeros((height, width, 4), F32),
@@ -52,6 +64,35 @@ def init_state(height: int, width: int) -> DenoiserState:
         fast_specular=jnp.zeros((height, width, 3), F32),
         frames=jnp.zeros((height, width), F32),
         view_z=jnp.full((height, width), C.VIEWZ_SKY, F32),
+    )
+
+
+def init_state_cf(height: int, width: int) -> DenoiserStateCF:
+    packed = jnp.zeros((16, height, width), F32)
+    packed = packed.at[15].set(C.VIEWZ_SKY)
+    return DenoiserStateCF(packed=packed)
+
+
+def init_state_auto(height: int, width: int, backend: str):
+    """State in the layout the chosen denoise path consumes natively."""
+    if backend.startswith("pallas"):
+        from ..ops.pallas import denoise_kernels as dk
+
+        if dk.reproject_supported(height, width) and dk.stencil_supported(
+                height, width):
+            return init_state_cf(height, width)
+    return init_state(height, width)
+
+
+def _state_cf_to_fields(state: DenoiserStateCF) -> DenoiserState:
+    p = state.packed
+    return DenoiserState(
+        diffuse=p[0:4].transpose(1, 2, 0),
+        specular=p[4:8].transpose(1, 2, 0),
+        fast_diffuse=p[8:11].transpose(1, 2, 0),
+        fast_specular=p[11:14].transpose(1, 2, 0),
+        frames=p[14],
+        view_z=p[15],
     )
 
 
@@ -265,11 +306,17 @@ def denoise_frame(gbuffer, height: int, width: int, state: DenoiserState,
     (tile-quantized reprojection; ~30x faster at 1080p); the jnp path is
     the semantic oracle and the CPU/fallback path.
     """
-    if backend in ("pallas", "pallas2"):
+    if backend in ("pallas", "pallas2", "pallas_hbm"):
         from ..ops.pallas import denoise_kernels as dk
 
         if dk.reproject_supported(height, width) and dk.stencil_supported(height, width):
             return _denoise_frame_pallas(gbuffer, height, width, state, interpret)
+    was_cf = isinstance(state, DenoiserStateCF)
+    if was_cf:
+        # CF state but the kernels can't run here (resolution/backend):
+        # unpack, run the oracle path, and repack so scan carries keep a
+        # stable pytree structure
+        state = _state_cf_to_fields(state)
 
     def img(a, c=None):
         return a.reshape(height, width, c) if c else a.reshape(height, width)
@@ -303,6 +350,11 @@ def denoise_frame(gbuffer, height: int, width: int, state: DenoiserState,
         frames=frames,
         view_z=view_z,
     )
+    if was_cf:
+        new_state = DenoiserStateCF(packed=jnp.concatenate(
+            [acc_d.transpose(2, 0, 1), acc_s.transpose(2, 0, 1),
+             fast_d.transpose(2, 0, 1), fast_s.transpose(2, 0, 1),
+             frames[None], view_z[None]], axis=0))
     n = height * width
     return (
         out_d.reshape(n, 3),
@@ -328,12 +380,16 @@ def _denoise_frame_pallas(gbuffer, height: int, width: int, state: DenoiserState
     shadow = cf(gbuffer.shadow_data, 2)
     obj_id = gbuffer.obj_id.reshape(height, width)
 
-    packed = jnp.concatenate(
-        [state.diffuse.transpose(2, 0, 1), state.specular.transpose(2, 0, 1),
-         state.fast_diffuse.transpose(2, 0, 1), state.fast_specular.transpose(2, 0, 1),
-         state.frames[None], state.view_z[None]],
-        axis=0,
-    )
+    if isinstance(state, DenoiserStateCF):
+        packed = state.packed  # already kernel layout: no transposes
+    else:
+        packed = jnp.concatenate(
+            [state.diffuse.transpose(2, 0, 1), state.specular.transpose(2, 0, 1),
+             state.fast_diffuse.transpose(2, 0, 1),
+             state.fast_specular.transpose(2, 0, 1),
+             state.frames[None], state.view_z[None]],
+            axis=0,
+        )
     curr = jnp.concatenate([diffuse, specular], axis=0)
     new_packed = dk.reproject_accumulate(packed, curr, motion, view_z,
                                          interpret=interpret)
@@ -346,14 +402,17 @@ def _denoise_frame_pallas(gbuffer, height: int, width: int, state: DenoiserState
     out_shadow = dk.shadow_denoise(shadow, obj_id, view_z, normal,
                                    interpret=interpret)
 
-    new_state = DenoiserState(
-        diffuse=acc_d.transpose(1, 2, 0),
-        specular=acc_s.transpose(1, 2, 0),
-        fast_diffuse=new_packed[8:11].transpose(1, 2, 0),
-        fast_specular=new_packed[11:14].transpose(1, 2, 0),
-        frames=new_packed[14],
-        view_z=new_packed[15],
-    )
+    if isinstance(state, DenoiserStateCF):
+        new_state = DenoiserStateCF(packed=new_packed)
+    else:
+        new_state = DenoiserState(
+            diffuse=acc_d.transpose(1, 2, 0),
+            specular=acc_s.transpose(1, 2, 0),
+            fast_diffuse=new_packed[8:11].transpose(1, 2, 0),
+            fast_specular=new_packed[11:14].transpose(1, 2, 0),
+            frames=new_packed[14],
+            view_z=new_packed[15],
+        )
     n = height * width
     return (
         out_ds[0:3].transpose(1, 2, 0).reshape(n, 3),

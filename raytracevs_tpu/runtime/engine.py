@@ -299,7 +299,13 @@ class Engine:
         if self._cfg.enable_denoiser and self._denoise_state is None:
             from ..post import denoise as denoise_mod
 
-            self._denoise_state = denoise_mod.init_state(self.height, self.width)
+            # single-device pallas paths carry kernel-layout (channel-first
+            # packed) history; the sharded path slices field-layout state
+            self._denoise_state = (
+                denoise_mod.init_state(self.height, self.width)
+                if self.device_mesh is not None
+                else denoise_mod.init_state_auto(self.height, self.width, backend)
+            )
         start = time.perf_counter()
         if self.device_mesh is not None:
             from ..parallel.tiles import render_pipeline_sharded

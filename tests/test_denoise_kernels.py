@@ -198,3 +198,45 @@ def test_atrous_wide_frame_uses_narrow_bands():
                     interpret=True)
     np.testing.assert_allclose(np.asarray(out.transpose(1, 2, 0)),
                                np.asarray(ref), atol=2e-5)
+
+
+def test_cf_state_matches_field_state():
+    """Channel-first packed history (DenoiserStateCF — the layout the TPU
+    path carries across frames) produces identical results to field-layout
+    state through _denoise_frame_pallas, over two frames."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from raytracevs_tpu.ops.render import GBuffer
+    from raytracevs_tpu.post import denoise as dn
+
+    H, W = 16, 256
+    n = H * W
+    key = jax.random.PRNGKey(7)
+    ks = jax.random.split(key, 9)
+    gb = GBuffer(
+        diffuse_hitdist=jax.random.uniform(ks[0], (n, 4), jnp.float32),
+        specular_hitdist=jax.random.uniform(ks[1], (n, 4), jnp.float32),
+        normal_roughness=jax.random.uniform(ks[2], (n, 4), jnp.float32),
+        view_z=jax.random.uniform(ks[3], (n,), jnp.float32) * 10 + 1,
+        motion=jax.random.uniform(ks[4], (n, 2), jnp.float32),
+        albedo=jax.random.uniform(ks[5], (n, 4), jnp.float32),
+        shadow_data=jax.random.uniform(ks[6], (n, 2), jnp.float32),
+        shadow_translucency=jax.random.uniform(ks[7], (n, 3), jnp.float32),
+        obj_id=(jax.random.uniform(ks[8], (n,)) * 4).astype(jnp.int32),
+    )
+    sf = dn.init_state(H, W)
+    sc = dn.init_state_cf(H, W)
+    for _ in range(2):
+        df, spf, shf, sf = dn._denoise_frame_pallas(gb, H, W, sf,
+                                                    interpret=True)
+        dc, spc, shc, sc = dn._denoise_frame_pallas(gb, H, W, sc,
+                                                    interpret=True)
+        assert isinstance(sc, dn.DenoiserStateCF)
+        np.testing.assert_array_equal(np.asarray(dc), np.asarray(df))
+        np.testing.assert_array_equal(np.asarray(spc), np.asarray(spf))
+        np.testing.assert_array_equal(np.asarray(shc), np.asarray(shf))
+        repacked = dn._state_cf_to_fields(sc)
+        for a, b in zip(repacked, sf):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
