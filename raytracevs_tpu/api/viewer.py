@@ -83,6 +83,7 @@ kbd { background:#333; padding:1px 5px; border-radius:3px; }
       <button onclick="cmd('op=undo')">undo</button>
       <button onclick="cmd('op=redo')">redo</button>
       <button onclick="cmd('op=save')">save .rtvs</button>
+      <button onclick="cmd('op=screenshot')">screenshot</button>
       <button onclick="loadGraph()">refresh</button>
     </div>
     <div>
@@ -402,6 +403,10 @@ document.addEventListener('keydown', (e) => {
   else if (e.key === 'u' || e.key === 'U') q = 'op=undo';
   else if (e.key === 'y' || e.key === 'Y') q = 'op=redo';
   else if (e.key === 'Delete' || e.key === 'Backspace') { delSelected(); return; }
+  else if ((e.ctrlKey || e.metaKey) && (e.key === 'c' || e.key === 'C')) {
+    if (sel.size) cmd('op=copy&nodes=' + [...sel].join(',')); return; }
+  else if ((e.ctrlKey || e.metaKey) && (e.key === 'v' || e.key === 'V')) {
+    cmd('op=paste'); return; }
   if (q) cmd(q);
 });
 loadGraph();
@@ -621,6 +626,21 @@ class ViewerState:
             if conn is not None:
                 self.cmds.execute(DisconnectCommand(self.graph, conn))
                 self._rebuild()
+        elif op == "copy":
+            # serialize the selection to the server-side clipboard
+            # (HandleCopy, NodeEditorView.xaml.cs:742-797)
+            from ..scene.rtvs import copy_nodes
+
+            ids = [i for i in args.get("nodes", [""])[0].split(",") if i]
+            nodes = [self._node_by_id({"node": [i]}) for i in ids]
+            self.clipboard = copy_nodes(self.graph, nodes)
+            return {"copied": len(nodes), **self.status()}
+        elif op == "paste":
+            from ..scene.commands import PasteCommand
+
+            if getattr(self, "clipboard", None):
+                self.cmds.execute(PasteCommand(self.graph, self.clipboard))
+                self._rebuild()
         elif op == "undo":
             if self.cmds.undo():
                 self._rebuild()
@@ -631,6 +651,28 @@ class ViewerState:
             from ..scene.rtvs import save_graph
 
             save_graph(self.graph, self.scene_path)
+        elif op == "screenshot":
+            # save the current frame to the settings screenshot folder
+            # (SettingsService.cs screenshot_folder; RenderWindow toolbar)
+            import datetime
+            import os
+
+            from ..io.settings import SettingsService
+
+            svc = SettingsService()
+            svc.load()
+            folder = svc.settings.screenshot_folder or os.path.join(
+                os.path.expanduser("~"), ".raytracevs_tpu", "screenshots")
+            os.makedirs(folder, exist_ok=True)
+            name = datetime.datetime.now().strftime("render_%Y%m%d_%H%M%S.png")
+            path = os.path.join(folder, name)
+            with self.lock:
+                png = self.frame_png
+            if not png:
+                raise ValueError("no frame rendered yet")
+            with open(path, "wb") as f:
+                f.write(png)
+            return {"screenshot": path, **self.status()}
         elif op == "debug":
             self.debug_mode = max(0, min(10, int(args.get("mode", ["0"])[0])))
             self.loop.request_frame()

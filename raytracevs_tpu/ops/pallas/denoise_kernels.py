@@ -278,6 +278,89 @@ def _stencil_sizes(height: int, width: int, halo: int):
     return None
 
 
+def _shift_clamp(a, dy, dx):
+    """Edge-clamped shifted view of [..., R, W]: element (r, c) reads
+    (clamp(r+dy), clamp(c+dx)) — the texture-load semantics of the jnp
+    oracle, applied at the WINDOW border (where values are either correct
+    frame pads or inside the pollution margin that gets fixed up/cropped)."""
+    if dy > 0:
+        edge = jnp.broadcast_to(a[..., -1:, :], a.shape[:-2] + (dy, a.shape[-1]))
+        a = jnp.concatenate([a[..., dy:, :], edge], axis=-2)
+    elif dy < 0:
+        edge = jnp.broadcast_to(a[..., :1, :], a.shape[:-2] + (-dy, a.shape[-1]))
+        a = jnp.concatenate([edge, a[..., :dy, :]], axis=-2)
+    if dx > 0:
+        edge = jnp.broadcast_to(a[..., -1:], a.shape[:-1] + (dx,))
+        a = jnp.concatenate([a[..., dx:], edge], axis=-1)
+    elif dx < 0:
+        edge = jnp.broadcast_to(a[..., :1], a.shape[:-1] + (-dx,))
+        a = jnp.concatenate([edge, a[..., :dx]], axis=-1)
+    return a
+
+
+def _atrous_fused_kernel(th, padx, w, passes, nch, win, out_ref):
+    """ALL a-trous passes in one 3-band window — one DMA set instead of
+    one per pass (the stencils are DMA-bound, so this is ~passes x fewer
+    fetches and launches).
+
+    Exactness: pass p is correct on window rows/cols within
+    m_p = sum(strides 1..p) <= 7 of real data; the output band sits inside
+    every pass's exact region (needs th >= 8). Frame edges are EXACT, not
+    approximate: after each pass the pad regions are overwritten with the
+    broadcast boundary row/col of that pass's output, which is precisely
+    what the oracle's edge-clamped reads see on the next pass.
+    """
+    img = win[0:nch]
+    vz = win[nch]
+    nrm = win[nch + 1 : nch + 4]
+    i = pl.program_id(0)
+    nty = pl.num_programs(0)
+    wp = w + 2 * padx
+    kernel_w = {0: 1.0, 1: 2.0 / 3.0, 2: 1.0 / 6.0}
+
+    cur = img
+    for p in range(passes):
+        stride = 1 << p
+        acc = cur
+        wsum = jnp.ones(vz.shape, F32)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dy == 0 and dx == 0:
+                    continue
+                q = _shift_clamp(cur, dy * stride, dx * stride)
+                qz = _shift_clamp(vz, dy * stride, dx * stride)
+                qn = _shift_clamp(nrm, dy * stride, dx * stride)
+                w_depth = jnp.exp(
+                    -jnp.abs(qz - vz) / (0.05 * jnp.maximum(vz, C.VIEWZ_MIN))
+                )
+                ndot = jnp.maximum((qn * nrm).sum(axis=0), 0.0)
+                wq = w_depth * ndot ** 8 * kernel_w[max(abs(dy), abs(dx))]
+                acc = acc + q * wq[None]
+                wsum = wsum + wq
+        cur = acc / wsum[None]
+        if p == passes - 1:
+            break
+        # Re-establish the frame-edge pads from THIS pass's output so the
+        # next pass's clamped reads match the whole-frame filter exactly.
+        left = jnp.broadcast_to(cur[..., padx : padx + 1],
+                                cur.shape[:-1] + (padx,))
+        right = jnp.broadcast_to(cur[..., padx + w - 1 : padx + w],
+                                 cur.shape[:-1] + (padx,))
+        cur = jnp.concatenate([left, cur[..., padx : padx + w], right], axis=-1)
+        top_fix = jnp.concatenate(
+            [jnp.broadcast_to(cur[:, th : th + 1], (nch, th, wp)), cur[:, th:]],
+            axis=1,
+        )
+        cur = jnp.where(i == 0, top_fix, cur)
+        bot_fix = jnp.concatenate(
+            [cur[:, : 2 * th],
+             jnp.broadcast_to(cur[:, 2 * th - 1 : 2 * th], (nch, th, wp))],
+            axis=1,
+        )
+        cur = jnp.where(i == nty - 1, bot_fix, cur)
+    out_ref[:] = cur[:, th : 2 * th, padx : padx + w]
+
+
 def _atrous_pass_kernel(th, padx, w, stride, nch, win, out_ref):
     """One a-trous pass on a 3-band row window [C, 3*th, w + 2*padx].
 
@@ -414,16 +497,12 @@ def atrous(img, view_z, normal, passes: int = 3, interpret: bool = False):
     (s <= th,tw).
     """
     nch = img.shape[0]
-    out = img
-    for p in range(passes):
-        stride = 1 << p
-        packed = jnp.concatenate([out, view_z[None], normal], axis=0)
+    packed = jnp.concatenate([img, view_z[None], normal], axis=0)
 
-        def kernel(th, padx, w, win, o, _s=stride):
-            return _atrous_pass_kernel(th, padx, w, _s, nch, win, o)
+    def kernel(th, padx, w, win, o):
+        return _atrous_fused_kernel(th, padx, w, passes, nch, win, o)
 
-        out = _windowed_call(kernel, nch + 4, nch, packed, interpret)
-    return out
+    return _windowed_call(kernel, nch + 4, nch, packed, interpret)
 
 
 @functools.partial(jax.jit, static_argnames=("radius", "interpret"))

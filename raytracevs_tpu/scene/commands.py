@@ -175,6 +175,28 @@ class MoveNodesCommand(EditorCommand):
             n.position = p
 
 
+class PasteCommand(EditorCommand):
+    """Clipboard paste as one undo entry (NodeEditorView.xaml.cs:806-900
+    HandlePaste). Redo re-instantiates with fresh ids, like the editor."""
+
+    def __init__(self, graph, clipboard: dict, offset=(30.0, 30.0)):
+        self.graph = graph
+        self.clipboard = clipboard
+        self.offset = offset
+        self.description = f"paste {len(clipboard.get('Nodes', []))} node(s)"
+        self._nodes = []
+
+    def execute(self) -> None:
+        from .rtvs import paste_nodes
+
+        self._nodes = paste_nodes(self.graph, self.clipboard, self.offset)
+
+    def undo(self) -> None:
+        for n in self._nodes:
+            self.graph.remove_node(n)
+        self._nodes = []
+
+
 class CompositeCommand(EditorCommand):
     """CompositeCommand.cs analog: group of commands as one undo step."""
 

@@ -257,3 +257,48 @@ def test_viewer_cmd_error_responses(viewer):
     # the loop still renders after all that
     before = json.loads(_get(port, "/status")[1])["frames"]
     _wait_for_frame(port, min_frames=before + 1)
+
+
+def test_viewer_copy_paste(viewer):
+    """Copy a selection + intra-selection wiring, paste as one undo entry
+    (HandleCopy/HandlePaste analogs)."""
+    state, port = viewer
+    _wait_for_frame(port)
+    g0 = json.loads(_get(port, "/graph")[1])
+    n0 = len(g0["nodes"])
+    c = g0["connections"][0]
+    ids = f"{c['out_node']},{c['in_node']}"
+
+    out = json.loads(_get(port, f"/cmd?op=copy&nodes={ids}")[1])
+    assert out["copied"] == 2
+    _get(port, "/cmd?op=paste")
+    g1 = json.loads(_get(port, "/graph")[1])
+    assert len(g1["nodes"]) == n0 + 2
+    # the pasted pair carries the intra-selection connection
+    new_ids = {n["id"] for n in g1["nodes"]} - {n["id"] for n in g0["nodes"]}
+    pasted_conns = [cc for cc in g1["connections"]
+                    if cc["out_node"] in new_ids and cc["in_node"] in new_ids]
+    assert len(pasted_conns) == 1
+    # pasted nodes are offset from the originals
+    orig = next(n for n in g0["nodes"] if n["id"] == c["out_node"])
+    copy_n = next(n for n in g1["nodes"]
+                  if n["id"] in new_ids and n["type"] == orig["type"])
+    assert (copy_n["x"], copy_n["y"]) == (orig["x"] + 30.0, orig["y"] + 30.0)
+
+    _get(port, "/cmd?op=undo")  # one undo removes the whole paste
+    assert len(json.loads(_get(port, "/graph")[1])["nodes"]) == n0
+
+
+def test_viewer_screenshot(viewer, tmp_path, monkeypatch):
+    """op=screenshot writes the current frame PNG to the settings
+    screenshot folder (SettingsService.cs screenshot_folder analog)."""
+    import os
+
+    state, port = viewer
+    _wait_for_frame(port)
+    monkeypatch.setenv("HOME", str(tmp_path))
+    out = json.loads(_get(port, "/cmd?op=screenshot")[1])
+    path = out["screenshot"]
+    assert os.path.exists(path)
+    with open(path, "rb") as f:
+        assert f.read(8) == b"\x89PNG\r\n\x1a\n"
