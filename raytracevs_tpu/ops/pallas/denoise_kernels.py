@@ -32,6 +32,7 @@ reset), src/Shader/ShadowDenoise.hlsl:39-131.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -447,8 +448,13 @@ def _shadow_kernel(th, padx, w, radius, softness, depth_threshold, win, out_ref)
 
 _STENCIL_PADX = 128  # lane-aligned horizontal halo (covers strides <= 128)
 
+# Fuse all a-trous passes into one kernel (one DMA set instead of one per
+# pass). RTVS_ATROUS_FUSED=0 selects the per-pass kernels for A/B probing.
+_ATROUS_FUSED = os.environ.get("RTVS_ATROUS_FUSED", "1") == "1"
 
-def _windowed_call(kernel, nch_in, nch_out, packed, interpret):
+
+def _windowed_call(kernel, nch_in, nch_out, packed, interpret,
+                   vmem_limit_bytes=None):
     """Run `kernel` over full-width row bands with a 3-band window.
 
     The input is edge-replicated (one band vertically, 128 px horizontally)
@@ -473,6 +479,8 @@ def _windowed_call(kernel, nch_in, nch_out, packed, interpret):
         win = jnp.concatenate([b0[:], b1[:], b2[:]], axis=1)  # [C, 3*th, wp]
         kernel(th, padx, width, win, out)
 
+    params = (pltpu.CompilerParams(vmem_limit_bytes=vmem_limit_bytes)
+              if vmem_limit_bytes else None)
     return pl.pallas_call(
         body,
         grid=(nty,),
@@ -480,6 +488,7 @@ def _windowed_call(kernel, nch_in, nch_out, packed, interpret):
         out_specs=pl.BlockSpec((nch_out, th, width), lambda i: (0, i, 0)),
         out_shape=jax.ShapeDtypeStruct((nch_out, height, width), F32),
         interpret=interpret,
+        compiler_params=params,
     )(padded, padded, padded)
 
 
@@ -497,12 +506,31 @@ def atrous(img, view_z, normal, passes: int = 3, interpret: bool = False):
     (s <= th,tw).
     """
     nch = img.shape[0]
-    packed = jnp.concatenate([img, view_z[None], normal], axis=0)
 
-    def kernel(th, padx, w, win, o):
-        return _atrous_fused_kernel(th, padx, w, passes, nch, win, o)
+    if _ATROUS_FUSED:
+        packed = jnp.concatenate([img, view_z[None], normal], axis=0)
 
-    return _windowed_call(kernel, nch + 4, nch, packed, interpret)
+        def kernel(th, padx, w, win, o):
+            return _atrous_fused_kernel(th, padx, w, passes, nch, win, o)
+
+        # The fused kernel's Mosaic stack (3 in-register passes over the
+        # [C, 3*th, wp] window) exceeds the default 16 MB scoped-VMEM limit
+        # at 4K (measured 33.7 MB needed at th=8/wp=4096); raise the
+        # per-kernel cap — v5e has 128 MB physical VMEM.
+        return _windowed_call(kernel, nch + 4, nch, packed, interpret,
+                              vmem_limit_bytes=100 << 20)
+
+    # Unfused fallback (RTVS_ATROUS_FUSED=0): one windowed call per pass —
+    # 3x the stencil DMA/launches, but a ~3x smaller in-kernel working set.
+    out = img
+    for p in range(passes):
+        packed = jnp.concatenate([out, view_z[None], normal], axis=0)
+
+        def kernel(th, padx, w, win, o, _s=1 << p):
+            return _atrous_pass_kernel(th, padx, w, _s, nch, win, o)
+
+        out = _windowed_call(kernel, nch + 4, nch, packed, interpret)
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("radius", "interpret"))

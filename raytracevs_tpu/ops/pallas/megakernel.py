@@ -2447,7 +2447,10 @@ def _leaf_rows(km, tri_start, extra=False):
     return g, ex
 
 
-_LEAF_TIERS = os.environ.get("RTVS_MK_LEAF_TIERS", "") == "1"
+# Default ON: measured 46.5 vs 48.8 ms on the wine glass (sweep in
+# scripts/probe_leaf_tiers2.py; leaf32/48 with tiers measured 48.1/50.8,
+# so leaf24 stays optimal). Set RTVS_MK_LEAF_TIERS=0 to disable.
+_LEAF_TIERS = os.environ.get("RTVS_MK_LEAF_TIERS", "1") == "1"
 
 
 def _leaf_dispatch(leaf_now, tri_count, leaf_size, leaf_fn, carry):
