@@ -262,19 +262,23 @@ def reproject_accumulate(packed_state, curr, motion, view_z, interpret: bool = F
 # ---------------------------------------------------------------------------
 # Halo-windowed stencil kernels: a-trous + shadow filter
 # ---------------------------------------------------------------------------
-def _stencil_sizes(height: int, width: int, halo: int):
+def _stencil_sizes(height: int, width: int, halo: int,
+                   budget: int = 15_500_000, bpe: int = 440):
     # full-width row bands: per-program DMA count is the stencil's cost on
     # TPU (compute is trivial), so fetch 3 bands instead of 9 tiles.
     # The 3-band window's VMEM footprint scales with th*(width+2*padx);
-    # measured anchor: th=16 at 2560-wide (wp=2816) allocates 19.68 MB and
-    # OOMs the 16 MB budget, so wide frames (1440p/4K) drop to th=8 bands.
+    # measured anchors (bytes-per-element `bpe`): the per-pass kernel
+    # allocates 440*th*wp (th=16 at 2560-wide OOMs the default 16 MB
+    # scoped limit -> th=8 bands), the fused 3-pass kernel ~1030*th*wp.
+    # Callers that raise the per-kernel scoped-VMEM cap (vmem_limit_bytes)
+    # pass the matching larger `budget` and keep 16-row bands at 4K.
     if width % 128:
         return None
     wp = width + 2 * _STENCIL_PADX
     for th in (16, 8):
         if height % th or height < 2 * th or halo > th:
             continue
-        if 440 * th * wp <= 15_500_000:  # bytes, calibrated on the anchor
+        if bpe * th * wp <= budget:
             return th, width
     return None
 
@@ -454,7 +458,7 @@ _ATROUS_FUSED = os.environ.get("RTVS_ATROUS_FUSED", "1") == "1"
 
 
 def _windowed_call(kernel, nch_in, nch_out, packed, interpret,
-                   vmem_limit_bytes=None):
+                   vmem_limit_bytes=None, bpe=440):
     """Run `kernel` over full-width row bands with a 3-band window.
 
     The input is edge-replicated (one band vertically, 128 px horizontally)
@@ -464,7 +468,9 @@ def _windowed_call(kernel, nch_in, nch_out, packed, interpret,
     of on TPU.
     """
     _, height, width = packed.shape
-    th, _ = _stencil_sizes(height, width, 1)
+    budget = (int(0.95 * vmem_limit_bytes) if vmem_limit_bytes
+              else 15_500_000)
+    th, _ = _stencil_sizes(height, width, 1, budget=budget, bpe=bpe)
     nty = height // th
     padx = _STENCIL_PADX
     padded = jnp.pad(packed, ((0, 0), (th, th), (padx, padx)), mode="edge")
@@ -516,9 +522,11 @@ def atrous(img, view_z, normal, passes: int = 3, interpret: bool = False):
         # The fused kernel's Mosaic stack (3 in-register passes over the
         # [C, 3*th, wp] window) exceeds the default 16 MB scoped-VMEM limit
         # at 4K (measured 33.7 MB needed at th=8/wp=4096); raise the
-        # per-kernel cap — v5e has 128 MB physical VMEM.
+        # per-kernel cap — v5e has 128 MB physical VMEM — and size bands
+        # against it (bpe=1030 from the same measurement), keeping 16-row
+        # bands at 1440p/4K: half the programs/DMAs of 8-row bands.
         return _windowed_call(kernel, nch + 4, nch, packed, interpret,
-                              vmem_limit_bytes=100 << 20)
+                              vmem_limit_bytes=100 << 20, bpe=1030)
 
     # Unfused fallback (RTVS_ATROUS_FUSED=0): one windowed call per pass —
     # 3x the stencil DMA/launches, but a ~3x smaller in-kernel working set.
@@ -545,4 +553,7 @@ def shadow_denoise(shadow, obj_id, view_z, normal, radius: int = 2,
     def kernel(th, padx, w, win, o):
         return _shadow_kernel(th, padx, w, radius, softness, depth_threshold, win, o)
 
-    return _windowed_call(kernel, 7, 2, packed, interpret)
+    # Same raised-cap trade as the fused a-trous: keep 16-row bands at
+    # 1440p/4K (bpe measured-safe upper bound for the 5x5 single pass).
+    return _windowed_call(kernel, 7, 2, packed, interpret,
+                          vmem_limit_bytes=100 << 20, bpe=700)

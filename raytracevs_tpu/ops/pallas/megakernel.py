@@ -2360,7 +2360,8 @@ class KMesh:
 
     def __init__(self, nodes_fi, tri_geo, tri_extra, inst_tbl,
                  num_nodes, num_tris, leaf_size, num_inst, hbm_scratch=None):
-        self.nodes_fi = nodes_fi  # [Nn,16]: bbmin3 bbmax3 hit miss ts tc pad6
+        self.nodes_fi = nodes_fi  # [Nn/8,128]: 8 nodes/row, 16 fields each
+        # (node fields: bbmin3 bbmax3 hit miss tstart tcount pad6)
         self.tri_geo = tri_geo  # [T/8,128]: 8 tris/row, 12 plane-repr fields each
         self.tri_extra = tri_extra  # [T/8,128]: 8 tris/row, n0 n1 n2 inst(asf32)
         self.inst_tbl = inst_tbl  # [I,8]: transmission absorb3 beer3 pad
@@ -2373,7 +2374,23 @@ class KMesh:
 
 
 def _node_row(km, node):
-    nf = km.nodes_fi[pl.ds(node, 1), :]  # (1,16)
+    """Fetch node fields from the node table (layout from its shape).
+
+    Flat [Nn,16] (512 B/node after lane padding): one dynamic row load —
+    the fast layout, used while the table fits the VMEM budget.
+    Dense-packed [Nn/8,128] (64 B/node): 8 nodes/row, one dynamic row
+    load + one dynamic lane rotate brings node (i&7) to lanes 0..15 —
+    8x the capacity, measured ~16-18% slower per frame on walk-heavy
+    scenes (233k-tri probe: 32.7 vs 28.1 ms opaque), so pack_mesh only
+    packs past _NODE_PACK_MB."""
+    if km.nodes_fi.shape[1] != 128:  # flat [Nn,16]
+        nf = km.nodes_fi[pl.ds(node, 1), :]  # (1,16)
+        bb_lo = (nf[0, 0], nf[0, 1], nf[0, 2])
+        bb_hi = (nf[0, 3], nf[0, 4], nf[0, 5])
+        return (bb_lo, bb_hi, nf[0, 6].astype(I32), nf[0, 7].astype(I32),
+                nf[0, 8].astype(I32), nf[0, 9].astype(I32))
+    row = km.nodes_fi[pl.ds(node >> 3, 1), :]  # (1,128): 8 packed nodes
+    nf = pltpu.roll(row, (128 - (node & 7) * 16) % 128, axis=1)
     bb_lo = (nf[0, 0], nf[0, 1], nf[0, 2])
     bb_hi = (nf[0, 3], nf[0, 4], nf[0, 5])
     return (bb_lo, bb_hi, nf[0, 6].astype(I32), nf[0, 7].astype(I32),
@@ -2722,6 +2739,18 @@ def pack_mesh(mesh, shadow_absorb_scale=None) -> tuple:
                 .at[:, 7].set(mesh.mk_miss_next.astype(F32))
                 .at[:, 8].set(mesh.mk_tri_start.astype(F32))
                 .at[:, 9].set(mesh.mk_tri_count.astype(F32)))
+    # Dense-pack 8 nodes per 128-lane row (row-major reshape puts node i
+    # at row i>>3, lanes (i&7)*16..+16): the [Nn,16] layout lane-pads to
+    # 128 = 512 B/node; packed is 64 B/node. The per-visit lane rotate
+    # that undoes it costs ~16-18% frame time on walk-heavy scenes
+    # (scripts/probe_packed_nodes.py: 233k opaque 32.7 vs 28.1 ms), so
+    # packing kicks in only when the flat table outgrows the VMEM budget
+    # — it is what lifts the node-side mesh cap ~8x (1.17M tris probed:
+    # 92.9 ms opaque / 280 ms glass at 1080p, nodes 7.07 MB packed where
+    # flat would need 56 MB).
+    if node_table_packed(nn):
+        rn = -(-max(nn, 1) // 8)
+        nodes_fi = jnp.pad(nodes_fi, ((0, rn * 8 - nn), (0, 0))).reshape(rn, 128)
     tri_geo = bvh_mod._plane_table(mesh.mk_v0, mesh.mk_edge1, mesh.mk_edge2)
     tri_extra = jnp.zeros((nt, 12), F32)
     tri_extra = (tri_extra.at[:, 0:3].set(mesh.mk_n0).at[:, 3:6].set(mesh.mk_n1)
@@ -2752,8 +2781,24 @@ def pack_mesh(mesh, shadow_absorb_scale=None) -> tuple:
     return nodes_fi, tri_geo, tri_extra, inst_tbl
 
 
+# Flat [Nn,16] nodes up to this budget (the fast layout, 512 B/node after
+# lane padding); beyond it pack_mesh dense-packs 8 nodes/row (64 B/node,
+# ~16-18% slower walks, 8x capacity). 14 MB keeps every probed config
+# (wine glass ... 233k tris) on the fast layout.
+_NODE_PACK_MB = float(os.environ.get("RTVS_NODE_PACK_MB", "14"))
+
+
+def node_table_packed(num_nodes: int) -> bool:
+    return num_nodes * 512 > _NODE_PACK_MB * 2**20
+
+
+def node_table_bytes(num_nodes: int) -> int:
+    return num_nodes * (64 if node_table_packed(num_nodes) else 512)
+
+
 def mesh_table_bytes(num_nodes: int, num_tris: int) -> int:
     """Physical VMEM footprint of the pack_mesh tables (dense layout):
-    nodes [Nn,16] tile-padded to 128 lanes -> 512 B/node; each tri table
-    packs 8 triangles per 128-lane row -> 64 B/tri, two tables."""
-    return num_nodes * 512 + num_tris * 128
+    nodes 512 B/node flat or 64 B/node once packed (node_table_packed);
+    each tri table packs 8 triangles per 128-lane row -> 64 B/tri, two
+    tables."""
+    return node_table_bytes(num_nodes) + num_tris * 128

@@ -100,17 +100,19 @@ def _pick_backend(flat: FlatScene, cfg=None) -> str:
     if platform == "cpu":
         return "jnp"
     if flat.mesh is not None:
-        from ..ops.pallas.megakernel import mesh_table_bytes
+        from ..ops.pallas.megakernel import mesh_table_bytes, node_table_bytes
 
         # Budget probed on v5e (16 MB VMEM): a 60k-tri glass mesh with
         # 12.5 MB of dense tables compiles and runs alongside the full
-        # 8-deep spawn stacks; 12 MB (~58k tris) keeps a safety margin.
-        # Past that, the triangle tables move to HBM and leaves stream by
-        # DMA (backend 'pallas_hbm') — only the node table must still fit
-        # VMEM (512 B/node), the reference-BLAS-has-no-cap analog
+        # 8-deep spawn stacks; 12 MB keeps a safety margin. Past that,
+        # the triangle tables move to HBM and leaves stream by DMA
+        # (backend 'pallas_hbm') — only the node table must still fit
+        # VMEM (flat 512 B/node while it fits, dense-packed 64 B/node
+        # beyond _NODE_PACK_MB: ~2M tris at typical leaf occupancy), the
+        # reference-BLAS-has-no-cap analog
         # (AccelerationStructure.cpp:560-663).
         table_mb = mesh_table_bytes(flat.mesh.mk_num_nodes, flat.mesh.mk_num_tris) / 2**20
-        node_mb = int(flat.mesh.mk_num_nodes) * 512 / 2**20
+        node_mb = node_table_bytes(int(flat.mesh.mk_num_nodes)) / 2**20
         if table_mb > 12:
             # Probed on v5e (scripts/probe_hbm_mesh.py): a 233k-tri mesh
             # with 11.0 MB of VMEM nodes + 39.6 MB HBM tri tables runs at

@@ -102,6 +102,60 @@ def test_big_mesh_megakernel_matches_jnp():
     )
 
 
+def test_packed_node_table_matches_flat(monkeypatch):
+    """Dense-packed node rows (8 nodes/128-lane row, used past
+    _NODE_PACK_MB) must traverse identically to the flat [Nn,16] layout.
+    Forced on a small mesh by dropping the pack threshold to zero; a
+    distinct render height keeps the jit cache from reusing the
+    flat-layout trace."""
+    import jax
+
+    from raytracevs_tpu.ops.pallas import megakernel as mk
+
+    verts, indices = _uv_sphere(rings=16, segs=16)
+    ms = MeshCacheService("/nonexistent", cache_dir=tempfile.mkdtemp())
+    ms.register("BigSphere", CachedMesh(
+        name="BigSphere", vertices=verts, indices=indices,
+        bounds_min=np.array([-0.9, -0.9, -0.9]),
+        bounds_max=np.array([0.9, 0.9, 0.9]),
+    ))
+    scene = SceneData()
+    scene.camera.position = np.array([0.0, 1.2, -3.0])
+    scene.camera.look_at = np.array([0.0, 0.8, 0.0])
+    scene.settings.samples_per_pixel = 1
+    scene.settings.max_bounces = 3
+    scene.objects += [
+        MeshObjectData(mesh_name="BigSphere",
+                       material=MaterialData(
+                           base_color=np.array([0.8, 0.5, 0.3, 1.0]),
+                           roughness=0.5)),
+        PlaneData(),
+    ]
+    scene.lights += [
+        LightData(type=LightType.POINT, position=np.array([3.0, 5.0, -3.0]),
+                  intensity=10.0),
+    ]
+    flat = flatten_scene(scene, 64, 16, mesh_service=ms)
+    cfg = make_config(scene, 64, 16)
+    assert not mk.node_table_packed(int(flat.mesh.mk_num_nodes))
+
+    ref = render_rows(flat, cfg, jnp.int32(0), 16)
+    monkeypatch.setattr(mk, "_NODE_PACK_MB", 0.0)
+    assert mk.node_table_packed(int(flat.mesh.mk_num_nodes))
+    jax.clear_caches()  # _NODE_PACK_MB is not part of the jit cache key
+    try:
+        pal = render_rows(flat, cfg, jnp.int32(0), 16, backend="pallas",
+                          interpret=True)
+    finally:
+        monkeypatch.undo()
+        jax.clear_caches()
+    assert float(np.asarray(pal.rays)) == float(np.asarray(ref.rays))
+    cd = np.abs(np.asarray(pal.color) - np.asarray(ref.color)).max(axis=-1)
+    assert (cd > 1e-3).mean() < 0.02
+    np.testing.assert_array_equal(
+        np.asarray(pal.gbuffer.obj_id), np.asarray(ref.gbuffer.obj_id))
+
+
 @pytest.mark.nightly
 def test_hbm_streamed_mesh_matches_resident():
     """HBM-resident triangle tables (backend 'pallas_hbm', leaves streamed
