@@ -62,8 +62,10 @@ def _bench_config(engine, cfg, backend, reps, batch=8):
     def run(scene, st, start):
         def step(carry, i):
             s_i = scene._replace(frame_index=i.astype(jnp.uint32))
+            # want_aux=False: only the RGBA image + ray count materialize
+            # (the lane G-buffer/HDR aux surface is for the editor APIs)
             rgba, _hdr, rays, _g, new_st, _dn = _render_pipeline(
-                s_i, cfg, backend, carry
+                s_i, cfg, backend, carry, False
             )
             return new_st, (jnp.sum(rgba.astype(jnp.uint32)), rays)
 

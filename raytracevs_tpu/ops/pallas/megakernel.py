@@ -2165,6 +2165,86 @@ def render_accum_pallas(scene: FlatScene, cfg: RenderConfig, row_start, num_rows
     return _accum_dict(out, num_rows, cfg.width)
 
 
+def render_accum_pallas_cf(scene: FlatScene, cfg: RenderConfig, row_start,
+                           num_rows: int, interpret: bool = False,
+                           mesh_hbm: bool = False):
+    """Channel-first accumulators: same megakernel launch as
+    render_accum_pallas, but the [NUM_CH, H, W] tile output is exposed as
+    channel PLANES (3-vectors as contiguous [3,H,W] slices) instead of
+    being interleaved into [N,c] lane stacks.
+
+    The lane stacks + the [N,c]->[c,H,W] transposes the denoiser then
+    undoes measured ~23 ms of pure layout churn at 4K (scripts/
+    probe_4k_denoise_sub.py) — the kernel's native output is already
+    channel-first, so the fast pipeline (ops/render_cf.py) keeps it that
+    way end to end."""
+    # Re-run the same launch; callers pick exactly one of the two views.
+    args, caps = _pack_args(scene, cfg, row_start)
+    grid_h = _cdiv(num_rows, TILE_H)
+    grid_w = _cdiv(cfg.width, TILE_W)
+    mesh_hbm = mesh_hbm and len(caps) > 4
+
+    def table_spec(arr):
+        return pl.BlockSpec(arr.shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM)
+
+    in_specs = [table_spec(a) for a in args]
+    scratch_shapes = []
+    if mesh_hbm:
+        in_specs[9] = pl.BlockSpec(memory_space=pl.ANY)
+        in_specs[10] = pl.BlockSpec(memory_space=pl.ANY)
+        scratch_shapes = [
+            pltpu.VMEM((16, 128), F32),
+            pltpu.VMEM((16, 128), F32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+
+    out = pl.pallas_call(
+        make_kernel(cfg, caps, mesh_hbm=mesh_hbm),
+        out_shape=jax.ShapeDtypeStruct((NUM_CH, grid_h * TILE_H, grid_w * TILE_W), F32),
+        grid=(grid_h, grid_w),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (NUM_CH, TILE_H, TILE_W), lambda i, j: (0, i, j), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=scratch_shapes,
+        interpret=interpret,
+    )(*args)
+    return _accum_dict_cf(out, num_rows, cfg.width)
+
+
+def _accum_dict_cf(out, num_rows, width):
+    """Channel-first view of the NUM_CH-channel tile output: [H,W] planes
+    and contiguous [3,H,W] vector slices — pure slicing, no interleave."""
+    out = out[:, :num_rows, :width]
+
+    def ch(i):
+        return out[i]
+
+    def ch3(i):
+        return out[i:i + 3]
+
+    return dict(
+        color=ch3(CH_COLOR),
+        primary=ch3(CH_PRIMARY),
+        diffuse=ch3(CH_DIFFUSE),
+        specular=ch3(CH_SPECULAR),
+        hitdist=ch(CH_HITDIST),
+        bounce=ch(CH_BOUNCE),
+        rays=jnp.sum(out[CH_RAYS]),
+        prim_hit=ch(CH_PRIM_HIT) > 0.5,
+        prim_normal=ch3(CH_NORMAL),
+        prim_rough=ch(CH_ROUGH),
+        prim_albedo=ch3(CH_ALBEDO),
+        prim_metallic=ch(CH_METALLIC),
+        prim_transmission=ch(CH_TRANSMISSION),
+        prim_pos=ch3(CH_POS),
+        shadow_vis=ch(CH_SHADOW_VIS),
+        shadow_pen=ch(CH_SHADOW_PEN),
+        shadow_dist=ch(CH_SHADOW_DIST),
+        obj_id=ch(CH_OBJ_ID).astype(jnp.int32),
+    )
+
+
 _KEY_INVALID = 0x7FFFFFFF
 _TP_KEY_ORDER = os.environ.get("RTVS_TP_KEY", "oct_pos")
 

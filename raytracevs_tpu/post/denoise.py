@@ -364,6 +364,45 @@ def denoise_frame(gbuffer, height: int, width: int, state: DenoiserState,
     )
 
 
+def denoise_frame_cf(gbuf_cf, state: DenoiserStateCF, interpret: bool = False):
+    """Channel-first denoise: the _denoise_frame_pallas kernels fed straight
+    from a GBufferCF (ops/render_cf.py) — no [N,c]<->[c,H,W] transposes
+    anywhere. Caller guarantees kernel support (dk.reproject_supported /
+    stencil_supported) and a CF state.
+
+    Returns (diffuse3, specular3, shadow2 — all channel-first, new_state).
+    """
+    from ..ops.pallas import denoise_kernels as dk
+
+    assert isinstance(state, DenoiserStateCF)
+    curr = jnp.concatenate([gbuf_cf.diffuse_hitdist, gbuf_cf.specular_hitdist],
+                           axis=0)
+    new_packed = dk.reproject_accumulate(state.packed, curr, gbuf_cf.motion,
+                                         gbuf_cf.view_z, interpret=interpret)
+    normal = _decode_oct_cf(gbuf_cf.normal_roughness)
+    out_ds = dk.atrous(
+        jnp.concatenate([new_packed[0:3], new_packed[4:7]], axis=0),
+        gbuf_cf.view_z, normal, passes=ATROUS_PASSES, interpret=interpret)
+    out_shadow = dk.shadow_denoise(gbuf_cf.shadow_data, gbuf_cf.obj_id,
+                                   gbuf_cf.view_z, normal, interpret=interpret)
+    return (out_ds[0:3], out_ds[3:6], out_shadow,
+            DenoiserStateCF(packed=new_packed))
+
+
+def _decode_oct_cf(nr):
+    """DecodeUnitVector (NRDEncoding.hlsli:82-91), channel-first [4,H,W]
+    (or [>=2,H,W]) -> [3,H,W]."""
+    px = nr[0] * 2.0 - 1.0
+    py = nr[1] * 2.0 - 1.0
+    z = 1.0 - jnp.abs(px) - jnp.abs(py)
+    t = jnp.clip(-z, 0.0, 1.0)
+    x = px + jnp.where(px >= 0.0, -t, t)
+    y = py + jnp.where(py >= 0.0, -t, t)
+    n = jnp.stack([x, y, z], axis=0)
+    m = jnp.sqrt(n[0] * n[0] + n[1] * n[1] + n[2] * n[2])
+    return n / jnp.maximum(m, 1e-12)
+
+
 def _denoise_frame_pallas(gbuffer, height: int, width: int, state: DenoiserState,
                           interpret: bool = False):
     """TPU kernel path of denoise_frame (same contract, channel-first)."""

@@ -34,11 +34,26 @@ from ..scene.sanitize import sanitize_scene
 from ..utils.checksum import scene_content_checksum
 
 
-@partial(jax.jit, static_argnums=(1, 2))
-def _render_pipeline(scene: FlatScene, cfg: RenderConfig, backend: str, denoise_state):
-    """Full frame: wavefront render -> denoise -> composite -> RGBA8."""
+@partial(jax.jit, static_argnums=(1, 2, 4))
+def _render_pipeline(scene: FlatScene, cfg: RenderConfig, backend: str, denoise_state,
+                     want_aux: bool = True):
+    """Full frame: wavefront render -> denoise -> composite -> RGBA8.
+
+    Pallas backends route channel-first end to end (ops/render_cf.py): the
+    megakernel's native [C,H,W] planes feed the denoise kernels and the
+    composite without any [N,c] lane interleave — measured ~23 ms of pure
+    layout churn at 4K on the classic path (probe_4k_denoise_sub.py).
+    `want_aux=False` (static) additionally skips materializing the lane
+    G-buffer / HDR / denoised aux outputs (benchmark + streaming paths that
+    only consume the RGBA image)."""
     from ..ops.render import render_rows
     from ..post import denoise as denoise_mod
+
+    if backend in ("pallas", "pallas_hbm"):
+        use_cf = (not cfg.enable_denoiser) or isinstance(
+            denoise_state, denoise_mod.DenoiserStateCF)
+        if use_cf:
+            return _render_pipeline_cf(scene, cfg, backend, denoise_state, want_aux)
 
     out = render_rows(scene, cfg, jnp.int32(0), cfg.height, backend=backend)
     denoised = None
@@ -72,6 +87,55 @@ def _render_pipeline(scene: FlatScene, cfg: RenderConfig, backend: str, denoise_
     rgba = tonemap.to_rgba8(color01).reshape(cfg.height, cfg.width, 4)
     hdr = out.color.reshape(cfg.height, cfg.width, 3)
     return rgba, hdr, out.rays, out.gbuffer, new_state, denoised
+
+
+def _render_pipeline_cf(scene, cfg, backend, denoise_state, want_aux):
+    """Channel-first frame (see _render_pipeline docstring)."""
+    from ..ops.render_cf import lane_gbuffer_from_cf, render_rows_cf
+    from ..post import denoise as denoise_mod
+
+    out = render_rows_cf(scene, cfg, jnp.int32(0), cfg.height, backend=backend)
+    denoised_cf = None
+    if cfg.enable_denoiser and denoise_state is not None:
+        dd, ds, dshadow, new_state = denoise_mod.denoise_frame_cf(
+            out.gbuffer, denoise_state)
+        denoised_cf = (dd, ds, dshadow)
+        color01 = composite_mod.composite_cf(
+            out.gbuffer,
+            out.raw_specular,
+            scene.exposure,
+            scene.tone_map_operator,
+            scene.gamma,
+            denoised_diffuse=dd,
+            denoised_specular=ds,
+            use_denoised=True,
+            nrd_bypass_distance=scene.nrd_bypass_distance,
+            nrd_bypass_blend=scene.nrd_bypass_blend,
+        )
+    else:
+        new_state = denoise_state
+        color01 = composite_mod.composite_cf(
+            out.gbuffer,
+            out.raw_specular,
+            scene.exposure,
+            scene.tone_map_operator,
+            scene.gamma,
+            use_denoised=False,
+        )
+    rgba = tonemap.to_rgba8_cf(color01)
+    if not want_aux:
+        return rgba, None, out.rays, None, new_state, None
+    hdr = out.color.transpose(1, 2, 0)
+    gbuf = lane_gbuffer_from_cf(out.gbuffer)
+    denoised = None
+    if denoised_cf is not None:
+        dd, ds, dshadow = denoised_cf
+
+        def ln(a):
+            return a.transpose(1, 2, 0).reshape(-1, a.shape[0])
+
+        denoised = (ln(dd), ln(ds), ln(dshadow))
+    return rgba, hdr, out.rays, gbuf, new_state, denoised
 
 
 def _pick_backend(flat: FlatScene, cfg=None) -> str:
