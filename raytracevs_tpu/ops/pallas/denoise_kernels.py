@@ -57,7 +57,11 @@ RESIDUAL_LIMIT = 0.75  # px deviation from the tile-mean motion
 
 
 def _tile_sizes(height: int, width: int):
-    th = 8
+    # Tile = the motion-quantization granule AND the DMA granule. Bigger
+    # tiles halve the program/DMA count (the kernel reads a 2x2 block
+    # window = 4x the state per program regardless of size) at the cost
+    # of coarser tile-mean motion.
+    th = int(os.environ.get("RTVS_REPROJ_TH", "8"))
     tw = 384 if width % 384 == 0 else 128
     if height % th or width % tw or height < 2 * th or width < 2 * tw:
         return None
@@ -71,10 +75,10 @@ def reproject_supported(height: int, width: int) -> bool:
 # packed scalar-prefetch rows (one i32 + one f32 operand — separate 2-D
 # SMEM operands get lane-padded to 128 wide and blow the 1 MB SMEM budget)
 _PI_BY0, _PI_BY1, _PI_BX0, _PI_BX1, _PI_SUBY, _PI_SUBX = range(6)
-_PF_FY, _PF_FX, _PF_OK, _PF_OFFY, _PF_OFFX = range(5)
+_PF_FY, _PF_FX, _PF_OK, _PF_OFFY, _PF_OFFX, _PF_ROW0 = range(6)
 
 
-def _reproject_kernel(th, tw, height, width, ntx,
+def _reproject_kernel(th, tw, global_h, width, ntx,
                       # scalar prefetch refs: ints [6, n_tiles], floats [5, n_tiles]
                       pi, pf,
                       # tensor refs
@@ -126,15 +130,18 @@ def _reproject_kernel(th, tw, height, width, ntx,
     # Per-pixel validity: window not frame-clamped, previous position
     # in-frame, motion within RESIDUAL_LIMIT of the tile mean, depth
     # consistent, not sky (same predicate set as the jnp oracle).
+    # rows are GLOBAL image coordinates: in a sharded slab (row_offset !=
+    # 0) the bounds test must use the whole-frame extent so shard results
+    # equal the single-device kernel's at every kept row.
     rows = jax.lax.broadcasted_iota(I32, (th, tw), 0) + i * th
     cols = jax.lax.broadcasted_iota(I32, (th, tw), 1) + j * tw
     off_y = pf[_PF_OFFY, t]  # tile-mean motion (f32)
     off_x = pf[_PF_OFFX, t]
-    prev_y = rows.astype(F32) - mv[1]
+    prev_y = rows.astype(F32) + pf[_PF_ROW0, t] - mv[1]
     prev_x = cols.astype(F32) - mv[0]
     in_bounds = (
         (prev_x >= 0.0) & (prev_x <= width - 1.0)
-        & (prev_y >= 0.0) & (prev_y <= height - 1.0)
+        & (prev_y >= 0.0) & (prev_y <= global_h - 1.0)
     )
     res_ok = (
         (jnp.abs(mv[1] - off_y) <= RESIDUAL_LIMIT)
@@ -168,15 +175,25 @@ def _reproject_kernel(th, tw, height, width, ntx,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def reproject_accumulate(packed_state, curr, motion, view_z, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("interpret", "global_h"))
+def reproject_accumulate(packed_state, curr, motion, view_z, interpret: bool = False,
+                         row_offset=0, global_h: int = None):
     """Tile-quantized temporal reprojection + accumulation.
 
     packed_state [16,H,W] (STATE_CH layout), curr [8,H,W] (diffuse4 +
     specular4), motion [2,H,W] pixel-space (current - previous),
     view_z [H,W]. Returns the new packed state [16,H,W].
+
+    Sharded slabs (post/denoise.py denoise_frame_sharded_cf) pass the
+    halo-extended state with `row_offset` = the slab's first GLOBAL image
+    row (may be traced) and `global_h` = the whole-frame height, so the
+    in-bounds predicate matches the single-device kernel exactly; the
+    slab-local window addressing is unchanged (TEMPORAL_HALO covers the
+    MV clamp, so any in-bounds history row is inside the slab).
     """
     _, height, width = packed_state.shape
+    if global_h is None:
+        global_h = height
     sizes = _tile_sizes(height, width)
     assert sizes is not None, (height, width)
     th, tw = sizes
@@ -216,9 +233,10 @@ def reproject_accumulate(packed_state, curr, motion, view_z, interpret: bool = F
          (gy_c + th - by_lo * th).reshape(-1), (gx_c + tw - bx_lo * tw).reshape(-1)],
         axis=0,
     ).astype(I32)
+    row0_row = jnp.full((nty * ntx,), row_offset, F32)
     pf = jnp.stack(
         [fy.reshape(-1), fx.reshape(-1), ok.reshape(-1),
-         off[1].reshape(-1), off[0].reshape(-1)],
+         off[1].reshape(-1), off[0].reshape(-1), row0_row],
         axis=0,
     ).astype(F32)
 
@@ -246,7 +264,7 @@ def reproject_accumulate(packed_state, curr, motion, view_z, interpret: bool = F
         ],
         out_specs=blk(STATE_CH),
     )
-    kernel = functools.partial(_reproject_kernel, th, tw, height, width, ntx)
+    kernel = functools.partial(_reproject_kernel, th, tw, global_h, width, ntx)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -532,13 +550,21 @@ def atrous(img, view_z, normal, passes: int = 3, interpret: bool = False):
     # 3x the stencil DMA/launches, but a ~3x smaller in-kernel working set.
     out = img
     for p in range(passes):
-        packed = jnp.concatenate([out, view_z[None], normal], axis=0)
-
-        def kernel(th, padx, w, win, o, _s=1 << p):
-            return _atrous_pass_kernel(th, padx, w, _s, nch, win, o)
-
-        out = _windowed_call(kernel, nch + 4, nch, packed, interpret)
+        out = atrous_single_pass(out, view_z, normal, 1 << p, interpret)
     return out
+
+
+def atrous_single_pass(img, view_z, normal, stride: int, interpret: bool = False):
+    """One edge-stopping a-trous pass at the given stride (the sharded
+    pipeline runs passes separately, exchanging a row halo between them —
+    the fused 3-pass kernel cannot host a collective mid-kernel)."""
+    nch = img.shape[0]
+    packed = jnp.concatenate([img, view_z[None], normal], axis=0)
+
+    def kernel(th, padx, w, win, o):
+        return _atrous_pass_kernel(th, padx, w, stride, nch, win, o)
+
+    return _windowed_call(kernel, nch + 4, nch, packed, interpret)
 
 
 @functools.partial(jax.jit, static_argnames=("radius", "interpret"))

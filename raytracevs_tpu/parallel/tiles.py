@@ -120,6 +120,48 @@ def _render_pipeline_sharded(scene: FlatScene, cfg: RenderConfig, mesh: Mesh,
     n_dev = mesh.devices.size
     rows_per = cfg.height // n_dev
 
+    # Channel-first per-shard path: megakernel planes -> Pallas denoise
+    # kernels with halo collectives -> composite, mirroring the
+    # single-device CF pipeline (runtime.engine._render_pipeline_cf).
+    use_cf = (backend in ("pallas", "pallas_hbm")
+              and isinstance(denoise_state, denoise_mod.DenoiserStateCF)
+              and (not cfg.enable_denoiser
+                   or denoise_mod.sharded_cf_supported(rows_per, cfg.width)))
+
+    def shard_fn_cf(scene_rep, state_slab):
+        from ..ops.render_cf import lane_gbuffer_from_cf, render_rows_cf
+
+        i = jax.lax.axis_index(TILE_AXIS)
+        out = render_rows_cf(scene_rep, cfg, i * rows_per, rows_per,
+                             backend=backend)
+        if cfg.enable_denoiser and state_slab is not None:
+            dd, ds, dsh, new_state = denoise_mod.denoise_frame_sharded_cf(
+                out.gbuffer, state_slab, TILE_AXIS, n_dev, cfg.height)
+            color01 = composite_mod.composite_cf(
+                out.gbuffer, out.raw_specular, scene_rep.exposure,
+                scene_rep.tone_map_operator, scene_rep.gamma,
+                denoised_diffuse=dd, denoised_specular=ds, use_denoised=True,
+                nrd_bypass_distance=scene_rep.nrd_bypass_distance,
+                nrd_bypass_blend=scene_rep.nrd_bypass_blend,
+            )
+
+            def ln(a):
+                return a.transpose(1, 2, 0).reshape(-1, a.shape[0])
+
+            denoised = (ln(dd), ln(ds), ln(dsh))
+        else:
+            new_state = state_slab
+            denoised = None
+            color01 = composite_mod.composite_cf(
+                out.gbuffer, out.raw_specular, scene_rep.exposure,
+                scene_rep.tone_map_operator, scene_rep.gamma,
+                use_denoised=False,
+            )
+        rgba = tonemap.to_rgba8_cf(color01)
+        hdr = out.color.transpose(1, 2, 0)
+        return (rgba, hdr, out.rays.reshape(1),
+                lane_gbuffer_from_cf(out.gbuffer), new_state, denoised)
+
     def shard_fn(scene_rep, state_slab):
         i = jax.lax.axis_index(TILE_AXIS)
         out = render_rows(scene_rep, cfg, i * rows_per, rows_per,
@@ -151,15 +193,20 @@ def _render_pipeline_sharded(scene: FlatScene, cfg: RenderConfig, mesh: Mesh,
                 new_state, denoised)
 
     sharded = P(TILE_AXIS)
-    state_specs = (None if denoise_state is None
-                   else jax.tree_util.tree_map(lambda _: sharded, denoise_state))
+    if denoise_state is None:
+        state_specs = None
+    elif isinstance(denoise_state, denoise_mod.DenoiserStateCF):
+        # packed history is [16, H, W]: rows are axis 1
+        state_specs = denoise_mod.DenoiserStateCF(packed=P(None, TILE_AXIS))
+    else:
+        state_specs = jax.tree_util.tree_map(lambda _: sharded, denoise_state)
     denoised_specs = ((sharded, sharded, sharded)
                       if (cfg.enable_denoiser and denoise_state is not None)
                       else None)
     specs_in = jax.tree_util.tree_map(lambda _: P(), scene)
     gb = _gbuffer_spec()
     return shard_map(
-        shard_fn,
+        shard_fn_cf if use_cf else shard_fn,
         mesh=mesh,
         in_specs=(specs_in, state_specs),
         out_specs=(sharded, sharded, sharded, gb, state_specs, denoised_specs),
@@ -188,4 +235,14 @@ def render_pipeline_sharded(scene: FlatScene, cfg: RenderConfig,
         backend = "pallas" if (is_tpu and rows_per % 32 == 0) else "jnp"
     elif backend.startswith("pallas") and rows_per % 32 != 0:
         backend = "jnp"  # megakernel tiles are 32 rows tall
+    from ..post import denoise as denoise_mod
+
+    if (isinstance(denoise_state, denoise_mod.DenoiserStateCF)
+            and not (backend in ("pallas", "pallas_hbm")
+                     and (not cfg.enable_denoiser
+                          or denoise_mod.sharded_cf_supported(rows_per,
+                                                              cfg.width)))):
+        # CF history but the CF shard path can't run here: unpack to the
+        # field layout the lane shard path carries
+        denoise_state = denoise_mod._state_cf_to_fields(denoise_state)
     return _render_pipeline_sharded(scene, cfg, mesh, backend, denoise_state)

@@ -481,20 +481,27 @@ TEMPORAL_HALO = 72
 SHADOW_HALO = 2
 
 
-def exchange_row_halo(img, halo: int, axis_name: str, n_shards: int):
-    """Return img [rows,...] extended to [halo+rows+halo,...] with neighbor
-    rows fetched over the mesh (jax.lax.ppermute ring hops). Where the image
-    boundary cuts the halo short, edge rows replicate — exactly the
-    jnp.pad(mode='edge') the whole-frame filters use.
+def exchange_row_halo(img, halo: int, axis_name: str, n_shards: int,
+                      axis: int = 0):
+    """Return img extended along `axis` (the sharded row axis) from rows to
+    halo+rows+halo, with neighbor rows fetched over the mesh
+    (jax.lax.ppermute ring hops). Where the image boundary cuts the halo
+    short, edge rows replicate — exactly the jnp.pad(mode='edge') the
+    whole-frame filters use. axis=0 serves the lane pipeline's [rows,...]
+    slabs; axis=1 the channel-first [c,rows,W] planes.
 
     Works for halo > rows (multi-hop), which the tiny-shape multichip
     dryrun exercises.
     """
-    rows = img.shape[0]
+    rows = img.shape[axis]
+
+    def slc(a, start, stop):
+        return jax.lax.slice_in_dim(a, start, stop, axis=axis)
+
     if n_shards == 1:
-        top = jnp.repeat(img[:1], halo, axis=0)
-        bot = jnp.repeat(img[-1:], halo, axis=0)
-        return jnp.concatenate([top, img, bot], axis=0)
+        top = jnp.repeat(slc(img, 0, 1), halo, axis=axis)
+        bot = jnp.repeat(slc(img, rows - 1, rows), halo, axis=axis)
+        return jnp.concatenate([top, img, bot], axis=axis)
     hops = -(-halo // rows)
     i = jax.lax.axis_index(axis_name)
 
@@ -511,18 +518,105 @@ def exchange_row_halo(img, halo: int, axis_name: str, n_shards: int):
     # Own slab appended/prepended so boundary shards can clamp into their
     # own edge rows — the per-shard equivalent of jnp.pad(mode='edge') at
     # the global image boundary.
-    above_full = jnp.concatenate(above[::-1] + [img], axis=0)
-    below_full = jnp.concatenate([img] + below, axis=0)
+    above_full = jnp.concatenate(above[::-1] + [img], axis=axis)
+    below_full = jnp.concatenate([img] + below, axis=axis)
     ridx = jnp.arange(hops * rows)
     # above_full rows = global slabs i-hops..i; valid from (hops-i)*rows on
     vstart = jnp.maximum(hops - i, 0) * rows
-    ext_above = jnp.take(above_full, jnp.maximum(ridx, vstart), axis=0)
+    ext_above = jnp.take(above_full, jnp.maximum(ridx, vstart), axis=axis)
     # below_full rows = global slabs i..i+hops; valid through the last
     # existing neighbor (own slab is always valid)
     vend = (jnp.minimum(n_shards - 1 - i, hops) + 1) * rows - 1
-    ext_below = jnp.take(below_full, jnp.minimum(rows + ridx, vend), axis=0)
+    ext_below = jnp.take(below_full, jnp.minimum(rows + ridx, vend), axis=axis)
     return jnp.concatenate(
-        [ext_above[hops * rows - halo:], img, ext_below[:halo]], axis=0)
+        [slc(ext_above, hops * rows - halo, hops * rows), img,
+         slc(ext_below, 0, halo)], axis=axis)
+
+
+def sharded_cf_supported(rows: int, width: int) -> bool:
+    """Can the channel-first Pallas kernels run on a row slab of this size
+    (halo-extended shapes must satisfy the kernels' tiling constraints)?"""
+    from ..ops.pallas import denoise_kernels as dk
+
+    return (rows % 8 == 0
+            and dk.reproject_supported(rows + 2 * TEMPORAL_HALO, width)
+            and dk.stencil_supported(rows + 2 * _SPATIAL_HALO_CF, width))
+
+
+# Spatial halo for the sharded CF path: the largest a-trous tap reach is
+# 2*stride = 8 rows (stride 4, 5-tap), and 8 keeps every extended slab
+# height a sublane multiple. The shadow filter (radius 2) rides the same
+# halo.
+_SPATIAL_HALO_CF = 8
+
+
+def denoise_frame_sharded_cf(gbuf_cf, state: DenoiserStateCF, axis_name: str,
+                             n_shards: int, global_h: int,
+                             interpret: bool = False):
+    """Per-shard channel-first denoise: the single-device Pallas kernels
+    (denoise_frame_cf) run on each row slab, with halo-row collectives
+    where a stage reads across the shard boundary.
+
+    Three collective groups per frame, all ppermute ring hops over ICI:
+    one TEMPORAL_HALO exchange of the packed history (the reprojection
+    gather reaches at most MV-clamp+bilinear = 65 rows), one 8-row
+    exchange per a-trous pass (pass p's taps reach 2*stride <= 8 rows,
+    and later passes need neighbor OUTPUTS of earlier passes — which is
+    why the fused 3-pass kernel can't be used here), and one 8-row
+    exchange for the shadow filter.
+
+    Current-frame inputs need no exchange for the temporal stage: halo
+    rows only influence halo OUTPUTS (cropped), so curr/motion/view_z are
+    zero-extended. The reprojection kernel gets the slab's global row
+    offset + frame height so its in-bounds predicate (and therefore every
+    kept row) is bit-equal to the single-device kernel; the a-trous/shadow
+    results are bit-equal to the single-device UNFUSED per-pass kernels
+    (the default fused kernel differs only in float re-association).
+
+    Returns (diffuse3, specular3, shadow2 — channel-first slabs,
+    new DenoiserStateCF) — the CF analog of denoise_frame_sharded.
+    """
+    from ..ops.pallas import denoise_kernels as dk
+
+    assert isinstance(state, DenoiserStateCF)
+    rows, width = gbuf_cf.view_z.shape
+    row0 = jax.lax.axis_index(axis_name) * rows
+    halo = TEMPORAL_HALO
+
+    packed_ext = exchange_row_halo(state.packed, halo, axis_name, n_shards,
+                                   axis=1)
+    curr = jnp.concatenate([gbuf_cf.diffuse_hitdist, gbuf_cf.specular_hitdist],
+                           axis=0)
+
+    def zext(a):
+        return jnp.pad(a, ((0, 0), (halo, halo), (0, 0)))
+
+    new_ext = dk.reproject_accumulate(
+        packed_ext, zext(curr), zext(gbuf_cf.motion),
+        jnp.pad(gbuf_cf.view_z, ((halo, halo), (0, 0))),
+        interpret=interpret, row_offset=row0 - halo, global_h=global_h)
+    new_packed = jax.lax.slice_in_dim(new_ext, halo, halo + rows, axis=1)
+
+    normal = _decode_oct_cf(gbuf_cf.normal_roughness)
+    sh = _SPATIAL_HALO_CF
+    six = jnp.concatenate([new_packed[0:3], new_packed[4:7]], axis=0)
+    for p in range(ATROUS_PASSES):
+        sp = jnp.concatenate([six, gbuf_cf.view_z[None], normal], axis=0)
+        spe = exchange_row_halo(sp, sh, axis_name, n_shards, axis=1)
+        filtered = dk.atrous_single_pass(spe[0:6], spe[6], spe[7:10], 1 << p,
+                                         interpret=interpret)
+        six = jax.lax.slice_in_dim(filtered, sh, sh + rows, axis=1)
+
+    shp = jnp.concatenate(
+        [gbuf_cf.shadow_data, gbuf_cf.obj_id.astype(F32)[None],
+         gbuf_cf.view_z[None], normal], axis=0)
+    she = exchange_row_halo(shp, sh, axis_name, n_shards, axis=1)
+    out_shadow = dk.shadow_denoise(she[0:2], she[2].astype(jnp.int32), she[3],
+                                   she[4:7], interpret=interpret)
+    out_shadow = jax.lax.slice_in_dim(out_shadow, sh, sh + rows, axis=1)
+
+    return (six[0:3], six[3:6], out_shadow,
+            DenoiserStateCF(packed=new_packed))
 
 
 def denoise_frame_sharded(gbuffer, rows: int, width: int, state: DenoiserState,

@@ -365,13 +365,22 @@ class Engine:
         if self._cfg.enable_denoiser and self._denoise_state is None:
             from ..post import denoise as denoise_mod
 
-            # single-device pallas paths carry kernel-layout (channel-first
-            # packed) history; the sharded path slices field-layout state
-            self._denoise_state = (
-                denoise_mod.init_state(self.height, self.width)
-                if self.device_mesh is not None
-                else denoise_mod.init_state_auto(self.height, self.width, backend)
-            )
+            if self.device_mesh is not None:
+                # sharded: channel-first packed history when every shard
+                # slab satisfies the CF kernels' tiling; field-layout
+                # (oracle per-shard) otherwise
+                rows_per = self.height // self.device_mesh.devices.size
+                if (backend in ("pallas", "pallas_hbm")
+                        and denoise_mod.sharded_cf_supported(rows_per,
+                                                             self.width)):
+                    self._denoise_state = denoise_mod.init_state_cf(
+                        self.height, self.width)
+                else:
+                    self._denoise_state = denoise_mod.init_state(
+                        self.height, self.width)
+            else:
+                self._denoise_state = denoise_mod.init_state_auto(
+                    self.height, self.width, backend)
         start = time.perf_counter()
         if self.device_mesh is not None:
             from ..parallel.tiles import render_pipeline_sharded

@@ -136,3 +136,88 @@ def test_sharded_megakernel_interpret():
     cd = np.abs(np.asarray(color) - np.asarray(ref.color)).max(axis=-1)
     assert (cd > 1e-3).mean() < 0.02
     assert float(np.asarray(rays).sum()) == float(np.asarray(ref.rays))
+
+
+def test_sharded_cf_denoise_matches_single_device(monkeypatch):
+    """denoise_frame_sharded_cf (per-shard Pallas kernels + halo
+    collectives) must equal the single-device CF denoiser on every kept
+    row: bit-equal temporal state, bit-equal filters vs the UNFUSED
+    per-pass a-trous (the default fused kernel differs only by float
+    re-association, checked with a tolerance)."""
+    import jax.numpy as jnp
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from raytracevs_tpu.ops.pallas import denoise_kernels as dk
+    from raytracevs_tpu.ops.render_cf import GBufferCF
+    from raytracevs_tpu.parallel.tiles import TILE_AXIS
+    from raytracevs_tpu.post import denoise as denoise_mod
+
+    H, W, n_dev = 128, 256, 4
+    rows = H // n_dev
+    assert denoise_mod.sharded_cf_supported(rows, W)
+    key = jax.random.PRNGKey(7)
+    ks = jax.random.split(key, 10)
+    U = jax.random.uniform
+    gbuf = GBufferCF(
+        diffuse_hitdist=U(ks[0], (4, H, W), jnp.float32),
+        specular_hitdist=U(ks[1], (4, H, W), jnp.float32),
+        normal_roughness=U(ks[2], (4, H, W), jnp.float32),
+        view_z=U(ks[3], (H, W), jnp.float32) * 20.0 + 0.5,
+        motion=U(ks[4], (2, H, W), jnp.float32) * 40.0 - 20.0,
+        albedo=U(ks[5], (4, H, W), jnp.float32),
+        shadow_data=U(ks[6], (2, H, W), jnp.float32),
+        shadow_translucency=jnp.zeros((4, H, W), jnp.float32),
+        obj_id=(U(ks[7], (H, W)) * 4).astype(jnp.int32) - 1,
+    )
+    packed = U(ks[8], (16, H, W), jnp.float32)
+    packed = packed.at[14].set((packed[14] * 8).astype(jnp.int32).astype(jnp.float32))
+    packed = packed.at[15].set(packed[15] * 20.0 + 0.5)
+    state = denoise_mod.DenoiserStateCF(packed=packed)
+
+    # single-device reference with UNFUSED per-pass a-trous
+    monkeypatch.setattr(dk, "_ATROUS_FUSED", False)
+    jax.clear_caches()
+    dd_s, ds_s, dsh_s, st_s = denoise_mod.denoise_frame_cf(
+        gbuf, state, interpret=True)
+
+    mesh = make_mesh(jax.devices()[:n_dev])
+    cf_spec = P(None, TILE_AXIS)
+
+    def shard_fn(g, st):
+        return denoise_mod.denoise_frame_sharded_cf(
+            g, st, TILE_AXIS, n_dev, H, interpret=True)
+
+    gb_specs = GBufferCF(
+        diffuse_hitdist=cf_spec, specular_hitdist=cf_spec,
+        normal_roughness=cf_spec, view_z=P(TILE_AXIS), motion=cf_spec,
+        albedo=cf_spec, shadow_data=cf_spec, shadow_translucency=cf_spec,
+        obj_id=P(TILE_AXIS),
+    )
+    st_spec = denoise_mod.DenoiserStateCF(packed=cf_spec)
+    dd, ds, dsh, st_out = shard_map(
+        shard_fn, mesh=mesh, in_specs=(gb_specs, st_spec),
+        out_specs=(cf_spec, cf_spec, cf_spec, st_spec),
+        check_vma=False,
+    )(gbuf, state)
+
+    np.testing.assert_allclose(np.asarray(st_out.packed),
+                               np.asarray(st_s.packed), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dd), np.asarray(dd_s),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ds), np.asarray(ds_s),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dsh), np.asarray(dsh_s),
+                               rtol=1e-5, atol=1e-5)
+
+    # and within float noise of the default fused single-device kernel
+    monkeypatch.undo()
+    jax.clear_caches()
+    dd_f, ds_f, _dshf, st_f = denoise_mod.denoise_frame_cf(
+        gbuf, state, interpret=True)
+    np.testing.assert_allclose(np.asarray(st_f.packed),
+                               np.asarray(st_s.packed), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dd_f), np.asarray(dd_s),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ds_f), np.asarray(ds_s),
+                               rtol=1e-4, atol=1e-4)
