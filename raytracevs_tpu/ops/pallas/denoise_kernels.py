@@ -90,11 +90,13 @@ def _reproject_kernel(th, tw, global_h, width, ntx,
     # 2x2 block window -> [16, 2TH, 2TW]; the sub-block offset becomes a
     # dynamic ROTATE so the bilinear taps are static slices (Mosaic rejects
     # unaligned dynamic sublane slices but rotates are native)
+    # history may be stored at half precision (RTVS_STATE_DTYPE) — compute
+    # always runs f32; the cast rides the load
     win_v = jnp.concatenate(
         [jnp.concatenate([h00[:], h01[:]], axis=2),
          jnp.concatenate([h10[:], h11[:]], axis=2)],
         axis=1,
-    )
+    ).astype(F32)
     sy = pi[_PI_SUBY, t]
     sx = pi[_PI_SUBX, t]
     fy = pf[_PF_FY, t]
@@ -172,7 +174,7 @@ def _reproject_kernel(th, tw, global_h, width, ntx,
 
     out[:] = jnp.concatenate(
         [acc_d, acc_s, new_fast_d, new_fast_s, frames[None], z[None]], axis=0
-    )
+    ).astype(out.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "global_h"))
@@ -182,7 +184,12 @@ def reproject_accumulate(packed_state, curr, motion, view_z, interpret: bool = F
 
     packed_state [16,H,W] (STATE_CH layout), curr [8,H,W] (diffuse4 +
     specular4), motion [2,H,W] pixel-space (current - previous),
-    view_z [H,W]. Returns the new packed state [16,H,W].
+    view_z [H,W]. Returns the new packed state [16,H,W] in
+    packed_state's dtype: history may be STORED at half precision
+    (post/denoise.STATE_DTYPE; the reference's NRD history pools are
+    fp16 — NRDDenoiser.cpp resource formats), which halves the HBM
+    traffic of this bandwidth-bound kernel (4 window reads + pad copy +
+    state write scale with state bytes). Compute is always f32.
 
     Sharded slabs (post/denoise.py denoise_frame_sharded_cf) pass the
     halo-extended state with `row_offset` = the slab's first GLOBAL image
@@ -268,7 +275,8 @@ def reproject_accumulate(packed_state, curr, motion, view_z, interpret: bool = F
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((STATE_CH, height, width), F32),
+        out_shape=jax.ShapeDtypeStruct((STATE_CH, height, width),
+                                       packed_state.dtype),
         interpret=interpret,
     )(
         pi, pf,
@@ -500,8 +508,9 @@ def _windowed_call(kernel, nch_in, nch_out, packed, interpret,
     ]
 
     def body(b0, b1, b2, out):
+        # window may be stored/streamed at half precision; compute runs f32
         win = jnp.concatenate([b0[:], b1[:], b2[:]], axis=1)  # [C, 3*th, wp]
-        kernel(th, padx, width, win, out)
+        kernel(th, padx, width, win.astype(F32), out)
 
     params = (pltpu.CompilerParams(vmem_limit_bytes=vmem_limit_bytes)
               if vmem_limit_bytes else None)
@@ -520,19 +529,28 @@ def stencil_supported(height: int, width: int) -> bool:
     return _stencil_sizes(height, width, 1) is not None
 
 
-@functools.partial(jax.jit, static_argnames=("passes", "interpret"))
-def atrous(img, view_z, normal, passes: int = 3, interpret: bool = False):
+@functools.partial(jax.jit,
+                   static_argnames=("passes", "interpret", "storage_dtype"))
+def atrous(img, view_z, normal, passes: int = 3, interpret: bool = False,
+           storage_dtype=None):
     """Edge-stopping a-trous over channel-first img [C,H,W].
 
     view_z [H,W], normal [3,H,W]. Edge handling clamps at the frame border
     (the jnp oracle in post/denoise.py matches). Strides 1,2,4 per pass;
     stride s uses a halo of s, carried through the same 3x3 block window
     (s <= th,tw).
+
+    storage_dtype (e.g. jnp.bfloat16) streams the packed window through
+    VMEM at that precision — the stencil is DMA-bound, so this halves its
+    traffic; taps/weights still compute in f32 (input-quantization error
+    only). None keeps the f32 window (bit-exact vs the oracle).
     """
     nch = img.shape[0]
 
     if _ATROUS_FUSED:
         packed = jnp.concatenate([img, view_z[None], normal], axis=0)
+        if storage_dtype is not None:
+            packed = packed.astype(storage_dtype)
 
         def kernel(th, padx, w, win, o):
             return _atrous_fused_kernel(th, padx, w, passes, nch, win, o)
@@ -550,16 +568,20 @@ def atrous(img, view_z, normal, passes: int = 3, interpret: bool = False):
     # 3x the stencil DMA/launches, but a ~3x smaller in-kernel working set.
     out = img
     for p in range(passes):
-        out = atrous_single_pass(out, view_z, normal, 1 << p, interpret)
+        out = atrous_single_pass(out, view_z, normal, 1 << p, interpret,
+                                 storage_dtype=storage_dtype)
     return out
 
 
-def atrous_single_pass(img, view_z, normal, stride: int, interpret: bool = False):
+def atrous_single_pass(img, view_z, normal, stride: int, interpret: bool = False,
+                       storage_dtype=None):
     """One edge-stopping a-trous pass at the given stride (the sharded
     pipeline runs passes separately, exchanging a row halo between them —
     the fused 3-pass kernel cannot host a collective mid-kernel)."""
     nch = img.shape[0]
     packed = jnp.concatenate([img, view_z[None], normal], axis=0)
+    if storage_dtype is not None:
+        packed = packed.astype(storage_dtype)
 
     def kernel(th, padx, w, win, o):
         return _atrous_pass_kernel(th, padx, w, stride, nch, win, o)

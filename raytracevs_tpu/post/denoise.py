@@ -19,6 +19,7 @@ pytree double-buffered across frames by the engine.
 """
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
@@ -27,6 +28,21 @@ import jax.numpy as jnp
 from .. import constants as C
 
 F32 = jnp.float32
+
+# Storage precision of the packed CF history state (and the stencil
+# windows streamed through VMEM). The reference's NRD history pools are
+# fp16 textures (NRDDenoiser.cpp resource creation); storing at half
+# precision halves the HBM traffic of the bandwidth-bound reproject/
+# a-trous kernels while every kernel still COMPUTES in f32. Default bf16
+# (measured v5e: fast config 16.5->15.3 ms @1080p, 52.9->48.2 ms @4K;
+# final-RGBA8 SSIM 0.9998 vs f32, >1 LSB on 0.05-0.12% of pixels — the
+# history-validity flips at depth edges scripts/probe_state_dtype_scene.py
+# quantifies). f16 would be closer to NRD but crashes this Mosaic
+# toolchain's compiler. "f32" restores bit-exact parity with the jnp
+# oracle (the test suite pins it, tests/conftest.py).
+_STATE_DTYPES = {"f32": jnp.float32, "bf16": jnp.bfloat16,
+                 "f16": jnp.float16}
+STATE_DTYPE = _STATE_DTYPES[os.environ.get("RTVS_STATE_DTYPE", "bf16")]
 
 MAX_ACCUM_FRAMES = 16.0  # NRDDenoiser.cpp:870
 MAX_FAST_FRAMES = 4.0  # NRDDenoiser.cpp:871
@@ -67,8 +83,8 @@ def init_state(height: int, width: int) -> DenoiserState:
     )
 
 
-def init_state_cf(height: int, width: int) -> DenoiserStateCF:
-    packed = jnp.zeros((16, height, width), F32)
+def init_state_cf(height: int, width: int, dtype=None) -> DenoiserStateCF:
+    packed = jnp.zeros((16, height, width), dtype or STATE_DTYPE)
     packed = packed.at[15].set(C.VIEWZ_SKY)
     return DenoiserStateCF(packed=packed)
 
@@ -315,7 +331,9 @@ def denoise_frame(gbuffer, height: int, width: int, state: DenoiserState,
     if was_cf:
         # CF state but the kernels can't run here (resolution/backend):
         # unpack, run the oracle path, and repack so scan carries keep a
-        # stable pytree structure
+        # stable pytree structure (and dtype — the CF state may be stored
+        # at half precision)
+        cf_dtype = state.packed.dtype
         state = _state_cf_to_fields(state)
 
     def img(a, c=None):
@@ -354,7 +372,7 @@ def denoise_frame(gbuffer, height: int, width: int, state: DenoiserState,
         new_state = DenoiserStateCF(packed=jnp.concatenate(
             [acc_d.transpose(2, 0, 1), acc_s.transpose(2, 0, 1),
              fast_d.transpose(2, 0, 1), fast_s.transpose(2, 0, 1),
-             frames[None], view_z[None]], axis=0))
+             frames[None], view_z[None]], axis=0).astype(cf_dtype))
     n = height * width
     return (
         out_d.reshape(n, 3),
@@ -380,9 +398,14 @@ def denoise_frame_cf(gbuf_cf, state: DenoiserStateCF, interpret: bool = False):
     new_packed = dk.reproject_accumulate(state.packed, curr, gbuf_cf.motion,
                                          gbuf_cf.view_z, interpret=interpret)
     normal = _decode_oct_cf(gbuf_cf.normal_roughness)
+    # a half-precision state also streams the DMA-bound a-trous window at
+    # that precision (the shadow filter stays f32: its packed window
+    # carries object ids whose exact-match compare bf16 would corrupt)
+    sd = None if state.packed.dtype == F32 else state.packed.dtype
     out_ds = dk.atrous(
         jnp.concatenate([new_packed[0:3], new_packed[4:7]], axis=0),
-        gbuf_cf.view_z, normal, passes=ATROUS_PASSES, interpret=interpret)
+        gbuf_cf.view_z, normal, passes=ATROUS_PASSES, interpret=interpret,
+        storage_dtype=sd)
     out_shadow = dk.shadow_denoise(gbuf_cf.shadow_data, gbuf_cf.obj_id,
                                    gbuf_cf.view_z, normal, interpret=interpret)
     return (out_ds[0:3], out_ds[3:6], out_shadow,
@@ -436,8 +459,10 @@ def _denoise_frame_pallas(gbuffer, height: int, width: int, state: DenoiserState
     acc_d = new_packed[0:4]
     acc_s = new_packed[4:8]
     normal = _decode_oct(nr).transpose(2, 0, 1)
+    sd = None if new_packed.dtype == F32 else new_packed.dtype
     out_ds = dk.atrous(jnp.concatenate([acc_d[0:3], acc_s[0:3]], axis=0),
-                       view_z, normal, passes=ATROUS_PASSES, interpret=interpret)
+                       view_z, normal, passes=ATROUS_PASSES, interpret=interpret,
+                       storage_dtype=sd)
     out_shadow = dk.shadow_denoise(shadow, obj_id, view_z, normal,
                                    interpret=interpret)
 
@@ -599,12 +624,14 @@ def denoise_frame_sharded_cf(gbuf_cf, state: DenoiserStateCF, axis_name: str,
 
     normal = _decode_oct_cf(gbuf_cf.normal_roughness)
     sh = _SPATIAL_HALO_CF
-    six = jnp.concatenate([new_packed[0:3], new_packed[4:7]], axis=0)
+    sd = None if state.packed.dtype == F32 else state.packed.dtype
+    six = jnp.concatenate([new_packed[0:3], new_packed[4:7]],
+                          axis=0).astype(F32)
     for p in range(ATROUS_PASSES):
         sp = jnp.concatenate([six, gbuf_cf.view_z[None], normal], axis=0)
         spe = exchange_row_halo(sp, sh, axis_name, n_shards, axis=1)
         filtered = dk.atrous_single_pass(spe[0:6], spe[6], spe[7:10], 1 << p,
-                                         interpret=interpret)
+                                         interpret=interpret, storage_dtype=sd)
         six = jax.lax.slice_in_dim(filtered, sh, sh + rows, axis=1)
 
     shp = jnp.concatenate(

@@ -10,6 +10,10 @@ os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Equivalence suites assert bit-exactness between backends; pin the
+# denoiser-history storage precision to f32 (the TPU default may be half —
+# its quantization is covered by dedicated tests in test_denoise_kernels).
+os.environ.setdefault("RTVS_STATE_DTYPE", "f32")
 
 import jax
 
