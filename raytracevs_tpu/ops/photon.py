@@ -87,11 +87,40 @@ def photon_budget(scene_data) -> int:
     return min(total, safe_cap)
 
 
-def emit_and_trace(scene, total_photons: int) -> PhotonMap:
+def emit_and_trace(scene, total_photons: int, backend: str = "jnp",
+                   interpret: bool = False) -> PhotonMap:
     """Emit photons from lights and trace up to MAX_PHOTON_BOUNCES.
 
     scene: FlatScene (mesh ignored — parity with the photon RTPSO).
+
+    backend "pallas*" routes the bounce loop through the tile kernel in
+    ops/pallas/photon_trace.py (the jnp wavefront pays XLA per-lane
+    material gathers every bounce: ~14 ms at the 131k safe cap, vs ~1 ms
+    in the kernel); emission and the sort-based hash build stay jnp.
+    Falls back to the jnp loop when the photon count isn't tile-shaped.
     """
+    origin, direction, color, power, alive = _emit_photons(scene, total_photons)
+
+    # photon interactions ignore meshes (photon RTPSO has no triangle group)
+    pscene = scene._replace(mesh=None) if scene.mesh is not None else scene
+
+    if backend.startswith("pallas") and total_photons % 4096 == 0:
+        from .pallas.photon_trace import trace_photons_pallas
+
+        store_pos, store_dir, store_color, store_power, store_mask = (
+            trace_photons_pallas(pscene, origin, direction, color, power,
+                                 alive, interpret=interpret))
+    else:
+        store_pos, store_dir, store_color, store_power, store_mask = (
+            _trace_photons_jnp(pscene, origin, direction, color, power, alive))
+
+    return _build_photon_hash(store_pos, store_dir, store_color, store_power,
+                              store_mask)
+
+
+def _emit_photons(scene, total_photons: int):
+    """Photon emission (PhotonEmit.hlsl:44-117): light selection + initial
+    rays. Returns (origin, direction, color [P,3], power, alive [P])."""
     n = total_photons
     l_cap = scene.lt_type.shape[0]
     idx = jax.lax.broadcasted_iota(I32, (n, 1), 0)[:, 0]
@@ -157,9 +186,17 @@ def emit_and_trace(scene, total_photons: int) -> PhotonMap:
     origin = jnp.where(is_point[:, None], lt_pos, plane_origin)
     direction = jnp.where(is_point[:, None], sphere_dir, ldir)
     alive = is_point | is_dir
+    return origin, direction, color, power, alive
 
-    # photon interactions ignore meshes (photon RTPSO has no triangle group)
-    pscene = scene._replace(mesh=None) if scene.mesh is not None else scene
+
+def _trace_photons_jnp(pscene, origin, direction, color, power, alive):
+    """The photon bounce loop (PhotonTrace.hlsl:97-223), jnp wavefront.
+
+    This is the semantic oracle for ops/pallas/photon_trace.py — keep the
+    two in lockstep (tests/test_megakernel.py photon-trace equivalence).
+    """
+    n = origin.shape[0]
+    idx = jax.lax.broadcasted_iota(I32, (n, 1), 0)[:, 0]
 
     store_mask = jnp.zeros((n,), bool)
     store_pos = jnp.zeros((n, 3), F32)
@@ -186,10 +223,14 @@ def emit_and_trace(scene, total_photons: int) -> PhotonMap:
         roughness = pscene.mat_roughness[slot]
         ior = pscene.mat_ior[slot]
 
-        # Russian roulette keyed on hit position bits (PhotonTrace.hlsl:97-108)
-        bits = jax.lax.bitcast_convert_type(pos, jnp.uint32)
+        # Russian roulette seeded per (photon, depth). The reference hashes
+        # the hit position's float BITS (PhotonTrace.hlsl:97-108) purely as
+        # an entropy source; keying on the photon index is statistically
+        # identical but invariant to ulp-level intersection differences, so
+        # the Pallas tile tracer stays testable photon-for-photon against
+        # this oracle.
         rr_seed = sampling.wang_hash(
-            bits[:, 0] ^ bits[:, 1] ^ bits[:, 2] ^ U32(_depth)
+            idx.astype(U32) * U32(9781) ^ (U32(_depth) * U32(0x9E3779B9))
         )
         rr_seed, rr = _random_float(rr_seed)
         survival = jnp.clip(jnp.max(mat_rgb, axis=-1), 0.1, 0.95)
@@ -217,7 +258,11 @@ def emit_and_trace(scene, total_photons: int) -> PhotonMap:
         outward = jnp.where(front2[:, None], normal, -normal)
         cos_theta = jnp.abs(jnp.sum(view * outward, axis=-1))
         f0 = jnp.square((1.0 - ior) / (1.0 + ior))
-        fresnel = f0 + (1.0 - f0) * jnp.power(1.0 - cos_theta, 5.0)
+        # explicit x^5 (kept op-identical with the Pallas tracer, where
+        # transcendental pow is a Mosaic hazard)
+        om = 1.0 - cos_theta
+        om2 = om * om
+        fresnel = f0 + (1.0 - f0) * (om2 * om2 * om)
         rr_seed, choice = _random_float(rr_seed)
         refracting = choice > fresnel
         eta = jnp.where(front2, 1.0 / ior, ior)
@@ -262,8 +307,14 @@ def emit_and_trace(scene, total_photons: int) -> PhotonMap:
         )
         direction = jnp.where(is_glass[:, None], glass_dir, metal_dir)
 
-    # ---- sort-based spatial hash build (BuildPhotonHash.hlsl:59-105) -----
-    # cellSize = 2 * photonRadius (DXRPipeline.cpp:3392-3435)
+    return store_pos, store_dir, store_color, store_power, store_mask
+
+
+def _build_photon_hash(store_pos, store_dir, store_color, store_power,
+                       store_mask) -> PhotonMap:
+    """Sort-based spatial hash build (BuildPhotonHash.hlsl:59-105).
+
+    cellSize = 2 * photonRadius (DXRPipeline.cpp:3392-3435)."""
     cell_size = max(_photon_radius() * 2.0, 1e-4)
     cell = jnp.floor(store_pos / cell_size).astype(I32)
     h = hash_cell(cell[:, 0], cell[:, 1], cell[:, 2])

@@ -282,7 +282,8 @@ def _apply_caustics(scene, cfg, row_start, num_rows, accs, backend="jnp",
         return accs
     from . import photon as photon_mod
 
-    pmap = photon_mod.emit_and_trace(scene, cfg.num_photons)
+    pmap = photon_mod.emit_and_trace(scene, cfg.num_photons, backend=backend,
+                                     interpret=interpret)
     delta, mask = caustics_delta(
         scene, cfg, pmap, accs["prim_hit"], accs["prim_pos"], accs["prim_normal"],
         accs["prim_metallic"], accs["prim_transmission"],

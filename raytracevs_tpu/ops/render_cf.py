@@ -238,7 +238,8 @@ def _apply_caustics_cf(scene, cfg, row_start, num_rows, acc, interpret):
     from .render import caustics_delta
 
     h, w = acc["prim_hit"].shape
-    pmap = photon_mod.emit_and_trace(scene, cfg.num_photons)
+    pmap = photon_mod.emit_and_trace(scene, cfg.num_photons, backend="pallas",
+                                     interpret=interpret)
     delta_l, mask_l = caustics_delta(
         scene, cfg, pmap, acc["prim_hit"].reshape(-1),
         _planes_to_lanes3(acc["prim_pos"]), _planes_to_lanes3(acc["prim_normal"]),

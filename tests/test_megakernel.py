@@ -123,6 +123,68 @@ def test_pallas_photon_gather_matches_jnp():
     assert np.abs(pal0).max() == 0.0
 
 
+def test_pallas_photon_trace_matches_jnp():
+    """The Pallas photon-trace tile kernel follows the jnp bounce loop
+    photon-for-photon (interpret mode). The RR chain is keyed on
+    (photon index, depth), so both paths draw the same randoms; only
+    ulp-level intersection differences at discrete boundaries (Fresnel
+    choice, TIR, RR threshold) can flip individual photon fates."""
+    from raytracevs_tpu.ops import photon as photon_mod
+    from raytracevs_tpu.ops.pallas.photon_trace import trace_photons_pallas
+    from raytracevs_tpu.scene.data import (
+        BoxData, LightData, LightType, MaterialData, PlaneData, SceneData,
+        SphereData,
+    )
+
+    scene = SceneData()
+    glass = MaterialData(transmission=0.9, ior=1.5, roughness=0.0)
+    metal = MaterialData(metallic=1.0, roughness=0.3)
+    scene.objects += [
+        SphereData(position=np.array([0.0, 1.2, 0.0]), radius=0.8,
+                   material=glass),
+        BoxData(center=np.array([2.0, 0.6, 1.0]),
+                size=np.array([0.5, 0.5, 0.5]), material=metal),
+        PlaneData(),
+    ]
+    scene.lights += [
+        # close to the glass sphere so a sizable solid angle refracts
+        LightData(type=LightType.POINT, position=np.array([0.0, 2.8, 0.0]),
+                  intensity=20.0),
+        LightData(type=LightType.DIRECTIONAL,
+                  position=np.array([2.0, 5.0, -1.0]), intensity=3.0),
+    ]
+    scene.settings.enable_caustics = True
+    flat = flatten_scene(scene, 64, 64)
+
+    n = 8192  # two tiles = two kernel programs
+    origin, direction, color, power, alive = photon_mod._emit_photons(flat, n)
+    ref = photon_mod._trace_photons_jnp(flat, origin, direction, color,
+                                        power, alive)
+    pal = trace_photons_pallas(flat, origin, direction, color, power, alive,
+                               interpret=True)
+
+    ref_mask = np.asarray(ref[4])
+    pal_mask = np.asarray(pal[4])
+    assert ref_mask.sum() > 100  # the scene genuinely stores caustics
+    same = ref_mask == pal_mask
+    assert same.mean() > 0.995, f"fates diverge at {(~same).mean():.4f}"
+    both = ref_mask & pal_mask
+    for c, atol in ((0, 5e-3), (1, 1e-4), (2, 1e-5), (3, 1e-4)):
+        # pos tolerates ulp drift amplified through two refractions and a
+        # plane intersection (rtol covers grazing rays that land far out
+        # on the infinite plane); dir/color/power accumulate far less
+        a = np.asarray(ref[c])[both]
+        b = np.asarray(pal[c])[both]
+        np.testing.assert_allclose(a, b, atol=atol, rtol=1e-3,
+                                   err_msg=f"store field {c}")
+
+    # end-to-end: the pallas-traced PhotonMap feeds the same gather
+    pm = photon_mod.emit_and_trace(flat, n, backend="pallas", interpret=True)
+    pm_ref = photon_mod.emit_and_trace(flat, n, backend="jnp")
+    assert abs(int(np.asarray(pm.count)) - int(np.asarray(pm_ref.count))) \
+        <= max(4, 0.005 * int(np.asarray(pm_ref.count)))
+
+
 @pytest.mark.nightly
 def test_megakernel_multi_instance_mesh_matches_jnp():
     """Two glass instances (i_cap > 1): the shadow loop's per-triangle
