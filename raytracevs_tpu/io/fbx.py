@@ -1,16 +1,22 @@
-"""FBX mesh import (ASCII FBX 7.x) with the reference's preprocessing.
+"""FBX mesh import (binary + ASCII FBX 7.x) with the reference's
+preprocessing.
 
 Stand-in for the reference's Assimp pipeline (MeshCacheService.cs:391-427):
 Triangulate + GenerateSmoothNormals + JoinIdenticalVertices +
 MakeLeftHanded + FlipWindingOrder, merging all geometries into one vertex/
-index pool. Uses pyassimp/trimesh when available; otherwise parses ASCII
-FBX directly (the bundled WineGlass.fbx is ASCII 7.3). Vertices are read as
-raw control points (the reference merges scene.Meshes without applying node
-transforms, MeshCacheService.cs:446-513).
+index pool. Uses pyassimp/trimesh when available; otherwise parses the FBX
+directly — both the "Kaydara FBX Binary" container (the common export
+flavor; the reference detects it at MeshCacheService.cs:370-385 and its
+own troubleshooting text tells users to re-export as "FBX 7.4 binary")
+and ASCII 7.x (the bundled WineGlass.fbx is ASCII 7.3). Vertices are read
+as raw control points (the reference merges scene.Meshes without applying
+node transforms, MeshCacheService.cs:446-513).
 """
 from __future__ import annotations
 
 import re
+import struct
+import zlib
 from dataclasses import dataclass
 from typing import List, Optional
 
@@ -89,10 +95,101 @@ def _parse_ascii_fbx(text: str) -> _Node:
 
 
 def _collect_array(node: _Node) -> np.ndarray:
-    """FBX 7.x arrays are nested as `X: *N { a: v,v,v,... }`."""
+    """ASCII FBX 7.x arrays nest as `X: *N { a: v,v,v,... }`; the binary
+    parser stores the decoded ndarray directly as the node's property."""
+    if node.props and isinstance(node.props[0], np.ndarray):
+        return node.props[0].astype(np.float64)
     a = node.find("a")
     vals = a.props if a is not None else node.props
     return np.asarray(vals, dtype=np.float64)
+
+
+# ---------------------------------------------------------------------------
+# Binary FBX ("Kaydara FBX Binary") container
+# ---------------------------------------------------------------------------
+BINARY_FBX_MAGIC = b"Kaydara FBX Binary"
+
+_SCALAR_PROPS = {  # type char -> struct format
+    "Y": "<h", "C": "<B", "I": "<i", "F": "<f", "D": "<d", "L": "<q",
+}
+_ARRAY_PROPS = {  # type char -> numpy dtype
+    "f": np.float32, "d": np.float64, "i": np.int32, "l": np.int64,
+    "b": np.uint8,
+}
+
+
+def _parse_binary_fbx(data: bytes) -> _Node:
+    """Decode the binary FBX node tree into the same _Node shape the ASCII
+    parser builds (geometry extraction is shared).
+
+    Container layout: 23-byte magic header, u32 LE version at offset 23,
+    then a flat list of node records. Each record is (EndOffset,
+    NumProperties, PropertyListLen) — u32 for version < 7500, u64 from
+    7500 — a u8 name length + name, the typed property list, nested child
+    records, and a zeroed sentinel record closing each child list. Array
+    properties carry (Length, Encoding, ByteLen) with Encoding 1 =
+    zlib-deflate.
+    """
+    version = struct.unpack_from("<I", data, 23)[0]
+    wide = version >= 7500
+    head_fmt = "<QQQ" if wide else "<III"
+    head_len = 24 if wide else 12
+
+    def read_node(off):
+        end, nprops, plen = struct.unpack_from(head_fmt, data, off)
+        off += head_len
+        nlen = data[off]
+        off += 1
+        name = data[off : off + nlen].decode("ascii", "replace")
+        off += nlen
+        if end == 0:  # sentinel record: closes the enclosing child list
+            return None, off
+        node = _Node(name, [])
+        prop_end = off + plen
+        for _ in range(nprops):
+            t = chr(data[off])
+            off += 1
+            if t in _SCALAR_PROPS:
+                fmt = _SCALAR_PROPS[t]
+                (v,) = struct.unpack_from(fmt, data, off)
+                off += struct.calcsize(fmt)
+                node.props.append(bool(v) if t == "C" else v)
+            elif t in _ARRAY_PROPS:
+                n, enc, blen = struct.unpack_from("<III", data, off)
+                off += 12
+                dt = np.dtype(_ARRAY_PROPS[t]).newbyteorder("<")
+                if enc == 1:
+                    raw = zlib.decompress(data[off : off + blen])
+                else:
+                    blen = n * dt.itemsize
+                    raw = data[off : off + blen]
+                off += blen
+                node.props.append(np.frombuffer(raw, dtype=dt, count=n))
+            elif t in ("S", "R"):
+                (blen,) = struct.unpack_from("<I", data, off)
+                off += 4
+                raw = data[off : off + blen]
+                off += blen
+                node.props.append(
+                    raw.decode("utf-8", "replace") if t == "S" else raw)
+            else:
+                raise ValueError(f"unknown FBX property type {t!r} at {off}")
+        off = prop_end
+        while off < end:
+            child, off = read_node(off)
+            if child is None:
+                break
+            node.children.append(child)
+        return node, end
+
+    root = _Node("", [])
+    off = 27
+    while off + head_len + 1 <= len(data):
+        node, off = read_node(off)
+        if node is None:
+            break
+        root.children.append(node)
+    return root
 
 
 def _triangulate(poly_indices: np.ndarray) -> np.ndarray:
@@ -149,15 +246,24 @@ def _weld_vertices(vertices: np.ndarray, indices: np.ndarray):
 
 
 def load_fbx(path: str) -> ImportedMesh:
-    """Import an FBX file, merging all geometries (MeshCacheService semantics)."""
+    """Import an FBX file, merging all geometries (MeshCacheService semantics).
+
+    Accepts both container flavors, like the reference's Assimp path
+    (MeshCacheService.cs:270-385): binary ("Kaydara FBX Binary" magic) and
+    ASCII 7.x.
+    """
     mesh = _try_external_importers(path)
     if mesh is not None:
         return mesh
-    with open(path, "r", encoding="utf-8", errors="replace") as f:
-        text = f.read()
-    if not text.lstrip().startswith(";") and "FBX" not in text[:256]:
-        raise ValueError(f"not an ASCII FBX file: {path}")
-    root = _parse_ascii_fbx(text)
+    with open(path, "rb") as f:
+        raw = f.read()
+    if raw.startswith(BINARY_FBX_MAGIC):
+        root = _parse_binary_fbx(raw)
+    else:
+        text = raw.decode("utf-8", errors="replace")
+        if not text.lstrip().startswith(";") and "FBX" not in text[:256]:
+            raise ValueError(f"not an FBX file: {path}")
+        root = _parse_ascii_fbx(text)
     objects = root.find("Objects")
     if objects is None:
         raise ValueError(f"no Objects section in FBX: {path}")
