@@ -6,16 +6,28 @@ indexing — XLA lowers that to millions of small gathers, ~6 s/frame at
 1080p on a v5e. This kernel reformulates it TPU-first:
 
 - photons are sorted by the Morton code of their hash cell (spatially
-  coherent) and DENSE-PACKED 8 per 128-lane VMEM row (16 fields each) —
-  the naive [P,12] layout lane-pads every photon to 512 B, which at the
-  reference's 131k-photon budget (DXRPipeline.h:483-487) would be a 67 MB
-  VMEM table;
-- a two-level bounding-box hierarchy culls in O(P/2048) per tile: each
-  32x128 pixel tile tests SUPERCHUNK boxes (2048 photons), descends into
-  near ones, tests their 32 chunk boxes (64 photons), and only then
-  block-loads the chunk's 8 aligned rows and evaluates the 64 photons
-  with fully static indexing — no per-photon dynamic row loads;
+  coherent) with ONE payload-carrying lax.sort that moves all 11 photon
+  fields in lockstep (an argsort + 5 permutation gathers measured
+  ~10.6 ms at 131k — XLA gathers are slow, sorts are cheap), then
+  DENSE-PACKED 8 per 128-lane VMEM row (16 fields each) — the naive
+  [P,12] layout lane-pads every photon to 512 B, which at the
+  reference's 131k-photon budget (DXRPipeline.h:483-487) would be a
+  67 MB VMEM table;
+- a two-level bounding-box hierarchy culls in O(P/2048) per tile, walked
+  entirely on the SCALAR unit: the kernel reduces its eligible lanes to
+  one tile bounding box, then tests SUPERCHUNK boxes (2048 photons) and
+  their 32 chunk boxes (64 photons) as SMEM scalar compares — the
+  vectorized walk ([1,8] dynamic VMEM loads + cross-lane jnp.any per
+  box) measured ~13.3 ms/frame at 131k while actual photon evaluation
+  was ~0 (only ~4 chunk visits per tile). Only overlapping chunks
+  block-load their 8 aligned rows and evaluate the 64 photons with
+  fully static indexing — no per-photon dynamic row loads;
 - tiles with no eligible lanes (sky, specular) skip everything.
+
+The tile-box walk visits a superset of the per-lane walk's chunks (lanes
+lie inside the tile box) and a visited chunk accepts a photon only on the
+exact d^2 < r^2 / cap tests, so the accepted photon set — and the output
+— is identical.
 
 Within the radius it accumulates the same Gaussian kernel
 exp(-d^2/r^2) * max(dot(-photon_dir, N), 0) and respects the 32-photon
@@ -58,11 +70,15 @@ def _morton10(v):
 
 def pack_photons(pmap):
     """Morton-sort the photon table, dense-pack it, and build the two-level
-    chunk/superchunk bounding boxes.
+    chunk/superchunk bounding boxes in the scalar-walk layout.
 
-    Returns (ph_tbl [P/8,128], chunk_bb [n_chunks,8], super_bb [n_super,8],
-    n_chunks). Invalid photons get a far-away position so boxes and
-    distance tests exclude them.
+    Returns (ph_tbl [P/8,128], chunk_bb [6,nc_pad] f32, super_bb [6,ns_pad]
+    f32, n_chunks). Box rows are lox/loy/loz/hix/hiy/hiz, lane-padded to a
+    multiple of 128 so each level is ONE 2-D SMEM scalar-prefetch operand
+    (separate operands each lane-pad to 128 and eat the 1 MB SMEM budget).
+    Invalid photons get a far-away position so boxes and distance tests
+    exclude them; padded boxes get lo=+far/hi=-far so the overlap test is
+    always false.
     """
     p = pmap.position.shape[0]
     assert p % CHUNK == 0, "photon budget must be a multiple of 64"
@@ -72,40 +88,58 @@ def pack_photons(pmap):
     code = (
         _morton10(cell[:, 0]) | (_morton10(cell[:, 1]) << 1) | (_morton10(cell[:, 2]) << 2)
     )
-    code = jnp.where(pmap.valid & (jnp.arange(p) < pmap.count), code, jnp.int32(2**30))
-    order = jnp.argsort(code)
-    valid = (pmap.valid & (jnp.arange(p) < pmap.count))[order]
-    far = F32(1e8)
-    pos = jnp.where(valid[:, None], pmap.position[order], far)
-    tbl = jnp.zeros((p, PH_FIELDS), F32)
-    tbl = (
-        tbl.at[:, 0:3].set(pos)
-        .at[:, 3:6].set(pmap.direction[order])
-        .at[:, 6:9].set(pmap.color[order])
-        .at[:, 9].set(jnp.where(valid, pmap.power[order], 0.0))
-        .at[:, 10].set(valid.astype(F32))
+    valid = pmap.valid & (jnp.arange(p) < pmap.count)
+    code = jnp.where(valid, code, jnp.int32(2**30))
+    # ONE payload-carrying sort moves every photon field to its Morton
+    # slot — no argsort, no permutation gathers
+    (_, px_, py_, pz_, dx_, dy_, dz_, cr_, cg_, cb2, pw_, vf_) = jax.lax.sort(
+        (code, pmap.position[:, 0], pmap.position[:, 1], pmap.position[:, 2],
+         pmap.direction[:, 0], pmap.direction[:, 1], pmap.direction[:, 2],
+         pmap.color[:, 0], pmap.color[:, 1], pmap.color[:, 2],
+         pmap.power, valid.astype(F32)),
+        num_keys=1,
     )
-    # dense-pack 8 photons per 128-lane row; pad rows to a multiple of 8
-    # so chunk block-loads stay aligned
-    rows = p // 8
-    tbl = tbl.reshape(rows, 8 * PH_FIELDS)
+    far = F32(1e8)
+    vb = vf_ > 0.5
+    px_ = jnp.where(vb, px_, far)
+    py_ = jnp.where(vb, py_, far)
+    pz_ = jnp.where(vb, pz_, far)
+    pw_ = jnp.where(vb, pw_, 0.0)
+    z = jnp.zeros((p,), F32)
+    # dense-pack 8 photons per 128-lane row (16 fields each)
+    tbl = jnp.stack(
+        [px_, py_, pz_, dx_, dy_, dz_, cr_, cg_, cb2, pw_, vf_, z, z, z, z, z],
+        axis=-1,
+    ).reshape(p // 8, 8 * PH_FIELDS)
 
     n_chunks = p // CHUNK
-    cpos = pos.reshape(n_chunks, CHUNK, 3)
-    chunk_bb = jnp.zeros((n_chunks, 8), F32)
-    chunk_bb = (chunk_bb.at[:, 0:3].set(jnp.min(cpos, axis=1))
-                .at[:, 3:6].set(jnp.max(cpos, axis=1)))
     n_super = -(-n_chunks // SUPER)
-    pad_c = n_super * SUPER - n_chunks
-    cb_pad = jnp.pad(chunk_bb, ((0, pad_c), (0, 0)),
-                     constant_values=far)  # empty boxes: lo=hi=far
-    spos = cb_pad.reshape(n_super, SUPER, 8)
-    super_bb = jnp.zeros((n_super, 8), F32)
-    super_bb = (super_bb.at[:, 0:3].set(jnp.min(spos[:, :, 0:3], axis=1))
-                .at[:, 3:6].set(jnp.max(spos[:, :, 3:6], axis=1)))
-    # chunk table padded so block-loads of SUPER rows never run off the end
-    chunk_bb = jnp.pad(chunk_bb, ((0, pad_c + SUPER), (0, 0)),
-                       constant_values=far)
+
+    def mm(col):
+        c = col.reshape(n_chunks, CHUNK)
+        return jnp.min(c, axis=1), jnp.max(c, axis=1)
+
+    lox, hix = mm(px_)
+    loy, hiy = mm(py_)
+    loz, hiz = mm(pz_)
+
+    def pack6(lo3, hi3, n, n_pad):
+        def pad(x, v):
+            return jnp.pad(x, (0, n_pad - n), constant_values=v)
+
+        return jnp.stack([pad(x, far) for x in lo3]
+                         + [pad(x, -far) for x in hi3], axis=0)
+
+    nc_pad = _cdiv(n_super * SUPER, 128) * 128
+    chunk_bb = pack6((lox, loy, loz), (hix, hiy, hiz), n_chunks, nc_pad)
+
+    def sup(x, v):
+        x = jnp.pad(x, (0, n_super * SUPER - n_chunks), constant_values=v)
+        return x.reshape(n_super, SUPER)
+
+    slo = [jnp.min(sup(x, far), axis=1) for x in (lox, loy, loz)]
+    shi = [jnp.max(sup(x, -far), axis=1) for x in (hix, hiy, hiz)]
+    super_bb = pack6(slo, shi, n_super, _cdiv(n_super, 128) * 128)
     return tbl, chunk_bb, super_bb, n_chunks
 
 
@@ -120,24 +154,16 @@ def _make_kernel(n_chunks: int, radius: float, intensity: float):
     max_gather = C.MAX_GATHER_PHOTONS_THRESHOLD
     n_super = -(-n_chunks // SUPER)
 
-    def kernel(px_ref, ph_ref, cb_ref, sb_ref, out_ref):
+    def kernel(sb_ref, cb_ref, px_ref, ph_ref, out_ref):
         pos = (px_ref[0], px_ref[1], px_ref[2])
         nrm = (px_ref[3], px_ref[4], px_ref[5])
-        elig_i = (px_ref[6] > 0.5).astype(I32)
+        elig = px_ref[6] > 0.5
         zero = pos[0] * 0.0
         izero = zero.astype(I32)
 
         out_ref[0, :, :] = jnp.zeros_like(zero)
         out_ref[1, :, :] = jnp.zeros_like(zero)
         out_ref[2, :, :] = jnp.zeros_like(zero)
-
-        def box_near(bb, active_i):
-            return (
-                (active_i != 0)
-                & (pos[0] >= bb[0, 0] - r) & (pos[0] <= bb[0, 3] + r)
-                & (pos[1] >= bb[0, 1] - r) & (pos[1] <= bb[0, 4] + r)
-                & (pos[2] >= bb[0, 2] - r) & (pos[2] <= bb[0, 5] + r)
-            )
 
         def chunk_scan(c, carry):
             """Evaluate all 64 photons of chunk c (8 aligned dense rows)."""
@@ -162,29 +188,34 @@ def _make_kernel(n_chunks: int, radius: float, intensity: float):
                 cnt = cnt + accept.astype(I32)
             return cr, cg, cb_, wsum, cnt
 
-        def super_body(s, carry):
-            cr, cg, cb_, wsum, cnt = carry
-            sb = sb_ref[pl.ds(s, 1), :]
-            near_s = box_near(sb, elig_i & (cnt < max_gather).astype(I32))
-            near_s_i = near_s.astype(I32)  # i1 can't cross cond regions
-
-            def scan_super(carry):
-                def chunk_body(ci, inner):
-                    cr, cg, cb_, wsum, cnt = inner
-                    c = s * SUPER + ci
-                    cbb = cb_ref[pl.ds(c, 1), :]
-                    near_c = box_near(cbb, near_s_i & (cnt < max_gather).astype(I32))
-                    return jax.lax.cond(
-                        jnp.any(near_c), lambda x: chunk_scan(c, x),
-                        lambda x: x, (cr, cg, cb_, wsum, cnt))
-
-                return jax.lax.fori_loop(0, SUPER, chunk_body, carry)
-
-            return jax.lax.cond(jnp.any(near_s), scan_super, lambda x: x,
-                                (cr, cg, cb_, wsum, cnt))
-
-        @pl.when(jnp.any(elig_i != 0))
+        @pl.when(jnp.any(elig))
         def _tile():
+            # one bounding box over the tile's eligible lane positions —
+            # the whole two-level walk below is then pure SMEM scalar
+            # compares on the scalar unit (no vector loads, no cross-lane
+            # reductions per box)
+            big = F32(3e9)
+            tlo = tuple(jnp.min(jnp.where(elig, pos[a], big)) for a in range(3))
+            thi = tuple(jnp.max(jnp.where(elig, pos[a], -big)) for a in range(3))
+
+            def overlap(bb_ref, idx):
+                return ((tlo[0] - r <= bb_ref[3, idx]) & (thi[0] + r >= bb_ref[0, idx])
+                        & (tlo[1] - r <= bb_ref[4, idx]) & (thi[1] + r >= bb_ref[1, idx])
+                        & (tlo[2] - r <= bb_ref[5, idx]) & (thi[2] + r >= bb_ref[2, idx]))
+
+            def super_body(s, carry):
+                def scan_super(carry):
+                    def chunk_body(ci, inner):
+                        c = s * SUPER + ci
+                        return jax.lax.cond(
+                            overlap(cb_ref, c), lambda x: chunk_scan(c, x),
+                            lambda x: x, inner)
+
+                    return jax.lax.fori_loop(0, SUPER, chunk_body, carry)
+
+                return jax.lax.cond(overlap(sb_ref, s), scan_super,
+                                    lambda x: x, carry)
+
             init = (zero, zero, zero, zero, izero)
             cr, cg, cb_, wsum, _cnt = jax.lax.fori_loop(
                 0, n_super, super_body, init)
@@ -222,22 +253,26 @@ def gather_pallas(pmap, position, normal, eligible, height: int, width: int,
     )
     grid = (hp // TILE_H, wp // TILE_W)
 
-    def table_spec(arr):
-        return pl.BlockSpec(arr.shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM)
-
+    # box tables ride as scalar-prefetch SMEM operands (the walk reads
+    # them one scalar at a time); pixel planes + photon table stay VMEM
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((8, TILE_H, TILE_W), lambda i, j, *_: (0, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(tbl.shape, lambda i, j, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((3, TILE_H, TILE_W), lambda i, j, *_: (0, i, j),
+                               memory_space=pltpu.VMEM),
+    )
     out = pl.pallas_call(
         _make_kernel(n_chunks, 0.5, 3.0),  # DXRPipeline.h:484-485
         out_shape=jax.ShapeDtypeStruct((3, hp, wp), F32),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((8, TILE_H, TILE_W), lambda i, j: (0, i, j),
-                         memory_space=pltpu.VMEM),
-            table_spec(tbl), table_spec(chunk_bb), table_spec(super_bb),
-        ],
-        out_specs=pl.BlockSpec((3, TILE_H, TILE_W), lambda i, j: (0, i, j),
-                               memory_space=pltpu.VMEM),
+        grid_spec=grid_spec,
         interpret=interpret,
-    )(px, tbl, chunk_bb, super_bb)
+    )(super_bb, chunk_bb, px, tbl)
     out = out[:, :height, :width]
     n = height * width
     return jnp.stack([out[0].reshape(n), out[1].reshape(n), out[2].reshape(n)], axis=-1)
