@@ -522,20 +522,28 @@ class ViewerState:
             raise ValueError(f"no node with id {raw}")
         return node
 
-    def _rebuild(self) -> None:
+    def _rebuild(self, recover: str = "undo") -> None:
         # The engine is single-threaded: pause the worker around the scene
         # rebuild, exactly like the reference rebuilds pipeline state on
         # the UI thread. The loop restarts even when evaluation throws
         # (try/finally) so a bad edit can't freeze the viewer; the failed
         # mutation itself is undone by _cmd's caller via the command stack.
+        # `recover` is the inverse of the operation that just mutated the
+        # graph: "undo" for a forward edit/redo, "redo" when the caller was
+        # itself an undo (rolling back an older, unrelated command would
+        # leave the graph two edits behind the user's intent).
         self.loop.stop()
         try:
             self._push_scene()
         except Exception:
-            # Roll back the command that broke evaluation (if any) and
+            # Invert the command that broke evaluation (if any) and
             # restore a renderable scene before re-raising to the JSON
             # error path.
-            if self.cmds.can_undo:
+            if recover == "redo":
+                if self.cmds.can_redo:
+                    self.cmds.redo()
+                    self._push_scene()
+            elif self.cmds.can_undo:
                 self.cmds.undo()
                 self._push_scene()
             raise
@@ -643,7 +651,7 @@ class ViewerState:
                 self._rebuild()
         elif op == "undo":
             if self.cmds.undo():
-                self._rebuild()
+                self._rebuild(recover="redo")
         elif op == "redo":
             if self.cmds.redo():
                 self._rebuild()

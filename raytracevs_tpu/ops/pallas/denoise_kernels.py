@@ -79,7 +79,7 @@ _PF_FY, _PF_FX, _PF_OK, _PF_OFFY, _PF_OFFX, _PF_ROW0 = range(6)
 
 
 def _reproject_kernel(th, tw, global_h, width, ntx,
-                      # scalar prefetch refs: ints [6, n_tiles], floats [5, n_tiles]
+                      # scalar prefetch refs: ints [6, n_tiles], floats [6, n_tiles]
                       pi, pf,
                       # tensor refs
                       h00, h01, h10, h11, curr, motion, vz, out):

@@ -2115,12 +2115,13 @@ def _accum_dict(out, num_rows, width):
     )
 
 
-def render_accum_pallas(scene: FlatScene, cfg: RenderConfig, row_start, num_rows: int,
-                        interpret: bool = False, mesh_hbm: bool = False):
-    """Run the megakernel over the row slab; returns the 17 accumulators.
+def _launch_megakernel(scene: FlatScene, cfg: RenderConfig, row_start,
+                       num_rows: int, interpret: bool, mesh_hbm: bool):
+    """The ONE megakernel launch: [NUM_CH, grid_h*32, grid_w*128] planes.
 
-    Output arrays are flattened to [num_rows*width] lanes to match the jnp
-    wavefront's accumulator contract (ops/render.py).
+    Shared by the lane (_accum_dict) and channel-first (_accum_dict_cf)
+    views so table specs / HBM ANY-spec indices / scratch shapes cannot
+    drift between the two pipelines.
 
     mesh_hbm=True keeps the triangle tables in HBM and streams leaves via
     per-visit DMA (see make_kernel) — the no-size-cap path for meshes whose
@@ -2134,23 +2135,21 @@ def render_accum_pallas(scene: FlatScene, cfg: RenderConfig, row_start, num_rows
     def table_spec(arr):
         return pl.BlockSpec(arr.shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM)
 
-    def any_spec(arr):
-        # whole-array ref left in HBM; the kernel DMAs slices on demand
-        return pl.BlockSpec(memory_space=pl.ANY)
-
     in_specs = [table_spec(a) for a in args]
     scratch_shapes = []
     if mesh_hbm:
-        # args layout: 8 scene tables + [nodes_fi, tri_geo, tri_extra, inst_tbl]
-        in_specs[9] = any_spec(args[9])
-        in_specs[10] = any_spec(args[10])
+        # args layout: 8 scene tables + [nodes_fi, tri_geo, tri_extra,
+        # inst_tbl]; the tri tables become whole-array HBM refs the kernel
+        # DMAs per leaf visit
+        in_specs[9] = pl.BlockSpec(memory_space=pl.ANY)
+        in_specs[10] = pl.BlockSpec(memory_space=pl.ANY)
         scratch_shapes = [
             pltpu.VMEM((16, 128), F32),
             pltpu.VMEM((16, 128), F32),
             pltpu.SemaphoreType.DMA((2,)),
         ]
 
-    out = pl.pallas_call(
+    return pl.pallas_call(
         make_kernel(cfg, caps, mesh_hbm=mesh_hbm),
         out_shape=jax.ShapeDtypeStruct((NUM_CH, grid_h * TILE_H, grid_w * TILE_W), F32),
         grid=(grid_h, grid_w),
@@ -2162,6 +2161,15 @@ def render_accum_pallas(scene: FlatScene, cfg: RenderConfig, row_start, num_rows
         interpret=interpret,
     )(*args)
 
+
+def render_accum_pallas(scene: FlatScene, cfg: RenderConfig, row_start, num_rows: int,
+                        interpret: bool = False, mesh_hbm: bool = False):
+    """Run the megakernel over the row slab; returns the 17 accumulators.
+
+    Output arrays are flattened to [num_rows*width] lanes to match the jnp
+    wavefront's accumulator contract (ops/render.py).
+    """
+    out = _launch_megakernel(scene, cfg, row_start, num_rows, interpret, mesh_hbm)
     return _accum_dict(out, num_rows, cfg.width)
 
 
@@ -2178,37 +2186,7 @@ def render_accum_pallas_cf(scene: FlatScene, cfg: RenderConfig, row_start,
     probe_4k_denoise_sub.py) — the kernel's native output is already
     channel-first, so the fast pipeline (ops/render_cf.py) keeps it that
     way end to end."""
-    # Re-run the same launch; callers pick exactly one of the two views.
-    args, caps = _pack_args(scene, cfg, row_start)
-    grid_h = _cdiv(num_rows, TILE_H)
-    grid_w = _cdiv(cfg.width, TILE_W)
-    mesh_hbm = mesh_hbm and len(caps) > 4
-
-    def table_spec(arr):
-        return pl.BlockSpec(arr.shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM)
-
-    in_specs = [table_spec(a) for a in args]
-    scratch_shapes = []
-    if mesh_hbm:
-        in_specs[9] = pl.BlockSpec(memory_space=pl.ANY)
-        in_specs[10] = pl.BlockSpec(memory_space=pl.ANY)
-        scratch_shapes = [
-            pltpu.VMEM((16, 128), F32),
-            pltpu.VMEM((16, 128), F32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ]
-
-    out = pl.pallas_call(
-        make_kernel(cfg, caps, mesh_hbm=mesh_hbm),
-        out_shape=jax.ShapeDtypeStruct((NUM_CH, grid_h * TILE_H, grid_w * TILE_W), F32),
-        grid=(grid_h, grid_w),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec(
-            (NUM_CH, TILE_H, TILE_W), lambda i, j: (0, i, j), memory_space=pltpu.VMEM
-        ),
-        scratch_shapes=scratch_shapes,
-        interpret=interpret,
-    )(*args)
+    out = _launch_megakernel(scene, cfg, row_start, num_rows, interpret, mesh_hbm)
     return _accum_dict_cf(out, num_rows, cfg.width)
 
 

@@ -155,9 +155,13 @@ def _make_kernel(n_chunks: int, radius: float, intensity: float):
     n_super = -(-n_chunks // SUPER)
 
     def kernel(sb_ref, cb_ref, px_ref, ph_ref, out_ref):
-        pos = (px_ref[0], px_ref[1], px_ref[2])
-        nrm = (px_ref[3], px_ref[4], px_ref[5])
         elig = px_ref[6] > 0.5
+        # non-eligible lanes (sky, glass, metal) are pushed far away so the
+        # d^2 < r^2 accept test excludes them — the output contract is zero
+        # on non-eligible lanes, not just "caller re-masks"
+        lane_far = F32(7e8)
+        pos = tuple(jnp.where(elig, px_ref[a], lane_far) for a in range(3))
+        nrm = (px_ref[3], px_ref[4], px_ref[5])
         zero = pos[0] * 0.0
         izero = zero.astype(I32)
 

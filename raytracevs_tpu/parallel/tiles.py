@@ -101,9 +101,10 @@ def render_frame_sharded(scene: FlatScene, cfg: RenderConfig, mesh: Optional[Mes
     return _render_sharded(scene, cfg, mesh, backend)
 
 
-@partial(jax.jit, static_argnums=(1, 2, 3))
+@partial(jax.jit, static_argnums=(1, 2, 3, 5))
 def _render_pipeline_sharded(scene: FlatScene, cfg: RenderConfig, mesh: Mesh,
-                             backend: str, denoise_state):
+                             backend: str, denoise_state,
+                             interpret: bool = False):
     """Full frame pipeline under shard_map: render + denoise (halo-row
     collectives) + composite, rows sharded over the mesh.
 
@@ -123,20 +124,26 @@ def _render_pipeline_sharded(scene: FlatScene, cfg: RenderConfig, mesh: Mesh,
     # Channel-first per-shard path: megakernel planes -> Pallas denoise
     # kernels with halo collectives -> composite, mirroring the
     # single-device CF pipeline (runtime.engine._render_pipeline_cf).
+    # Mirrors the single-device gate (runtime.engine._render_pipeline):
+    # denoiser-off pallas frames also stay channel-first — routing them
+    # through the lane shard path would re-pay the [N,c] interleave the CF
+    # pipeline exists to remove (~23 ms at 4K).
     use_cf = (backend in ("pallas", "pallas_hbm")
-              and isinstance(denoise_state, denoise_mod.DenoiserStateCF)
-              and (not cfg.enable_denoiser
-                   or denoise_mod.sharded_cf_supported(rows_per, cfg.width)))
+              and ((not cfg.enable_denoiser and denoise_state is None)
+                   or (isinstance(denoise_state, denoise_mod.DenoiserStateCF)
+                       and denoise_mod.sharded_cf_supported(rows_per,
+                                                            cfg.width))))
 
     def shard_fn_cf(scene_rep, state_slab):
         from ..ops.render_cf import lane_gbuffer_from_cf, render_rows_cf
 
         i = jax.lax.axis_index(TILE_AXIS)
         out = render_rows_cf(scene_rep, cfg, i * rows_per, rows_per,
-                             backend=backend)
+                             backend=backend, interpret=interpret)
         if cfg.enable_denoiser and state_slab is not None:
             dd, ds, dsh, new_state = denoise_mod.denoise_frame_sharded_cf(
-                out.gbuffer, state_slab, TILE_AXIS, n_dev, cfg.height)
+                out.gbuffer, state_slab, TILE_AXIS, n_dev, cfg.height,
+                interpret=interpret)
             color01 = composite_mod.composite_cf(
                 out.gbuffer, out.raw_specular, scene_rep.exposure,
                 scene_rep.tone_map_operator, scene_rep.gamma,
@@ -165,7 +172,7 @@ def _render_pipeline_sharded(scene: FlatScene, cfg: RenderConfig, mesh: Mesh,
     def shard_fn(scene_rep, state_slab):
         i = jax.lax.axis_index(TILE_AXIS)
         out = render_rows(scene_rep, cfg, i * rows_per, rows_per,
-                          backend=backend)
+                          backend=backend, interpret=interpret)
         if cfg.enable_denoiser and state_slab is not None:
             dd, ds, dshadow, new_state = denoise_mod.denoise_frame_sharded(
                 out.gbuffer, rows_per, cfg.width, state_slab,
@@ -216,7 +223,7 @@ def _render_pipeline_sharded(scene: FlatScene, cfg: RenderConfig, mesh: Mesh,
 
 def render_pipeline_sharded(scene: FlatScene, cfg: RenderConfig,
                             mesh: Optional[Mesh] = None, denoise_state=None,
-                            backend: str = "auto"):
+                            backend: str = "auto", interpret: bool = False):
     """Engine-level multi-chip frame: returns (rgba[H,W,4]u8, hdr[H,W,3],
     rays[n_dev], gbuffer, new_state, denoised) with rows sharded.
 
@@ -245,4 +252,5 @@ def render_pipeline_sharded(scene: FlatScene, cfg: RenderConfig,
         # CF history but the CF shard path can't run here: unpack to the
         # field layout the lane shard path carries
         denoise_state = denoise_mod._state_cf_to_fields(denoise_state)
-    return _render_pipeline_sharded(scene, cfg, mesh, backend, denoise_state)
+    return _render_pipeline_sharded(scene, cfg, mesh, backend, denoise_state,
+                                    interpret)

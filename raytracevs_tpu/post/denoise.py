@@ -568,10 +568,11 @@ def sharded_cf_supported(rows: int, width: int) -> bool:
             and dk.stencil_supported(rows + 2 * _SPATIAL_HALO_CF, width))
 
 
-# Spatial halo for the sharded CF path: the largest a-trous tap reach is
-# 2*stride = 8 rows (stride 4, 5-tap), and 8 keeps every extended slab
-# height a sublane multiple. The shadow filter (radius 2) rides the same
-# halo.
+# Spatial halo for the sharded CF path. The largest a-trous tap reach is
+# stride = 4 rows (3x3 stencil at stride 1<<2 on the last pass); 8 is used
+# because the band kernels need every extended slab height to stay a
+# sublane (%8) multiple, not because any tap reaches that far. The shadow
+# filter (radius 2) rides the same halo.
 _SPATIAL_HALO_CF = 8
 
 

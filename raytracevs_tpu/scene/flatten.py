@@ -214,7 +214,8 @@ def view_projection(scene: SceneData, aspect: float) -> np.ndarray:
     )
 
 
-def flatten_scene(scene: SceneData, frame_index: int = 0, aspect: float = 16.0 / 9.0,
+def flatten_scene(scene: SceneData, *, frame_index: int = 0,
+                  aspect: float = 16.0 / 9.0,
                   prev_view_proj: np.ndarray = None, mesh_service=None,
                   blas_cache=None) -> FlatScene:
     """Build the FlatScene pytree from an evaluated, sanitized SceneData.

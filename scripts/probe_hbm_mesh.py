@@ -65,7 +65,7 @@ def build(rings, segs, glass):
         LightData(type=LightType.AMBIENT, color=np.array([0.3, 0.3, 0.3, 1.0])),
     ]
     W, H = 1920, 1088
-    flat = flatten_scene(scene, W, H, mesh_service=ms)
+    flat = flatten_scene(scene, aspect=W / H, mesh_service=ms)
     cfg = make_config(scene, W, H)
     return flat, cfg
 

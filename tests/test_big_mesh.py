@@ -74,7 +74,7 @@ def _big_scene():
         LightData(type=LightType.POINT, position=np.array([3.0, 5.0, -3.0]),
                   intensity=10.0),
     ]
-    flat = flatten_scene(scene, 64, 32, mesh_service=ms)
+    flat = flatten_scene(scene, aspect=64 / 32, mesh_service=ms)
     cfg = make_config(scene, 64, 32)
     assert flat.mesh is not None
     assert int(flat.mesh.mk_num_tris) >= num_tris  # leaf-padded
@@ -135,7 +135,7 @@ def test_packed_node_table_matches_flat(monkeypatch):
         LightData(type=LightType.POINT, position=np.array([3.0, 5.0, -3.0]),
                   intensity=10.0),
     ]
-    flat = flatten_scene(scene, 64, 16, mesh_service=ms)
+    flat = flatten_scene(scene, aspect=64 / 16, mesh_service=ms)
     cfg = make_config(scene, 64, 16)
     assert not mk.node_table_packed(int(flat.mesh.mk_num_nodes))
 

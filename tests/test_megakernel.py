@@ -50,7 +50,7 @@ def test_megakernel_mesh_matches_jnp_wavefront():
     from conftest import wine_glass_scene
 
     scene, ms = wine_glass_scene()
-    flat = flatten_scene(scene, 64, 64, mesh_service=ms)
+    flat = flatten_scene(scene, aspect=1.0, mesh_service=ms)
     cfg = make_config(scene, 64, 64)
     assert flat.mesh is not None
 
@@ -95,7 +95,7 @@ def test_pallas_photon_gather_matches_jnp():
     scene.lights += [LightData(type=LightType.POINT,
                                position=np.array([0.0, 6.0, 0.0]), intensity=20.0)]
     scene.settings.enable_caustics = True
-    flat = flatten_scene(scene, 128, 96)
+    flat = flatten_scene(scene, aspect=128 / 96)
     cfg = make_config(scene, 128, 96)
     pmap = photon_mod.emit_and_trace(flat, cfg.num_photons)
     assert int(np.asarray(pmap.count)) > 0
@@ -117,7 +117,17 @@ def test_pallas_photon_gather_matches_jnp():
     rel = np.abs(ref - pal).max(-1) / np.maximum(ref.max(-1), 1e-3)
     assert (rel > 0.05).mean() < 0.02
 
-    # eligibility mask zeroes lanes
+    # eligibility mask zeroes lanes — including non-eligible lanes inside
+    # a mixed tile whose positions sit within the gather radius (the kernel
+    # must gate per lane, not rely on the caller re-masking)
+    mixed = jnp.asarray((np.arange(n) % 3) == 0)
+    palm = np.asarray(photon_gather.gather_pallas(
+        pmap, pos, nrm, mixed, h, w, interpret=True))
+    assert np.abs(palm[~np.asarray(mixed)]).max() == 0.0
+    # eligible lanes are unaffected by the presence of masked neighbours
+    np.testing.assert_allclose(palm[np.asarray(mixed)],
+                               pal[np.asarray(mixed)], rtol=1e-5, atol=1e-6)
+
     pal0 = np.asarray(photon_gather.gather_pallas(
         pmap, pos, nrm, jnp.zeros((n,), bool), h, w, interpret=True))
     assert np.abs(pal0).max() == 0.0
@@ -154,7 +164,7 @@ def test_pallas_photon_trace_matches_jnp():
                   position=np.array([2.0, 5.0, -1.0]), intensity=3.0),
     ]
     scene.settings.enable_caustics = True
-    flat = flatten_scene(scene, 64, 64)
+    flat = flatten_scene(scene, aspect=1.0)
 
     n = 8192  # two tiles = two kernel programs
     origin, direction, color, power, alive = photon_mod._emit_photons(flat, n)
@@ -208,7 +218,7 @@ def test_megakernel_multi_instance_mesh_matches_jnp():
                             scale=np.array([1.5, 1.5, 1.5])),
         material=tinted,
     ))
-    flat = flatten_scene(scene, 64, 64, mesh_service=ms)
+    flat = flatten_scene(scene, aspect=1.0, mesh_service=ms)
     cfg = make_config(scene, 64, 64)
     assert flat.mesh is not None
     assert flat.mesh.inst_transmission.shape[0] == 2
@@ -269,7 +279,7 @@ def test_megakernel_nine_instance_fallback_matches_jnp():
     scene.lights.append(LightData(type=LightType.POINT,
                                   position=np.array([2.0, 6.0, -2.0]),
                                   intensity=12.0))
-    flat = flatten_scene(scene, 64, 32, mesh_service=ms)
+    flat = flatten_scene(scene, aspect=64 / 32, mesh_service=ms)
     cfg = make_config(scene, 64, 32)
     assert flat.mesh is not None and flat.mesh.inst_transmission.shape[0] == 9
 

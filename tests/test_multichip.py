@@ -3,6 +3,7 @@ import numpy as np
 import pytest
 
 import jax
+import jax.numpy as jnp
 
 from raytracevs_tpu.ops.render import render_frame
 from raytracevs_tpu.parallel.tiles import make_mesh, render_frame_sharded
@@ -77,7 +78,7 @@ def test_sharded_full_pipeline_matches_single_device():
     scene = _scene()
     scene.settings.enable_denoiser = True
     W, H = 64, 64  # 8 rows/shard: spatial halo(8) == slab, temporal multi-hop
-    flat = flatten_scene(scene, W, H)
+    flat = flatten_scene(scene, aspect=W / H)
     cfg = make_config(scene, W, H)
     mesh = make_mesh()
 
@@ -116,7 +117,7 @@ def test_sharded_megakernel_interpret():
     scene = _scene()
     W, H = 128, 64  # 8 rows/shard -- but megakernel tiles are 32 rows tall,
     # so run 2 shards of 32 rows on the first 2 mesh devices
-    flat = flatten_scene(scene, W, H)
+    flat = flatten_scene(scene, aspect=W / H)
     cfg = make_config(scene, W, H)
     mesh = make_mesh(jax.devices()[:2])
     rows_per = H // 2
@@ -221,3 +222,39 @@ def test_sharded_cf_denoise_matches_single_device(monkeypatch):
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(ds_f), np.asarray(ds_s),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_cf_pipeline_denoiser_off_interpret():
+    """Denoiser-off pallas frames take the channel-first shard path (the
+    single-device gate mirrored in tiles._render_pipeline_sharded): the
+    full sharded CF pipeline — megakernel planes -> composite_cf ->
+    to_rgba8_cf per shard, no lane interleave — executes under shard_map
+    (interpret mode) and matches the same stages composed single-device."""
+    from raytracevs_tpu.ops.render_cf import render_rows_cf
+    from raytracevs_tpu.parallel.tiles import render_pipeline_sharded
+    from raytracevs_tpu.post import composite as composite_mod
+    from raytracevs_tpu.post import tonemap
+
+    scene = _scene()
+    scene.settings.enable_denoiser = False
+    W, H = 128, 64  # megakernel tiles are 32 rows: 2 shards of 32 rows
+    flat = flatten_scene(scene, aspect=W / H)
+    cfg = make_config(scene, W, H)
+    mesh = make_mesh(jax.devices()[:2])
+
+    rgba_m, hdr_m, rays_m, _gb, state_out, den = render_pipeline_sharded(
+        flat, cfg, mesh, denoise_state=None, backend="pallas",
+        interpret=True)
+    assert state_out is None and den is None
+    assert len(rgba_m.addressable_shards) == 2
+
+    out = render_rows_cf(flat, cfg, jnp.int32(0), H, backend="pallas",
+                         interpret=True)
+    color01 = composite_mod.composite_cf(
+        out.gbuffer, out.raw_specular, flat.exposure,
+        flat.tone_map_operator, flat.gamma, use_denoised=False)
+    rgba_s = tonemap.to_rgba8_cf(color01)
+    np.testing.assert_array_equal(np.asarray(rgba_m), np.asarray(rgba_s))
+    np.testing.assert_array_equal(
+        np.asarray(hdr_m), np.asarray(out.color.transpose(1, 2, 0)))
+    assert int(np.asarray(rays_m).sum()) > 0

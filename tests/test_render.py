@@ -211,7 +211,7 @@ def test_photon_debug_replace():
                                   material=glass)
     scene.settings.photon_debug_mode = 5
     scene.settings.photon_debug_scale = 2.0
-    flat = flatten_scene(scene, 48, 48)
+    flat = flatten_scene(scene, aspect=1.0)
     cfg = make_config(scene, 48, 48)
     assert cfg.num_photons > 0
     out = render_rows(flat, cfg, jnp.int32(0), 48)
@@ -229,7 +229,7 @@ def test_photon_debug_replace():
     # replaced lanes (pure caustic, linear in PhotonDebugScale)
     scene.settings.photon_debug_scale = 1.0
     cfg1 = make_config(scene, 48, 48)
-    flat1 = flatten_scene(scene, 48, 48)
+    flat1 = flatten_scene(scene, aspect=1.0)
     out1 = render_rows(flat1, cfg1, jnp.int32(0), 48)
     c2 = np.asarray(out.color)[plane_lanes]
     c1 = np.asarray(out1.color)[plane_lanes]

@@ -26,7 +26,7 @@ def _mesh_glass_scene():
     from conftest import wine_glass_scene
 
     scene, ms = wine_glass_scene()
-    flat = flatten_scene(scene, 64, 64, mesh_service=ms)
+    flat = flatten_scene(scene, aspect=1.0, mesh_service=ms)
     cfg = make_config(scene, 64, 64)
     return flat, cfg
 
