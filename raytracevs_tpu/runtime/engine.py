@@ -184,9 +184,9 @@ def _pick_backend(flat: FlatScene, cfg=None) -> str:
             # ~1% vs resident tables at 60k tris (18.3 vs 18.1 ms).
             if node_mb <= 12:
                 return "pallas_hbm"
-            from ..utils.logging import log_warn
+            from ..utils.logging import log_warning
 
-            log_warn(
+            log_warning(
                 "mesh BVH node table (%.1f MB, %d tris) exceeds the 12 MB "
                 "VMEM budget even with HBM-streamed triangles: falling back "
                 "to the portable jnp wavefront backend (~10x slower).",

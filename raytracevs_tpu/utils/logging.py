@@ -1,8 +1,10 @@
 """Leveled file logger (analog of DXEngine/DebugLog.h:9-99).
 
-Errors always log; info/warn/debug are gated by `set_log_enabled`, matching
-the reference's `g_LogEnabled` switch. Output goes to `debug.log` in the
-working directory plus standard `logging` handlers.
+Errors AND warnings always log; info/debug are gated by `set_log_enabled`
+(the reference gates warnings too behind `g_LogEnabled`, but silent
+warnings defeat their purpose — e.g. the backend-demotion warning for
+oversized meshes must surface without opt-in). Output goes to `debug.log`
+in the working directory plus standard `logging` handlers.
 """
 from __future__ import annotations
 
@@ -28,8 +30,7 @@ def log_error(msg: str, *args) -> None:
 
 
 def log_warning(msg: str, *args) -> None:
-    if _enabled:
-        _logger.warning(msg, *args)
+    _logger.warning(msg, *args)
 
 
 def log_info(msg: str, *args) -> None:
