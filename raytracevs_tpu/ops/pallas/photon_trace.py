@@ -65,11 +65,11 @@ def _photon_kernel(caps, sph, pln, box, mat, lts, fp, ip, pin, pout):
     alive = p[10] > 0.5
     shape = power.shape
 
-    # global photon index of each lane (row-major [P] -> [P/128, 128])
-    ti = pl.program_id(0)
-    rows = ti * TILE_H + jax.lax.broadcasted_iota(I32, shape, 0)
-    cols = jax.lax.broadcasted_iota(I32, shape, 1)
-    idx = rows * TILE_W + cols
+    # global photon index of each lane, supplied by the caller (channel 11,
+    # f32-exact below 2^24 >> MAX_PHOTONS): under multi-chip photon
+    # sharding each device traces a slice of the global batch, so the RR
+    # seed key must be the global index, not the program-local one
+    idx = p[11].astype(I32)
 
     store_mask = jnp.zeros(shape, bool)
     store_pos = vzeros(shape)
@@ -178,17 +178,21 @@ def _photon_kernel(caps, sph, pln, box, mat, lts, fp, ip, pin, pout):
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def trace_photons_pallas(scene, origin, direction, color, power, alive,
-                         interpret: bool = False):
+                         idx=None, interpret: bool = False):
     """Run the photon bounce loop on photon tiles.
 
     origin/direction/color [P,3], power [P], alive [P] bool; P must be a
     multiple of TILE_H*TILE_W (the caller falls back to the jnp loop
-    otherwise). Returns (store_pos [P,3], store_dir [P,3], store_color
-    [P,3], store_power [P], store_mask [P] bool).
+    otherwise). `idx` [P] i32 is each photon's GLOBAL batch index (the RR
+    seed key; defaults to 0..P-1 for an unsharded batch). Returns
+    (store_pos [P,3], store_dir [P,3], store_color [P,3], store_power [P],
+    store_mask [P] bool).
     """
     n = origin.shape[0]
     assert n % _LANES == 0, n
     rows = n // TILE_W
+    if idx is None:
+        idx = jnp.arange(n, dtype=jnp.int32)
 
     sp = pack_scene(scene)
     caps = (sp.sph.shape[0], sp.pln.shape[0], sp.box.shape[0],
@@ -202,7 +206,8 @@ def trace_photons_pallas(scene, origin, direction, color, power, alive,
         [lanes(origin[:, 0]), lanes(origin[:, 1]), lanes(origin[:, 2]),
          lanes(direction[:, 0]), lanes(direction[:, 1]), lanes(direction[:, 2]),
          lanes(color[:, 0]), lanes(color[:, 1]), lanes(color[:, 2]),
-         lanes(power), lanes(alive.astype(F32))], axis=0)
+         lanes(power), lanes(alive.astype(F32)),
+         lanes(idx.astype(F32))], axis=0)
 
     def table_spec(arr):
         return pl.BlockSpec(arr.shape, lambda i: (0, 0),
@@ -213,7 +218,7 @@ def trace_photons_pallas(scene, origin, direction, color, power, alive,
         out_shape=jax.ShapeDtypeStruct((11, rows, TILE_W), F32),
         grid=(rows // TILE_H,),
         in_specs=[table_spec(a) for a in tables]
-        + [pl.BlockSpec((11, TILE_H, TILE_W), lambda i: (0, i, 0),
+        + [pl.BlockSpec((12, TILE_H, TILE_W), lambda i: (0, i, 0),
                         memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((11, TILE_H, TILE_W), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),

@@ -99,31 +99,55 @@ def emit_and_trace(scene, total_photons: int, backend: str = "jnp",
     in the kernel); emission and the sort-based hash build stay jnp.
     Falls back to the jnp loop when the photon count isn't tile-shaped.
     """
-    origin, direction, color, power, alive = _emit_photons(scene, total_photons)
+    stores = trace_photon_slice(scene, total_photons, 0, total_photons,
+                                backend=backend, interpret=interpret)
+    return build_photon_hash(*stores)
+
+
+def trace_photon_slice(scene, total_photons: int, offset, count: int,
+                       backend: str = "jnp", interpret: bool = False):
+    """Emit + trace photons [offset, offset+count) of a total_photons batch.
+
+    The photon axis is embarrassingly parallel (every photon's emission
+    and RR chain is keyed on its GLOBAL index, PhotonEmit.hlsl:44-48), so
+    a slice traced here is bit-identical to the same rows of the full
+    batch — the multi-chip unit: each device traces total/n_dev photons,
+    `jax.lax.all_gather(..., tiled=True)` reassembles the global store
+    arrays in index order, and build_photon_hash runs replicated
+    (parallel/tiles.py). `offset` may be traced (a mesh axis_index).
+    Returns (store_pos [count,3], store_dir, store_color, store_power,
+    store_mask).
+    """
+    origin, direction, color, power, alive = _emit_photons(
+        scene, total_photons, offset=offset, count=count)
+    idx = (jax.lax.broadcasted_iota(I32, (count, 1), 0)[:, 0]
+           + jnp.asarray(offset, I32))
 
     # photon interactions ignore meshes (photon RTPSO has no triangle group)
     pscene = scene._replace(mesh=None) if scene.mesh is not None else scene
 
-    if backend.startswith("pallas") and total_photons % 4096 == 0:
+    if backend.startswith("pallas") and count % 4096 == 0:
         from .pallas.photon_trace import trace_photons_pallas
 
-        store_pos, store_dir, store_color, store_power, store_mask = (
-            trace_photons_pallas(pscene, origin, direction, color, power,
-                                 alive, interpret=interpret))
-    else:
-        store_pos, store_dir, store_color, store_power, store_mask = (
-            _trace_photons_jnp(pscene, origin, direction, color, power, alive))
-
-    return _build_photon_hash(store_pos, store_dir, store_color, store_power,
-                              store_mask)
+        return trace_photons_pallas(pscene, origin, direction, color, power,
+                                    alive, idx=idx, interpret=interpret)
+    return _trace_photons_jnp(pscene, origin, direction, color, power, alive,
+                              idx=idx)
 
 
-def _emit_photons(scene, total_photons: int):
+def _emit_photons(scene, total_photons: int, offset=0, count: int = None):
     """Photon emission (PhotonEmit.hlsl:44-117): light selection + initial
-    rays. Returns (origin, direction, color [P,3], power, alive [P])."""
-    n = total_photons
+    rays. Returns (origin, direction, color [P,3], power, alive [P]).
+
+    offset/count select a slice of the global batch: per-photon seeds and
+    the light-assignment ordinal are functions of the GLOBAL index, so
+    slices compose bit-exactly into the full batch (trace_photon_slice).
+    The per-light split (photons_per_light) always uses total_photons.
+    """
+    n = count if count is not None else total_photons
     l_cap = scene.lt_type.shape[0]
-    idx = jax.lax.broadcasted_iota(I32, (n, 1), 0)[:, 0]
+    idx = (jax.lax.broadcasted_iota(I32, (n, 1), 0)[:, 0]
+           + jnp.asarray(offset, I32))
     seed = sampling.wang_hash(idx.astype(U32) * U32(1973) + U32(9277))
 
     # Light selection (PhotonEmit.hlsl:48-82): photons split evenly over
@@ -132,7 +156,7 @@ def _emit_photons(scene, total_photons: int):
     for li in range(l_cap):
         lv = (li < scene.num_lights) & scene.lt_valid[li]
         non_ambient = non_ambient + (lv & (scene.lt_type[li] != C.LIGHT_TYPE_AMBIENT)).astype(I32)
-    photons_per_light = jnp.maximum(n // jnp.maximum(non_ambient, 1), 1)
+    photons_per_light = jnp.maximum(total_photons // jnp.maximum(non_ambient, 1), 1)
     ordinal = jnp.minimum(idx // photons_per_light, jnp.maximum(non_ambient - 1, 0))
 
     # map ordinal -> actual light index, gathering parameters
@@ -189,14 +213,18 @@ def _emit_photons(scene, total_photons: int):
     return origin, direction, color, power, alive
 
 
-def _trace_photons_jnp(pscene, origin, direction, color, power, alive):
+def _trace_photons_jnp(pscene, origin, direction, color, power, alive,
+                       idx=None):
     """The photon bounce loop (PhotonTrace.hlsl:97-223), jnp wavefront.
 
     This is the semantic oracle for ops/pallas/photon_trace.py — keep the
     two in lockstep (tests/test_megakernel.py photon-trace equivalence).
+    `idx` is each photon's GLOBAL batch index (RR seeding key); defaults
+    to 0..n-1 for a full batch.
     """
     n = origin.shape[0]
-    idx = jax.lax.broadcasted_iota(I32, (n, 1), 0)[:, 0]
+    if idx is None:
+        idx = jax.lax.broadcasted_iota(I32, (n, 1), 0)[:, 0]
 
     store_mask = jnp.zeros((n,), bool)
     store_pos = jnp.zeros((n, 3), F32)
@@ -310,8 +338,8 @@ def _trace_photons_jnp(pscene, origin, direction, color, power, alive):
     return store_pos, store_dir, store_color, store_power, store_mask
 
 
-def _build_photon_hash(store_pos, store_dir, store_color, store_power,
-                       store_mask) -> PhotonMap:
+def build_photon_hash(store_pos, store_dir, store_color, store_power,
+                      store_mask) -> PhotonMap:
     """Sort-based spatial hash build (BuildPhotonHash.hlsl:59-105).
 
     cellSize = 2 * photonRadius (DXRPipeline.cpp:3392-3435)."""

@@ -137,7 +137,8 @@ def caustics_delta(scene: FlatScene, cfg: RenderConfig, pmap, prim_hit, prim_pos
 
 
 def render_rows(scene: FlatScene, cfg: RenderConfig, row_start, num_rows: int,
-                backend: str = "jnp", interpret: bool = False) -> FrameOutput:
+                backend: str = "jnp", interpret: bool = False,
+                pmap=None) -> FrameOutput:
     """Render `num_rows` image rows starting at traced offset `row_start`.
 
     This is the shardable unit: the pixel domain is the data-parallel axis
@@ -172,6 +173,7 @@ def render_rows(scene: FlatScene, cfg: RenderConfig, row_start, num_rows: int,
                 mesh_hbm=(backend == "pallas_hbm"))
         c = _apply_caustics(
             scene, cfg, row_start, num_rows, backend="pallas", interpret=interpret,
+            pmap=pmap,
             accs=dict(acc_color=a["color"], acc_primary=a["primary"],
                  acc_diffuse=a["diffuse"], acc_specular=a["specular"],
                  shadow_vis=a["shadow_vis"], shadow_pen=a["shadow_pen"],
@@ -248,7 +250,8 @@ def render_rows(scene: FlatScene, cfg: RenderConfig, row_start, num_rows: int,
      prim_shadow_dist, prim_obj_id) = carry
     c = _apply_caustics(
         scene, cfg, row_start, num_rows,
-        dict(acc_color=acc_color, acc_primary=acc_primary, acc_diffuse=acc_diffuse,
+        pmap=pmap,
+        accs=dict(acc_color=acc_color, acc_primary=acc_primary, acc_diffuse=acc_diffuse,
              acc_specular=acc_specular, shadow_vis=prim_shadow_vis,
              shadow_pen=prim_shadow_pen, shadow_dist=prim_shadow_dist,
              prim_hit=prim_hit, prim_pos=prim_pos, prim_normal=prim_normal,
@@ -264,7 +267,7 @@ def render_rows(scene: FlatScene, cfg: RenderConfig, row_start, num_rows: int,
 
 
 def _apply_caustics(scene, cfg, row_start, num_rows, accs, backend="jnp",
-                    interpret=False):
+                    interpret=False, pmap=None):
     """Photon pass: emit/trace/hash photons, fold the gathered caustic into
     the accumulators (RayGen.hlsl:505-533).
 
@@ -282,8 +285,9 @@ def _apply_caustics(scene, cfg, row_start, num_rows, accs, backend="jnp",
         return accs
     from . import photon as photon_mod
 
-    pmap = photon_mod.emit_and_trace(scene, cfg.num_photons, backend=backend,
-                                     interpret=interpret)
+    if pmap is None:
+        pmap = photon_mod.emit_and_trace(scene, cfg.num_photons,
+                                         backend=backend, interpret=interpret)
     delta, mask = caustics_delta(
         scene, cfg, pmap, accs["prim_hit"], accs["prim_pos"], accs["prim_normal"],
         accs["prim_metallic"], accs["prim_transmission"],

@@ -228,7 +228,8 @@ def _lanes_to_planes3(a, h, w):
     return a.reshape(h, w, 3).transpose(2, 0, 1)
 
 
-def _apply_caustics_cf(scene, cfg, row_start, num_rows, acc, interpret):
+def _apply_caustics_cf(scene, cfg, row_start, num_rows, acc, interpret,
+                       pmap=None):
     """Photon-caustics fold-in on channel-first accumulators: the gather
     kernel speaks lanes, so the detour converts the few planes it needs
     and converts the delta back (render.py _apply_caustics semantics)."""
@@ -238,8 +239,9 @@ def _apply_caustics_cf(scene, cfg, row_start, num_rows, acc, interpret):
     from .render import caustics_delta
 
     h, w = acc["prim_hit"].shape
-    pmap = photon_mod.emit_and_trace(scene, cfg.num_photons, backend="pallas",
-                                     interpret=interpret)
+    if pmap is None:
+        pmap = photon_mod.emit_and_trace(scene, cfg.num_photons,
+                                         backend="pallas", interpret=interpret)
     delta_l, mask_l = caustics_delta(
         scene, cfg, pmap, acc["prim_hit"].reshape(-1),
         _planes_to_lanes3(acc["prim_pos"]), _planes_to_lanes3(acc["prim_normal"]),
@@ -265,7 +267,8 @@ def _apply_caustics_cf(scene, cfg, row_start, num_rows, acc, interpret):
 
 
 def render_rows_cf(scene: FlatScene, cfg: RenderConfig, row_start, num_rows: int,
-                   backend: str = "pallas", interpret: bool = False) -> FrameOutputCF:
+                   backend: str = "pallas", interpret: bool = False,
+                   pmap=None) -> FrameOutputCF:
     """Channel-first render_rows: megakernel backends only (the jnp
     wavefront is lane-native; it keeps the classic path)."""
     if backend not in ("pallas", "pallas_hbm"):
@@ -275,7 +278,8 @@ def render_rows_cf(scene: FlatScene, cfg: RenderConfig, row_start, num_rows: int
     acc = megakernel.render_accum_pallas_cf(
         scene, cfg, row_start, num_rows, interpret,
         mesh_hbm=(backend == "pallas_hbm"))
-    acc = _apply_caustics_cf(scene, cfg, row_start, num_rows, acc, interpret)
+    acc = _apply_caustics_cf(scene, cfg, row_start, num_rows, acc, interpret,
+                             pmap=pmap)
     return assemble_frame_cf(scene, cfg, acc)
 
 

@@ -31,6 +31,31 @@ def make_mesh(devices=None) -> Mesh:
     return Mesh(devices.reshape(-1), (TILE_AXIS,))
 
 
+def _sharded_photon_map(scene_rep, cfg, n_dev: int, backend: str,
+                        interpret: bool = False):
+    """Photon-axis parallelism (SURVEY §2.5): each device emits+traces
+    total/n_dev photons of the GLOBAL batch (every per-photon seed is
+    keyed on the global index, so slices compose bit-exactly —
+    ops/photon.py trace_photon_slice), the store arrays all_gather back
+    in index order over ICI, and the sort-based hash build runs
+    replicated. The resulting PhotonMap is identical to the
+    single-device one, at 1/n_dev the trace cost per chip. Returns None
+    (caller's render builds the map replicated) when caustics are off or
+    the count doesn't divide evenly."""
+    if cfg.num_photons <= 0 or cfg.num_photons % n_dev != 0:
+        return None
+    from ..ops import photon as photon_mod
+
+    per = cfg.num_photons // n_dev
+    i = jax.lax.axis_index(TILE_AXIS)
+    stores = photon_mod.trace_photon_slice(
+        scene_rep, cfg.num_photons, i * per, per,
+        backend=backend, interpret=interpret)
+    gathered = [jax.lax.all_gather(s, TILE_AXIS, axis=0, tiled=True)
+                for s in stores]
+    return photon_mod.build_photon_hash(*gathered)
+
+
 @partial(jax.jit, static_argnums=(1, 2, 3))
 def _render_sharded(scene: FlatScene, cfg: RenderConfig, mesh: Mesh,
                     backend: str = "jnp") -> FrameOutput:
@@ -39,7 +64,8 @@ def _render_sharded(scene: FlatScene, cfg: RenderConfig, mesh: Mesh,
 
     def shard_fn(scene_rep):
         i = jax.lax.axis_index(TILE_AXIS)
-        out = render_rows(scene_rep, cfg, i * rows_per, rows_per, backend=backend)
+        out = render_rows(scene_rep, cfg, i * rows_per, rows_per, backend=backend,
+                          pmap=_sharded_photon_map(scene_rep, cfg, n_dev, backend))
         # scalar ray count -> [1] so it can carry a sharded axis
         return out._replace(rays=out.rays.reshape(1))
 
@@ -121,6 +147,9 @@ def _render_pipeline_sharded(scene: FlatScene, cfg: RenderConfig, mesh: Mesh,
     n_dev = mesh.devices.size
     rows_per = cfg.height // n_dev
 
+    def sharded_photon_map(scene_rep):
+        return _sharded_photon_map(scene_rep, cfg, n_dev, backend, interpret)
+
     # Channel-first per-shard path: megakernel planes -> Pallas denoise
     # kernels with halo collectives -> composite, mirroring the
     # single-device CF pipeline (runtime.engine._render_pipeline_cf).
@@ -139,7 +168,8 @@ def _render_pipeline_sharded(scene: FlatScene, cfg: RenderConfig, mesh: Mesh,
 
         i = jax.lax.axis_index(TILE_AXIS)
         out = render_rows_cf(scene_rep, cfg, i * rows_per, rows_per,
-                             backend=backend, interpret=interpret)
+                             backend=backend, interpret=interpret,
+                             pmap=sharded_photon_map(scene_rep))
         if cfg.enable_denoiser and state_slab is not None:
             dd, ds, dsh, new_state = denoise_mod.denoise_frame_sharded_cf(
                 out.gbuffer, state_slab, TILE_AXIS, n_dev, cfg.height,
@@ -172,7 +202,8 @@ def _render_pipeline_sharded(scene: FlatScene, cfg: RenderConfig, mesh: Mesh,
     def shard_fn(scene_rep, state_slab):
         i = jax.lax.axis_index(TILE_AXIS)
         out = render_rows(scene_rep, cfg, i * rows_per, rows_per,
-                          backend=backend, interpret=interpret)
+                          backend=backend, interpret=interpret,
+                          pmap=sharded_photon_map(scene_rep))
         if cfg.enable_denoiser and state_slab is not None:
             dd, ds, dshadow, new_state = denoise_mod.denoise_frame_sharded(
                 out.gbuffer, rows_per, cfg.width, state_slab,
