@@ -23,6 +23,16 @@ def main(argv=None) -> int:
     p.add_argument("--spp", type=int, default=None, help="override samples per pixel")
     p.add_argument("--bounces", type=int, default=None, help="override max bounces")
     p.add_argument("--frames", type=int, default=1, help="frames to render (timing)")
+    p.add_argument("--orbit", type=float, default=None, metavar="DEG",
+                   help="animate: rotate the camera DEG degrees per frame "
+                        "around the look-at point (temporal denoiser history "
+                        "carries across frames via motion-vector "
+                        "reprojection, never reset — scene_content_checksum "
+                        "excludes the camera exactly like "
+                        "DXRPipeline.cpp:2795-2860)")
+    p.add_argument("--save-frames", metavar="DIR", default=None,
+                   help="write every rendered frame as DIR/frame_NNNN.png "
+                        "(batch/animation output; with --frames N)")
     p.add_argument("--caustics", action="store_true",
                    help="enable photon-mapped caustics (the reference's "
                         "causticsEnabled runtime toggle)")
@@ -74,25 +84,60 @@ def main(argv=None) -> int:
         print(f"error: {e}", file=sys.stderr)
         return 1
 
+    def save(img, path):
+        try:
+            from PIL import Image
+
+            Image.fromarray(img).save(path)
+        except ImportError:
+            from ..io.png import write_png
+
+            write_png(path, img)
+
+    if args.save_frames:
+        import os
+
+        os.makedirs(args.save_frames, exist_ok=True)
+
+    import numpy as np
+
+    base_look = np.asarray(engine._scene.camera.look_at, dtype=float).copy()
+    base_rel = (np.asarray(engine._scene.camera.position, dtype=float)
+                - base_look)
+
+    def orbit_camera(frame: int):
+        """Rotate the frame-0 camera args.orbit*frame degrees around the
+        vertical axis through its look-at point, then re-upload. Geometry
+        is unchanged, so the engine's content checksum keeps the temporal
+        history and the denoiser reprojects (utils/checksum.py)."""
+        import math
+
+        ang = math.radians(args.orbit * frame)
+        c, s = math.cos(ang), math.sin(ang)
+        scene = engine._scene
+        scene.camera.position = base_look + np.array(
+            [base_rel[0] * c + base_rel[2] * s, base_rel[1],
+             -base_rel[0] * s + base_rel[2] * c])
+        engine.update_scene(scene, **overrides)
+
     img = engine.render()  # first frame includes compile
     if args.debug_view is not None:
         img = engine.render_debug_view(args.debug_view)
     compile_ms = engine.last_render_ms
+    if args.save_frames:
+        save(img, f"{args.save_frames}/frame_0000.png")
     times = []
-    for _ in range(max(0, args.frames - 1)):
+    for f in range(1, max(1, args.frames)):
+        if args.orbit is not None:
+            orbit_camera(f)
         img = engine.render()
         times.append(engine.last_render_ms)
-    if args.debug_view is not None and args.frames > 1:
-        img = engine.render_debug_view(args.debug_view)
+        if args.debug_view is not None:
+            img = engine.render_debug_view(args.debug_view)
+        if args.save_frames:
+            save(img, f"{args.save_frames}/frame_{f:04d}.png")
 
-    try:
-        from PIL import Image
-
-        Image.fromarray(img).save(args.output)
-    except ImportError:
-        from ..io.png import write_png
-
-        write_png(args.output, img)
+    save(img, args.output)
 
     stats = {
         "output": args.output,
