@@ -7,6 +7,7 @@ sharded pipeline traces total/n_dev photons per device and all_gathers the
 store arrays (parallel/tiles.py::_sharded_photon_map).
 """
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -105,6 +106,49 @@ def test_sharded_photon_map_is_bit_identical():
     for name, a, b in zip(pm._fields, pm, pm_ref):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
                                       err_msg=name)
+
+
+@pytest.mark.nightly
+def test_sharded_cf_pipeline_caustics_interpret():
+    """The channel-first PALLAS shard path with caustics ON (interpret
+    mode): per-device photon slices (jnp fallback — 2048 isn't
+    tile-shaped), all_gather, pallas gather kernel per shard. Bounded
+    mismatch vs the single-device CF pipeline: the single-device map is
+    traced by the PALLAS tracer (4096 is tile-shaped) whose photon fates
+    differ from the jnp oracle on ~0.5% of photons at discrete
+    boundaries, on top of the usual 1-ULP acceptance flips."""
+    from raytracevs_tpu.ops.render_cf import render_rows_cf
+    from raytracevs_tpu.parallel.tiles import make_mesh, render_pipeline_sharded
+    from raytracevs_tpu.post import composite as composite_mod
+    from raytracevs_tpu.post import tonemap
+
+    scene = _caustic_scene()
+    scene.settings.enable_denoiser = False
+    W, H = 128, 64  # megakernel tiles are 32 rows: 2 shards of 32 rows
+    flat = flatten_scene(scene, aspect=W / H)
+    cfg = make_config(scene, W, H, num_photons=4096)
+    mesh = make_mesh(jax.devices()[:2])
+
+    rgba_m, hdr_m, rays_m, _gb, _st, _dn = render_pipeline_sharded(
+        flat, cfg, mesh, denoise_state=None, backend="pallas",
+        interpret=True)
+
+    out = render_rows_cf(flat, cfg, jnp.int32(0), H, backend="pallas",
+                         interpret=True)
+    color01 = composite_mod.composite_cf(
+        out.gbuffer, out.raw_specular, flat.exposure,
+        flat.tone_map_operator, flat.gamma, use_denoised=False)
+    rgba_s = tonemap.to_rgba8_cf(color01)
+    d = np.abs(np.asarray(rgba_m).astype(np.int32)
+               - np.asarray(rgba_s).astype(np.int32)).max(axis=-1)
+    assert (d > 2).mean() < 0.02
+    # caustics actually contribute on the sharded path
+    base = make_config(scene, W, H)
+    rgba_off, *_ = render_pipeline_sharded(
+        flat, base, mesh, denoise_state=None, backend="pallas",
+        interpret=True)
+    assert np.abs(np.asarray(rgba_m).astype(np.int32)
+                  - np.asarray(rgba_off).astype(np.int32)).sum() > 0
 
 
 def test_sharded_pipeline_caustics_matches_single_device():
