@@ -40,6 +40,37 @@ BASELINE_MRAYS = 200.0
 SCENE = os.environ.get("BENCH_SCENE", "/root/reference/sample_scene.rtvs")
 
 
+def _device_watchdog() -> bool:
+    """Fail fast (with an honest JSON line) instead of hanging forever when
+    the TPU plugin can't reach its backend: jax.devices() blocks
+    indefinitely inside PJRT init during dev-tunnel outages (observed
+    2026-08-18), which would stall the whole bench run. Returns True when
+    a device answered within BENCH_DEVICE_TIMEOUT_S (default 900 s —
+    first tunnel contact legitimately takes minutes)."""
+    import threading
+
+    ready = threading.Event()
+
+    def touch():
+        import jax
+
+        jax.devices()
+        ready.set()
+
+    threading.Thread(target=touch, daemon=True).start()
+    if ready.wait(timeout=float(os.environ.get("BENCH_DEVICE_TIMEOUT_S", "900"))):
+        return True
+    print(json.dumps({
+        "metric": "Mrays/s/chip on sample_scene.rtvs",
+        "value": 0.0,
+        "unit": "Mrays/s",
+        "vs_baseline": 0.0,
+        "error": "accelerator unreachable: jax.devices() timed out "
+                 "(tunnel/PJRT init hang, not a renderer failure)",
+    }))
+    return False
+
+
 def _bench_config(engine, cfg, backend, reps, batch=8):
     """Time the full engine pipeline (denoise included when cfg says so).
 
@@ -230,6 +261,9 @@ def main():
     width = int(os.environ.get("BENCH_WIDTH", 1920))
     height = int(os.environ.get("BENCH_HEIGHT", 1088))  # tile-aligned 1080p
     frames = int(os.environ.get("BENCH_FRAMES", 4))
+
+    if not _device_watchdog():
+        return 1
 
     from raytracevs_tpu.runtime.engine import Engine, _pick_backend
     from raytracevs_tpu.scene.flatten import make_config
