@@ -160,24 +160,23 @@ def _big_mesh_engine(width, height, rings=316, segs=316):
         bounds_max=np.array([0.9, 0.9, 0.9]),
     ))
     scene = SceneData()
-    import numpy as _np
-    scene.camera.position = _np.array([0.0, 1.2, -3.0])
-    scene.camera.look_at = _np.array([0.0, 0.8, 0.0])
+    scene.camera.position = np.array([0.0, 1.2, -3.0])
+    scene.camera.look_at = np.array([0.0, 0.8, 0.0])
     scene.settings.samples_per_pixel = 1
     scene.settings.max_bounces = 6
     scene.settings.enable_denoiser = False
     scene.objects += [
         MeshObjectData(mesh_name="BigSphere",
                        material=MaterialData(
-                           base_color=_np.array([0.8, 0.5, 0.3, 1.0]),
+                           base_color=np.array([0.8, 0.5, 0.3, 1.0]),
                            roughness=0.5)),
         PlaneData(),
     ]
     scene.lights += [
-        LightData(type=LightType.POINT, position=_np.array([3.0, 5.0, -3.0]),
+        LightData(type=LightType.POINT, position=np.array([3.0, 5.0, -3.0]),
                   intensity=10.0),
         LightData(type=LightType.AMBIENT,
-                  color=_np.array([0.3, 0.3, 0.3, 1.0])),
+                  color=np.array([0.3, 0.3, 0.3, 1.0])),
     ]
     engine = Engine(width, height, mesh_service=ms)
     engine.update_scene(scene)

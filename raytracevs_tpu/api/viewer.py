@@ -243,16 +243,21 @@ function startNodeDrag(ev, n) {
                      .map(m => ({id: m.id, x: m.x, y: m.y}))};
   renderCanvas();
 }
-function startConnect(ev, n, s, isInput) {
-  ev.stopPropagation(); ev.preventDefault();
-  drag = {kind: 'conn', node: n, sock: s, isInput: isInput, pos: svgPoint(ev)};
-  // highlight type-compatible drop targets (ConnectionHandler.cs:342-354)
+function markCompat(n, s, isInput) {
+  // highlight type-compatible drop targets (ConnectionHandler.cs:342-354);
+  // must be re-applied after every renderCanvas() during the drag (the
+  // canvas rebuild recreates the socket elements without the class)
   for (const c of document.querySelectorAll('.sock')) {
     if (c.getAttribute('data-input') === (isInput ? '0' : '1') &&
         c.getAttribute('data-node') !== n.id &&
         compatible(c.getAttribute('data-type'), s.type))
       c.classList.add('compat');
   }
+}
+function startConnect(ev, n, s, isInput) {
+  ev.stopPropagation(); ev.preventDefault();
+  drag = {kind: 'conn', node: n, sock: s, isInput: isInput, pos: svgPoint(ev)};
+  markCompat(n, s, isInput);
 }
 const svg = document.getElementById('graphsvg');
 svg.addEventListener('mousedown', ev => {
@@ -294,6 +299,7 @@ document.addEventListener('mousemove', ev => {
   } else if (drag.kind === 'conn') {
     drag.pos = svgPoint(ev);
     renderCanvas();
+    markCompat(drag.node, drag.sock, drag.isInput);
     const a = drag.isInput ? drag.pos
             : sockPos(drag.node, drag.sock.name, false);
     const b = drag.isInput ? sockPos(drag.node, drag.sock.name, true)
@@ -371,14 +377,20 @@ function delSelected() {
   if (!sel.size) return;
   cmd('op=delnodes&nodes=' + [...sel].join(','));
   sel = new Set();
+  propsNode = null;
   document.getElementById('props').style.display = 'none';
   document.getElementById('apply').style.display = 'none';
   document.getElementById('delnode').style.display = 'none';
   document.getElementById('seltitle').textContent = '';
 }
+let propsNode = null;  // the node whose properties the panel displays —
+                       // NOT [...sel][0]: with shift-multi-select the
+                       // displayed node is the last clicked, and apply
+                       // must edit exactly that one
 function showProps(id) {
   const n = graph.nodes.find(n => n.id === id);
   if (!n) return;
+  propsNode = id;
   document.getElementById('seltitle').textContent = 'edit: ' + n.title;
   const ta = document.getElementById('props');
   ta.style.display = 'block';
@@ -387,9 +399,10 @@ function showProps(id) {
   document.getElementById('delnode').style.display = 'inline';
 }
 async function applyProps() {
+  if (!propsNode) return;
   const ta = document.getElementById('props');
   try { JSON.parse(ta.value); } catch (e) { alert('bad JSON: ' + e); return; }
-  await cmd('op=setprop&node=' + [...sel][0] +
+  await cmd('op=setprop&node=' + propsNode +
             '&props=' + encodeURIComponent(ta.value));
 }
 document.addEventListener('keydown', (e) => {

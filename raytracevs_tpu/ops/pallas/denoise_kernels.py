@@ -56,12 +56,19 @@ MAX_FAST_FRAMES = 4.0  # NRDDenoiser.cpp:871
 RESIDUAL_LIMIT = 0.75  # px deviation from the tile-mean motion
 
 
+def reproject_tile_rows() -> int:
+    """Configured reproject tile height (RTVS_REPROJ_TH). The sharded CF
+    path sizes its temporal halo to a multiple of this (post/denoise.py
+    _temporal_halo_cf) so halo rows tile exactly."""
+    return int(os.environ.get("RTVS_REPROJ_TH", "8"))
+
+
 def _tile_sizes(height: int, width: int):
     # Tile = the motion-quantization granule AND the DMA granule. Bigger
     # tiles halve the program/DMA count (the kernel reads a 2x2 block
     # window = 4x the state per program regardless of size) at the cost
     # of coarser tile-mean motion.
-    th = int(os.environ.get("RTVS_REPROJ_TH", "8"))
+    th = reproject_tile_rows()
     tw = 384 if width % 384 == 0 else 128
     if height % th or width % tw or height < 2 * th or width < 2 * tw:
         return None

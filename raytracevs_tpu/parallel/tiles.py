@@ -127,10 +127,10 @@ def render_frame_sharded(scene: FlatScene, cfg: RenderConfig, mesh: Optional[Mes
     return _render_sharded(scene, cfg, mesh, backend)
 
 
-@partial(jax.jit, static_argnums=(1, 2, 3, 5))
+@partial(jax.jit, static_argnums=(1, 2, 3, 5, 6))
 def _render_pipeline_sharded(scene: FlatScene, cfg: RenderConfig, mesh: Mesh,
                              backend: str, denoise_state,
-                             interpret: bool = False):
+                             interpret: bool = False, want_aux: bool = True):
     """Full frame pipeline under shard_map: render + denoise (halo-row
     collectives) + composite, rows sharded over the mesh.
 
@@ -185,7 +185,7 @@ def _render_pipeline_sharded(scene: FlatScene, cfg: RenderConfig, mesh: Mesh,
             def ln(a):
                 return a.transpose(1, 2, 0).reshape(-1, a.shape[0])
 
-            denoised = (ln(dd), ln(ds), ln(dsh))
+            denoised = (ln(dd), ln(ds), ln(dsh)) if want_aux else None
         else:
             new_state = state_slab
             denoised = None
@@ -195,6 +195,11 @@ def _render_pipeline_sharded(scene: FlatScene, cfg: RenderConfig, mesh: Mesh,
                 use_denoised=False,
             )
         rgba = tonemap.to_rgba8_cf(color01)
+        if not want_aux:
+            # streaming/bench contract: only the image + ray count
+            # materialize — skip the lane-G-buffer/HDR interleave the CF
+            # path exists to avoid (engine._render_pipeline_cf analog)
+            return rgba, None, out.rays.reshape(1), None, new_state, None
         hdr = out.color.transpose(1, 2, 0)
         return (rgba, hdr, out.rays.reshape(1),
                 lane_gbuffer_from_cf(out.gbuffer), new_state, denoised)
@@ -226,6 +231,10 @@ def _render_pipeline_sharded(scene: FlatScene, cfg: RenderConfig, mesh: Mesh,
                 use_denoised=False,
             )
         rgba = tonemap.to_rgba8(color01).reshape(rows_per, cfg.width, 4)
+        if not want_aux:
+            # same contract as shard_fn_cf (the lane aux is cheap here, but
+            # the output pytree must match the shared out_specs)
+            return rgba, None, out.rays.reshape(1), None, new_state, None
         hdr = out.color.reshape(rows_per, cfg.width, 3)
         return (rgba, hdr, out.rays.reshape(1), out.gbuffer,
                 new_state, denoised)
@@ -239,28 +248,34 @@ def _render_pipeline_sharded(scene: FlatScene, cfg: RenderConfig, mesh: Mesh,
     else:
         state_specs = jax.tree_util.tree_map(lambda _: sharded, denoise_state)
     denoised_specs = ((sharded, sharded, sharded)
-                      if (cfg.enable_denoiser and denoise_state is not None)
+                      if (want_aux and cfg.enable_denoiser
+                          and denoise_state is not None)
                       else None)
     specs_in = jax.tree_util.tree_map(lambda _: P(), scene)
-    gb = _gbuffer_spec()
+    gb = _gbuffer_spec() if want_aux else None
+    hdr_spec = sharded if want_aux else None
     return shard_map(
         shard_fn_cf if use_cf else shard_fn,
         mesh=mesh,
         in_specs=(specs_in, state_specs),
-        out_specs=(sharded, sharded, sharded, gb, state_specs, denoised_specs),
+        out_specs=(sharded, hdr_spec, sharded, gb, state_specs,
+                   denoised_specs),
         check_vma=False,
     )(scene, denoise_state)
 
 
 def render_pipeline_sharded(scene: FlatScene, cfg: RenderConfig,
                             mesh: Optional[Mesh] = None, denoise_state=None,
-                            backend: str = "auto", interpret: bool = False):
+                            backend: str = "auto", interpret: bool = False,
+                            want_aux: bool = True):
     """Engine-level multi-chip frame: returns (rgba[H,W,4]u8, hdr[H,W,3],
     rays[n_dev], gbuffer, new_state, denoised) with rows sharded.
 
     cfg.height must divide by the device count; the megakernel additionally
     needs 32-row-aligned shards (backend='auto' falls back to jnp
-    otherwise).
+    otherwise). `want_aux=False` (streaming/bench) skips the hdr/gbuffer/
+    denoised aux outputs — None in those slots — avoiding the per-shard
+    lane-interleave of surfaces nobody reads.
     """
     if mesh is None:
         mesh = make_mesh()
@@ -284,4 +299,4 @@ def render_pipeline_sharded(scene: FlatScene, cfg: RenderConfig,
         # field layout the lane shard path carries
         denoise_state = denoise_mod._state_cf_to_fields(denoise_state)
     return _render_pipeline_sharded(scene, cfg, mesh, backend, denoise_state,
-                                    interpret)
+                                    interpret, want_aux)

@@ -495,8 +495,28 @@ def _denoise_frame_pallas(gbuffer, height: int, width: int, state: DenoiserState
 # bit-equal to the single-device denoiser.
 
 # History halo: the reprojection gather reaches at most MV_CLAMP_PIXELS rows
-# plus the bilinear +1 tap; 72 (a sublane multiple) covers 64 + 1.
+# plus the bilinear +1 tap; 72 (a sublane multiple) covers 64 + 1. This
+# constant serves the per-pixel lane path; the CF Pallas path derives its
+# halo from the reproject tile height (_temporal_halo_cf below).
 TEMPORAL_HALO = 72
+
+
+def _temporal_halo_cf() -> int:
+    """Reprojection halo for the sharded CF (Pallas) path: covers the 64-row
+    MV clamp + bilinear tap (65), rounded up to a multiple of BOTH the
+    sublane count (8) and the reproject tile height. Tile alignment is a
+    correctness condition, not a nicety: a tile straddling zero-padded halo
+    rows and real rows would average zeros into its tile-mean motion,
+    pushing |mv - off| past RESIDUAL_LIMIT and silently rejecting valid
+    history on the first kept rows of every non-top shard (e.g. the
+    documented RTVS_REPROJ_TH=16 override; default th=8 yields 72)."""
+    import math
+
+    from ..ops.pallas import denoise_kernels as dk
+
+    th = dk.reproject_tile_rows()
+    step = 8 * th // math.gcd(8, th)
+    return -(-65 // step) * step
 # The a-trous passes exchange per-pass halos of their own stride (1, 2, 4):
 # replicating the CURRENT pass input at the image boundary is exactly the
 # whole-frame filter's jnp.pad(mode='edge') — a one-shot input halo is not
@@ -564,7 +584,7 @@ def sharded_cf_supported(rows: int, width: int) -> bool:
     from ..ops.pallas import denoise_kernels as dk
 
     return (rows % 8 == 0
-            and dk.reproject_supported(rows + 2 * TEMPORAL_HALO, width)
+            and dk.reproject_supported(rows + 2 * _temporal_halo_cf(), width)
             and dk.stencil_supported(rows + 2 * _SPATIAL_HALO_CF, width))
 
 
@@ -607,7 +627,7 @@ def denoise_frame_sharded_cf(gbuf_cf, state: DenoiserStateCF, axis_name: str,
     assert isinstance(state, DenoiserStateCF)
     rows, width = gbuf_cf.view_z.shape
     row0 = jax.lax.axis_index(axis_name) * rows
-    halo = TEMPORAL_HALO
+    halo = _temporal_halo_cf()
 
     packed_ext = exchange_row_halo(state.packed, halo, axis_name, n_shards,
                                    axis=1)

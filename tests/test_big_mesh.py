@@ -102,6 +102,7 @@ def test_big_mesh_megakernel_matches_jnp():
     )
 
 
+@pytest.mark.nightly
 def test_packed_node_table_matches_flat(monkeypatch):
     """Dense-packed node rows (8 nodes/128-lane row, used past
     _NODE_PACK_MB) must traverse identically to the flat [Nn,16] layout.

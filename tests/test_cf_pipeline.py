@@ -17,7 +17,11 @@ from raytracevs_tpu.post import denoise as denoise_mod
 from raytracevs_tpu.post import tonemap
 from raytracevs_tpu.runtime.engine import Engine
 
-W, H = 256, 64  # small but reproject/stencil-supported (w%128, h%8)
+W, H = 256, 32  # smallest reproject/stencil-supported size (w%128 and
+                # w>=2*128 for the reproject block window; h%8, h>=2*th,
+                # one 32-row megakernel tile) — the module fixture runs TWO
+                # interpret-mode megakernel renders, so rows are the suite's
+                # runtime
 
 
 @pytest.fixture(scope="module")

@@ -10,6 +10,8 @@ import os
 import subprocess
 import sys
 
+import pytest
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -25,6 +27,7 @@ def test_dryrun_multichip_inprocess():
         sys.path.remove(REPO)
 
 
+@pytest.mark.nightly
 def test_dryrun_multichip_self_provisions_like_driver():
     # Simulate the driver host: JAX pre-initialized with ONE device before
     # dryrun_multichip is called. The dry run must still succeed by

@@ -133,6 +133,7 @@ def test_pallas_photon_gather_matches_jnp():
     assert np.abs(pal0).max() == 0.0
 
 
+@pytest.mark.nightly
 def test_pallas_photon_trace_matches_jnp():
     """The Pallas photon-trace tile kernel follows the jnp bounce loop
     photon-for-photon (interpret mode). The RR chain is keyed on

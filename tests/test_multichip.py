@@ -66,6 +66,7 @@ def test_height_divisibility_guard():
         render_frame_sharded(flat, cfg, make_mesh())
 
 
+@pytest.mark.nightly
 def test_sharded_full_pipeline_matches_single_device():
     """Engine-level multi-chip: render + DENOISE (halo-row ppermute
     collectives) + composite under shard_map equals the single-device
@@ -105,6 +106,7 @@ def test_sharded_full_pipeline_matches_single_device():
         assert len(rgba_m.addressable_shards) == 8
 
 
+@pytest.mark.nightly
 def test_sharded_megakernel_interpret():
     """The PALLAS megakernel under shard_map (interpret mode on the CPU
     mesh): the sharded TPU fast path executes and matches the jnp oracle."""
@@ -224,6 +226,7 @@ def test_sharded_cf_denoise_matches_single_device(monkeypatch):
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.nightly
 def test_sharded_cf_pipeline_denoiser_off_interpret():
     """Denoiser-off pallas frames take the channel-first shard path (the
     single-device gate mirrored in tiles._render_pipeline_sharded): the
@@ -258,3 +261,44 @@ def test_sharded_cf_pipeline_denoiser_off_interpret():
     np.testing.assert_array_equal(
         np.asarray(hdr_m), np.asarray(out.color.transpose(1, 2, 0)))
     assert int(np.asarray(rays_m).sum()) > 0
+
+
+def test_temporal_halo_cf_aligns_to_reproject_tiles(monkeypatch):
+    """The CF sharded path's history halo must be a multiple of the
+    reproject tile height: a tile straddling zero-padded and real motion
+    rows would dilute its tile-mean motion and reject valid history on the
+    first kept rows of every non-top shard."""
+    from raytracevs_tpu.post import denoise as denoise_mod
+
+    monkeypatch.delenv("RTVS_REPROJ_TH", raising=False)
+    assert denoise_mod._temporal_halo_cf() == 72  # default th=8
+    monkeypatch.setenv("RTVS_REPROJ_TH", "16")
+    assert denoise_mod._temporal_halo_cf() == 80  # covers 65, %16 == 0
+
+
+def test_sharded_pipeline_want_aux_false_matches_and_skips_aux():
+    """want_aux=False (streaming/bench contract) must return the identical
+    image + rays with None hdr/gbuffer/denoised slots."""
+    from raytracevs_tpu.parallel.tiles import render_pipeline_sharded
+    from raytracevs_tpu.post import denoise as denoise_mod
+
+    scene = _scene()
+    scene.settings.enable_denoiser = True
+    W, H = 64, 64
+    flat = flatten_scene(scene, aspect=W / H)
+    cfg = make_config(scene, W, H)
+    mesh = make_mesh()
+
+    st_a = denoise_mod.init_state(H, W)
+    st_b = denoise_mod.init_state(H, W)
+    rgba_a, hdr_a, rays_a, gb_a, st_a, den_a = render_pipeline_sharded(
+        flat, cfg, mesh, st_a, backend="jnp")
+    rgba_b, hdr_b, rays_b, gb_b, st_b, den_b = render_pipeline_sharded(
+        flat, cfg, mesh, st_b, backend="jnp", want_aux=False)
+    assert hdr_b is None and gb_b is None and den_b is None
+    assert hdr_a is not None and gb_a is not None and den_a is not None
+    np.testing.assert_array_equal(np.asarray(rgba_b), np.asarray(rgba_a))
+    assert float(np.asarray(rays_b).sum()) == float(np.asarray(rays_a).sum())
+    for a, b in zip(jax.tree_util.tree_leaves(st_a),
+                    jax.tree_util.tree_leaves(st_b)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -77,6 +77,7 @@ def test_emit_slice_matches_full_rows():
         np.testing.assert_array_equal(np.asarray(f)[256:768], np.asarray(p))
 
 
+@pytest.mark.nightly
 def test_sharded_photon_map_is_bit_identical():
     """_sharded_photon_map under shard_map (slice trace + all_gather +
     replicated hash build) equals the single-device PhotonMap bit for
@@ -151,6 +152,7 @@ def test_sharded_cf_pipeline_caustics_interpret():
                   - np.asarray(rgba_off).astype(np.int32)).sum() > 0
 
 
+@pytest.mark.nightly
 def test_sharded_pipeline_caustics_matches_single_device():
     """The full sharded pipeline with caustics ON renders the same frame
     as the single-device pipeline. The photon MAP is bit-identical (test
