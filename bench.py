@@ -29,7 +29,11 @@ Timing forces the COMPLETE pipeline by fetching an on-device checksum of
 the final RGBA8 image — a scalar, so the measurement reflects chip compute,
 not the development tunnel's host-transfer bandwidth. (In this dev
 environment the TPU is reached through a socket tunnel whose ~5 MB/s
-readback would otherwise dominate; production readback is PCIe.)
+readback would otherwise dominate; production readback is PCIe.) Each
+measurement scans `batch` frames per dispatch and subtracts the separately
+measured dispatch+fetch round-trip floor (`_tunnel_floor`, reported as
+tunnel_floor_ms) — validated by two-point batch extrapolation in
+scripts/probe_batch_floor.py.
 """
 import json
 import os
@@ -71,13 +75,49 @@ def _device_watchdog() -> bool:
     return False
 
 
-def _bench_config(engine, cfg, backend, reps, batch=8):
+_FLOOR_FN = None
+
+
+def _tunnel_floor(reps=6):
+    """Measured dispatch+fetch round-trip floor of the dev tunnel.
+
+    A jitted scalar add + host fetch does no renderer work, so its wall
+    time IS the per-measurement floor (~25 ms over the dev tunnel; ~0 on
+    local hardware). Measured fresh before each config so tunnel drift
+    within a long bench run doesn't skew the subtraction. Validated by a
+    two-point batch extrapolation (scripts/probe_batch_floor.py): the
+    fast-1080p per-frame time drops by exactly floor*(1/8 - 1/32) going
+    batch 8 -> 32, i.e. the old batch-8 numbers carried ~3 ms/frame of
+    pure measurement artifact.
+    """
+    global _FLOOR_FN
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    if _FLOOR_FN is None:
+        g = jax.jit(lambda s: s + 1.0)
+        x = jnp.float32(1.0)
+        float(np.asarray(g(x)))  # compile + first-contact warmup
+        _FLOOR_FN = (g, x)
+    g, x = _FLOOR_FN
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(np.asarray(g(x)))
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
+def _bench_config(engine, cfg, backend, reps, batch=16):
     """Time the full engine pipeline (denoise included when cfg says so).
 
     `batch` frames run inside ONE jitted lax.scan per measurement with a
-    single scalar fetch: the dev tunnel's dispatch+readback round trip
-    costs ~26 ms, which would otherwise dominate every per-frame number
-    (production dispatch is local and pipelined).
+    single scalar fetch, and the separately measured dispatch+fetch floor
+    (`_tunnel_floor`) is subtracted before dividing: the dev tunnel's
+    round trip costs ~25 ms, which would otherwise add floor/batch
+    (~1.5 ms at batch 16) to every per-frame number (production dispatch
+    is local and pipelined).
     """
     import jax
     import jax.numpy as jnp
@@ -107,6 +147,7 @@ def _bench_config(engine, cfg, backend, reps, batch=8):
     cks, rays, state = f(flat, state0, jnp.int32(0))
     float(np.asarray(cks))  # warmup: compile + tunnel
 
+    floor_s = _tunnel_floor()
     times = []
     ray_counts = []
     for r in range(reps):
@@ -116,7 +157,13 @@ def _bench_config(engine, cfg, backend, reps, batch=8):
         times.append(time.perf_counter() - start)
         ray_counts.append(float(np.asarray(rays)) / batch)
 
-    best_s = min(times) / batch
+    # Subtract the measured per-measurement floor. Guard: never subtract
+    # more than half the batch time (a floor estimate that large means the
+    # tunnel glitched mid-config — report the raw division instead).
+    best_total = min(times)
+    if floor_s < 0.5 * best_total:
+        best_total -= floor_s
+    best_s = best_total / batch
     mean_rays = sum(ray_counts) / len(ray_counts)
     return best_s, mean_rays
 
@@ -285,6 +332,7 @@ def main():
         "spp": engine._cfg.samples_per_pixel,
         "max_bounces": engine._cfg.max_bounces,
         "backend": backend,
+        "tunnel_floor_ms": round(_tunnel_floor() * 1000.0, 2),
     }
 
     # 2) DEFAULT pipeline: denoiser ON (the data.py default) — full frame
