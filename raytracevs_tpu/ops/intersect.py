@@ -307,8 +307,13 @@ def trace_shadow(scene, origin, direction, max_dist):
     all_t = jnp.concatenate(parts, axis=1)  # [N,M]
     hit_mask = all_t < _BIG * 0.5
 
-    transmission = scene.mat_transmission[None, :]  # [1,M]
-    absorption = scene.mat_absorption[None, :, :]  # [1,M,3]
+    # The combined material table is spheres ++ planes ++ boxes ++ mesh
+    # instances (scene/flatten.py m_cap); only the analytic prefix pairs
+    # with `all_t` here — instance shadowing folds in via
+    # _merge_mesh_shadow below.
+    n_analytic = all_t.shape[1]
+    transmission = scene.mat_transmission[None, :n_analytic]  # [1,M]
+    absorption = scene.mat_absorption[None, :n_analytic, :]  # [1,M,3]
     opaque = hit_mask & (transmission < 0.01)
     blocked = jnp.any(opaque, axis=1)
 

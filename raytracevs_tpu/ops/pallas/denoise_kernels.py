@@ -574,7 +574,16 @@ def atrous(img, view_z, normal, passes: int = 3, interpret: bool = False,
     """
     nch = img.shape[0]
 
-    if _ATROUS_FUSED:
+    # The fused kernel's shrinking-extent math needs the first pass's
+    # extent start th - sum(strides[1:]) to clear its own stride:
+    # th - need[0] - strides[0] >= 0. With th >= 8 (_windowed_call's
+    # minimum band) that holds for passes <= 3 (8 - 6 - 1 = 1) and wraps
+    # slices (silent corruption) at passes >= 4 (8 - 14 < 0) — route
+    # larger pass counts through the exact per-pass kernels instead.
+    strides = [1 << p for p in range(passes)]
+    fused_ok = 8 - sum(strides[1:]) - strides[0] >= 0
+
+    if _ATROUS_FUSED and fused_ok:
         packed = jnp.concatenate([img, view_z[None], normal], axis=0)
         if storage_dtype is not None:
             packed = packed.astype(storage_dtype)
@@ -591,7 +600,8 @@ def atrous(img, view_z, normal, passes: int = 3, interpret: bool = False,
         return _windowed_call(kernel, nch + 4, nch, packed, interpret,
                               vmem_limit_bytes=100 << 20, bpe=1030)
 
-    # Unfused fallback (RTVS_ATROUS_FUSED=0): one windowed call per pass —
+    # Unfused fallback (RTVS_ATROUS_FUSED=0, or passes >= 4 where the
+    # fused extents would underflow): one windowed call per pass —
     # 3x the stencil DMA/launches, but a ~3x smaller in-kernel working set.
     out = img
     for p in range(passes):

@@ -302,13 +302,17 @@ class Engine:
         FBX mesh names resolve against Resource/Model next to the scene file
         (the reference scans the application's Resource/Model directory,
         MeshCacheService.cs:54-72); FBX nodes whose mesh is missing from the
-        cache are dropped at load (SceneFileService.cs:52-62).
+        cache are dropped at load (SceneFileService.cs:52-62). The
+        RAYTRACEVS_MODEL_PATH environment variable overrides the model
+        directory, mirroring the reference's RAYTRACEVS_SHADER_PATH tier
+        (DXRPipeline.cpp:191-342).
         """
         import os
 
         if self.mesh_service is None:
             scene_dir = os.path.dirname(os.path.abspath(path))
             for candidate in (
+                os.environ.get("RAYTRACEVS_MODEL_PATH", ""),
                 os.path.join(scene_dir, "Resource", "Model"),
                 os.path.join(scene_dir, "Model"),
             ):

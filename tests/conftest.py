@@ -27,6 +27,33 @@ def sample_scene_path():
     return "/root/reference/sample_scene.rtvs"
 
 
+def analytic_scene_file() -> str:
+    """sample_scene.rtvs minus its FBX nodes (cached in the tmp dir).
+
+    The canonical scene now renders WITH its 5.9k-triangle wine glass
+    (round-4 mesh wiring), which makes every interpret/oracle-mode render
+    of it minutes-slow on CPU. Tests whose subject is NOT the mesh path
+    (CF layout, parity smoke, goldens, viewer plumbing) use this analytic
+    subset — mesh rendering has its own dedicated suites
+    (test_big_mesh/test_megakernel mesh cases), and the full scene stays
+    covered by test_rtvs/test_cli and the nightly parity sweep."""
+    import json
+    import tempfile
+
+    path = os.path.join(tempfile.gettempdir(), "rtvs_sample_analytic.rtvs")
+    with open("/root/reference/sample_scene.rtvs") as f:
+        doc = json.load(f)
+    doc["Nodes"] = [n for n in doc["Nodes"] if "FBX" not in n.get("Type", "")]
+    with open(path, "w") as f:
+        json.dump(doc, f)
+    return path
+
+
+@pytest.fixture(scope="session")
+def analytic_scene_path():
+    return analytic_scene_file()
+
+
 def wine_glass_scene():
     """The canonical mesh+glass test scene (also the bench mesh workload):
     a 5.9k-triangle WineGlass.fbx as ior-1.05 glass over a checker plane."""

@@ -38,8 +38,10 @@ def _parity_for(config_name, res):
     from raytracevs_tpu.utils.ssim import ssim
 
     if config_name == "config0_sample_scene":
+        from conftest import analytic_scene_file
+
         engine = Engine(res, res)
-        engine.load_rtvs("/root/reference/sample_scene.rtvs",
+        engine.load_rtvs(analytic_scene_file(),
                          samples_per_pixel=2, max_bounces=6)
     else:
         engine = _engine_for(config_name, res=res)

@@ -26,8 +26,10 @@ W, H = 256, 32  # smallest reproject/stencil-supported size (w%128 and
 
 @pytest.fixture(scope="module")
 def frames():
+    from conftest import analytic_scene_file
+
     eng = Engine(W, H)
-    eng.load_rtvs("/root/reference/sample_scene.rtvs", samples_per_pixel=1,
+    eng.load_rtvs(analytic_scene_file(), samples_per_pixel=1,
                   max_bounces=4, enable_denoiser=True)
     flat, cfg = eng._flat, eng._cfg
     out_l = render_rows(flat, cfg, jnp.int32(0), H, backend="pallas",

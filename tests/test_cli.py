@@ -21,13 +21,13 @@ def test_cli_missing_scene_errors(tmp_path):
     assert rc == 1
 
 
-def test_cli_orbit_animation_writes_frames(tmp_path, sample_scene_path):
+def test_cli_orbit_animation_writes_frames(tmp_path, analytic_scene_path):
     """--orbit + --save-frames: a 3-frame camera orbit writes one PNG per
     frame; consecutive frames differ (the camera really moved) and the
     engine's temporal history is carried, not reset (geometry checksum
     excludes the camera)."""
     outdir = tmp_path / "anim"
-    rc = cli.main([sample_scene_path, "-o", str(tmp_path / "last.png"),
+    rc = cli.main([analytic_scene_path, "-o", str(tmp_path / "last.png"),
                    "-W", "32", "-H", "32", "--spp", "1", "--bounces", "2",
                    "--frames", "3", "--orbit", "12", "--denoise",
                    "--save-frames", str(outdir), "--json"])

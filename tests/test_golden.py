@@ -151,8 +151,10 @@ def _render(config_name):
     if config_name == "config0_sample_scene":
         from raytracevs_tpu import Engine
 
+        from conftest import analytic_scene_file
+
         engine = Engine(RES, RES)
-        engine.load_rtvs("/root/reference/sample_scene.rtvs",
+        engine.load_rtvs(analytic_scene_file(),
                          samples_per_pixel=2, max_bounces=6)
         return engine.render()
     engine = _engine_for(config_name)

@@ -27,6 +27,30 @@ def test_dryrun_multichip_inprocess():
         sys.path.remove(REPO)
 
 
+def test_dryrun_multichip_self_provisions_smoke():
+    # Fast-tier guard on the graded driver contract (the full 8-device
+    # variant is nightly): JAX pre-initialized with ONE device, dryrun
+    # must re-exec itself with a forced 2-device virtual CPU platform.
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    env["JAX_PLATFORMS"] = "cpu"
+    # the smoke guards the re-exec mechanics; the CF pallas leg is covered
+    # by test_dryrun_multichip_inprocess and the nightly driver variant
+    env["RTVS_DRYRUN_SKIP_CF"] = "1"
+    code = (
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "assert len(jax.devices()) == 1\n"
+        "import __graft_entry__ as g\n"
+        "g.dryrun_multichip(2)\n"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code], env=env, cwd=REPO,
+        capture_output=True, text=True, timeout=1200,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+
+
 @pytest.mark.nightly
 def test_dryrun_multichip_self_provisions_like_driver():
     # Simulate the driver host: JAX pre-initialized with ONE device before

@@ -13,8 +13,8 @@ from raytracevs_tpu.ops.render import render_rows
 
 
 @pytest.fixture(scope="module")
-def sample_flat(sample_scene_path):
-    scene = sanitize_scene(evaluate_scene(load_graph(sample_scene_path)))
+def sample_flat(analytic_scene_path):
+    scene = sanitize_scene(evaluate_scene(load_graph(analytic_scene_path)))
     return scene, flatten_scene(scene)
 
 

@@ -302,3 +302,40 @@ def test_sharded_pipeline_want_aux_false_matches_and_skips_aux():
     for a, b in zip(jax.tree_util.tree_leaves(st_a),
                     jax.tree_util.tree_leaves(st_b)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.nightly
+def test_sharded_cf_want_aux_false_matches_and_skips_aux():
+    """The CF shard branch's want_aux=False early return (tiles.py
+    shard_fn_cf) with its None out_specs slots — interpret-mode Pallas on
+    a 2-device mesh (megakernel shards must be 32-row multiples; the
+    8-device variant would need H=256, nightly-class cost), fast-tier
+    (ADVICE r3)."""
+    from raytracevs_tpu.parallel.tiles import render_pipeline_sharded
+    from raytracevs_tpu.post import denoise as denoise_mod
+
+    scene = _scene()
+    scene.settings.enable_denoiser = True
+    scene.settings.max_bounces = 2
+    W, H = 256, 64  # 2 shards x 32 megakernel rows; width >= 2 reproject tiles
+    flat = flatten_scene(scene, aspect=W / H)
+    cfg = make_config(scene, W, H)
+    mesh = make_mesh(jax.devices()[:2])
+    assert denoise_mod.sharded_cf_supported(H // 2, W)
+
+    st_a = denoise_mod.init_state_cf(H, W)
+    st_b = denoise_mod.init_state_cf(H, W)
+    rgba_a, hdr_a, rays_a, gb_a, st_a, den_a = render_pipeline_sharded(
+        flat, cfg, mesh, st_a, backend="pallas", interpret=True)
+    rgba_b, hdr_b, rays_b, gb_b, st_b, den_b = render_pipeline_sharded(
+        flat, cfg, mesh, st_b, backend="pallas", interpret=True,
+        want_aux=False)
+    # the CF path (not the lane demotion) must actually have run
+    assert isinstance(st_a, denoise_mod.DenoiserStateCF)
+    assert hdr_b is None and gb_b is None and den_b is None
+    assert hdr_a is not None and gb_a is not None and den_a is not None
+    np.testing.assert_array_equal(np.asarray(rgba_b), np.asarray(rgba_a))
+    assert float(np.asarray(rays_b).sum()) == float(np.asarray(rays_a).sum())
+    for a, b in zip(jax.tree_util.tree_leaves(st_a),
+                    jax.tree_util.tree_leaves(st_b)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -185,10 +185,11 @@ def test_scene_checksum_temporal_reset_semantics():
     assert eng._denoise_state is not None
 
 
-def test_sample_scene_renders(sample_scene_path):
+def test_sample_scene_renders(analytic_scene_path):
     eng = Engine(64, 64)
-    # Keep it cheap: cap spp via config override
-    eng.load_rtvs(sample_scene_path, samples_per_pixel=2)
+    # Keep it cheap: cap spp via config override (analytic subset; the
+    # full mesh-bearing scene renders through the CLI e2e test)
+    eng.load_rtvs(analytic_scene_path, samples_per_pixel=2)
     img = eng.render()
     assert img.shape == (64, 64, 4)
     rgb = img[..., :3].astype(float)

@@ -120,3 +120,41 @@ def test_fallback_path_without_scene_node():
     assert len(scene.spheres) == 1
     assert scene.spheres[0].radius == 2.0
     np.testing.assert_allclose(scene.camera.position, [0, 0, -9])
+
+
+def test_trace_recursion_depth_carried_but_dormant(sample_scene_path):
+    """trace_recursion_depth round-trips but never changes rendering —
+    bit-for-bit the reference's observable behavior: the scene value is
+    marshalled to the engine yet UpdateSceneData hard-codes
+    maxTraceRecursionDepth = 1 every frame (DXRPipeline.cpp:770), so the
+    RTPSO config (:2179) never sees it (docs/PARITY.md dormant table)."""
+    from raytracevs_tpu.scene.evaluator import evaluate_scene
+    from raytracevs_tpu.scene.flatten import make_config
+
+    scene = evaluate_scene(load_graph(sample_scene_path))
+    base = make_config(scene, 64, 64)
+    scene.settings.trace_recursion_depth = 31
+    assert make_config(scene, 64, 64) == base  # no rendering effect
+
+
+def test_default_engine_keeps_canonical_wine_glass(sample_scene_path):
+    """Missing-mesh regression guard (VERDICT r3 #1): a DEFAULT-constructed
+    Engine (no mesh_service argument — the bench/CLI/viewer path) must
+    render sample_scene.rtvs WITH its wine glass: the model dir
+    auto-resolves next to the scene file and the unshipped "WineGlass2"
+    asset reconstructs from WineGlass.fbx (io/mesh_cache.py)."""
+    from raytracevs_tpu.runtime.engine import Engine
+    from raytracevs_tpu.scene.data import MeshObjectData
+
+    eng = Engine(32, 32)
+    eng.load_rtvs(sample_scene_path, samples_per_pixel=1, max_bounces=2,
+                  enable_denoiser=False)
+    meshes = [o for o in eng._scene.objects if isinstance(o, MeshObjectData)]
+    assert len(meshes) == 1
+    assert meshes[0].mesh_name == "WineGlass2"
+    assert meshes[0].material.transmission == 1.0  # socket-driven glass BSDF
+    assert eng._flat.mesh is not None
+    assert int(eng._flat.mesh.mk_num_tris) >= 5904  # >= the FBX's triangles
+    # the reconstructed asset stands ~10 units along -Z (pre-transform)
+    bmin = eng.mesh_service.get_mesh("WineGlass2").bounds_min
+    assert bmin[2] < -9.0

@@ -14,7 +14,9 @@ def viewer():
     from raytracevs_tpu.api import viewer as V
 
     V.RESOLUTIONS = [(48, 48), (64, 64)]  # keep the res-cycle cheap in tests
-    state = V.ViewerState("/root/reference/sample_scene.rtvs", 48, 48,
+    from conftest import analytic_scene_file
+
+    state = V.ViewerState(analytic_scene_file(), 48, 48,
                           overrides={"samples_per_pixel": 1, "max_bounces": 3})
     server = V.make_server(state, port=0)  # ephemeral port
     t = threading.Thread(target=server.serve_forever, daemon=True)
