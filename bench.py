@@ -118,6 +118,13 @@ def _bench_config(engine, cfg, backend, reps, batch=16):
     round trip costs ~25 ms, which would otherwise add floor/batch
     (~1.5 ms at batch 16) to every per-frame number (production dispatch
     is local and pipelined).
+
+    The batch adapts to the config's measured single-frame cost: a
+    heavyweight config (the canonical scene's spp12 glass-mesh headline
+    runs seconds per frame) inside a 16-frame scan would exceed the TPU
+    runtime's execution watchdog and CRASH the worker process (observed:
+    ~86 s single dispatch -> 'TPU worker process crashed'). A one-frame
+    probe picks batch = clamp(20 s / frame, 1, batch) first.
     """
     import jax
     import jax.numpy as jnp
@@ -130,20 +137,38 @@ def _bench_config(engine, cfg, backend, reps, batch=16):
               if cfg.enable_denoiser else None)
     flat = engine._flat
 
-    def run(scene, st, start):
-        def step(carry, i):
-            s_i = scene._replace(frame_index=i.astype(jnp.uint32))
-            # want_aux=False: only the RGBA image + ray count materialize
-            # (the lane G-buffer/HDR aux surface is for the editor APIs)
-            rgba, _hdr, rays, _g, new_st, _dn = _render_pipeline(
-                s_i, cfg, backend, carry, False
-            )
-            return new_st, (jnp.sum(rgba.astype(jnp.uint32)), rays)
+    def make_run(n_frames):
+        def run(scene, st, start):
+            def step(carry, i):
+                s_i = scene._replace(frame_index=i.astype(jnp.uint32))
+                # want_aux=False: only the RGBA image + ray count
+                # materialize (the lane G-buffer/HDR aux surface is for
+                # the editor APIs)
+                rgba, _hdr, rays, _g, new_st, _dn = _render_pipeline(
+                    s_i, cfg, backend, carry, False
+                )
+                return new_st, (jnp.sum(rgba.astype(jnp.uint32)), rays)
 
-        st, (cks, rays) = jax.lax.scan(step, st, start + jnp.arange(batch))
-        return jnp.sum(cks), jnp.sum(rays), st
+            st, (cks, rays) = jax.lax.scan(step, st,
+                                           start + jnp.arange(n_frames))
+            return jnp.sum(cks), jnp.sum(rays), st
 
-    f = jax.jit(run)
+        return jax.jit(run)
+
+    # single-frame probe: compile + warmup, then one timed dispatch
+    probe = make_run(1)
+    cks, _r, _s = probe(flat, state0, jnp.int32(0))
+    float(np.asarray(cks))
+    t0 = time.perf_counter()
+    cks, _r, _s = probe(flat, state0, jnp.int32(1))
+    float(np.asarray(cks))
+    est_s = max(time.perf_counter() - t0, 1e-4)
+    batch = max(1, min(batch, int(20.0 / est_s)))
+
+    if batch == 1:
+        f = probe
+    else:
+        f = make_run(batch)
     cks, rays, state = f(flat, state0, jnp.int32(0))
     float(np.asarray(cks))  # warmup: compile + tunnel
 
@@ -414,6 +439,29 @@ def main():
         result["ssim_vs_oracle"] = round(_ssim_proxy(), 4)
     except Exception as e:
         result["ssim_error"] = str(e)[:120]
+
+    # 3e) SSIM vs the reference's OWN DXR render (BASELINE.json "SSIM vs
+    # DXR ref"): /root/reference/ScreenShot.png is the reference engine's
+    # 1920x1080 ground-truth render of this very scene. Render the
+    # scene-carried config with the denoiser ON, accumulate frames
+    # (static camera — the screenshot is temporally converged), compare on
+    # the reference pixel grid (utils/refcompare.py handles the 1088-row
+    # FOV warp). Discrepancy analysis: docs/PARITY.md.
+    try:
+        import numpy as _np
+
+        from raytracevs_tpu.utils.refcompare import compare_to_reference
+
+        eng_d = Engine(width, height)
+        eng_d.load_rtvs(SCENE, enable_denoiser=True)
+        img = None
+        for _ in range(12):
+            img = eng_d.render()
+        cmp_res = compare_to_reference(_np.asarray(img))
+        result["ssim_vs_dxr"] = cmp_res["ssim"]
+        result["ssim_vs_dxr_worst_region"] = min(cmp_res["regions"].values())
+    except Exception as e:
+        result["ssim_vs_dxr_error"] = str(e)[:120]
 
     # 4) mesh scene (BVH traversal path)
     try:

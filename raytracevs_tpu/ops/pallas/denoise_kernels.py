@@ -336,7 +336,38 @@ def _shift_clamp(a, dy, dx):
     return a
 
 
-def _atrous_fused_kernel(th, padx, w, passes, nch, win, out_ref):
+def _ff_lum(x):
+    return x[0] * 0.2126 + x[1] * 0.7152 + x[2] * 0.0722
+
+
+def _firefly_rows(img, lo, hi):
+    """Anti-firefly clamp (REBLUR enableAntiFirefly, NRDDenoiser.cpp:859)
+    over window rows lo..hi of a [6, R, wp] image: each pixel's luminance
+    is clamped to its 8-neighbor max, per 3-channel group. Needs raw rows
+    lo-1..hi+1; horizontal edges clamp via _shift_clamp (the window is
+    edge-padded horizontally by _windowed_call)."""
+    rows = hi - lo
+    groups = []
+    for g0 in (0, 3):
+        grp = img[g0:g0 + 3]
+        c = grp[:, lo:hi]
+        lc = _ff_lum(c)
+        m = None
+        for dy in (-1, 0, 1):
+            band = grp[:, lo + dy:hi + dy]
+            for dx in (-1, 0, 1):
+                if dy == 0 and dx == 0:
+                    continue
+                q = _ff_lum(_shift_clamp(band, 0, dx))
+                m = q if m is None else jnp.maximum(m, q)
+        scale = jnp.minimum(1.0, m / jnp.maximum(lc, 1e-6))
+        groups.append(c * scale[None])
+    del rows
+    return jnp.concatenate(groups, axis=0)
+
+
+def _atrous_fused_kernel(th, padx, w, passes, nch, win, out_ref,
+                         has_guide=False, firefly=False):
     """ALL a-trous passes in one 3-band window — one DMA set instead of
     one per pass (the stencils are DMA-bound, so this is ~passes x fewer
     fetches and launches).
@@ -368,8 +399,19 @@ def _atrous_fused_kernel(th, padx, w, passes, nch, win, out_ref):
     strides = [1 << p for p in range(passes)]
     need = [sum(strides[p + 1 :]) for p in range(passes)]
     exts = [(th - n, 2 * th + n) for n in need]
-    cur = img
-    cur_off = 0  # window row index of cur's row 0
+    if firefly:
+        # Clamp fireflies on pass 0's extent +1 row each side (so pass 0's
+        # stride-1 taps read clamped rows); raw rows a0-2..b0+2 are in the
+        # window for th >= 8 (8 - 6 - 2 = 0).
+        a0, b0 = exts[0]
+        cur = _firefly_rows(img, a0 - 1, b0 + 1)
+        cur_off = a0 - 1
+    else:
+        cur = img
+        cur_off = 0  # window row index of cur's row 0
+    if has_guide:
+        gd = win[nch + 4]
+        gs = win[nch + 5]
     for p in range(passes):
         s = strides[p]
         a, b = exts[p]
@@ -378,8 +420,17 @@ def _atrous_fused_kernel(th, padx, w, passes, nch, win, out_ref):
         c_vz = vz[a:b]
         c_n = nrm[:, a:b]
         c_inv = inv_vz[a:b]
-        acc = c_img
-        wsum = jnp.ones((rows, wp), F32)
+        if has_guide:
+            s2 = float(s * s)
+            g_d = jnp.exp(-s2 / jnp.square(jnp.maximum(gd[a:b], 1e-3)))
+            g_s = jnp.exp(-s2 / jnp.square(jnp.maximum(gs[a:b], 1e-3)))
+            acc_d = c_img[0:3]
+            acc_s = c_img[3:6]
+            wsum_d = jnp.ones((rows, wp), F32)
+            wsum_s = jnp.ones((rows, wp), F32)
+        else:
+            acc = c_img
+            wsum = jnp.ones((rows, wp), F32)
         for dy in (-1, 0, 1):
             for dx in (-1, 0, 1):
                 if dy == 0 and dx == 0:
@@ -391,9 +442,22 @@ def _atrous_fused_kernel(th, padx, w, passes, nch, win, out_ref):
                 w_depth = jnp.exp(-jnp.abs(qz - c_vz) * c_inv)
                 ndot = jnp.maximum((qn * c_n).sum(axis=0), 0.0)
                 wq = w_depth * ndot ** 8 * kernel_w[max(abs(dy), abs(dx))]
-                acc = acc + q * wq[None]
-                wsum = wsum + wq
-        cur = acc * (1.0 / wsum)[None]
+                if has_guide:
+                    wq_d = wq * g_d
+                    wq_s = wq * g_s
+                    acc_d = acc_d + q[0:3] * wq_d[None]
+                    acc_s = acc_s + q[3:6] * wq_s[None]
+                    wsum_d = wsum_d + wq_d
+                    wsum_s = wsum_s + wq_s
+                else:
+                    acc = acc + q * wq[None]
+                    wsum = wsum + wq
+        if has_guide:
+            cur = jnp.concatenate(
+                [acc_d * (1.0 / wsum_d)[None], acc_s * (1.0 / wsum_s)[None]],
+                axis=0)
+        else:
+            cur = acc * (1.0 / wsum)[None]
         cur_off = a
         if p == passes - 1:
             break
@@ -419,28 +483,49 @@ def _atrous_fused_kernel(th, padx, w, passes, nch, win, out_ref):
     out_ref[:] = cur[:, th - cur_off : 2 * th - cur_off, padx : padx + w]
 
 
-def _atrous_pass_kernel(th, padx, w, stride, nch, win, out_ref):
+def _atrous_pass_kernel(th, padx, w, stride, nch, win, out_ref,
+                        has_guide=False, firefly=False):
     """One a-trous pass on a 3-band row window [C, 3*th, w + 2*padx].
 
-    win channels: 0:nch filtered image, nch view_z, nch+1:nch+4 normal.
+    win channels: 0:nch filtered image, nch view_z, nch+1:nch+4 normal,
+    [nch+4:nch+6 REBLUR guide radii when has_guide]. `firefly` clamps the
+    pass input (stride-1 pass of the unfused/sharded chain) — same
+    semantics as the fused kernel's head clamp.
     """
     img = win[0:nch]
     vz = win[nch]
     nrm = win[nch + 1 : nch + 4]
+    if firefly:
+        src = _firefly_rows(img, th - stride, 2 * th + stride)
+        off = th - stride
+    else:
+        src = img
+        off = 0
 
-    c_img = img[:, th : 2 * th, padx : padx + w]
+    c_img = src[:, th - off : 2 * th - off, padx : padx + w]
     c_vz = vz[th : 2 * th, padx : padx + w]
     c_n = nrm[:, th : 2 * th, padx : padx + w]
 
-    acc = c_img
-    wsum = jnp.ones((th, w), F32)
+    if has_guide:
+        s2 = float(stride * stride)
+        g_d = jnp.exp(-s2 / jnp.square(jnp.maximum(
+            win[nch + 4][th : 2 * th, padx : padx + w], 1e-3)))
+        g_s = jnp.exp(-s2 / jnp.square(jnp.maximum(
+            win[nch + 5][th : 2 * th, padx : padx + w], 1e-3)))
+        acc_d = c_img[0:3]
+        acc_s = c_img[3:6]
+        wsum_d = jnp.ones((th, w), F32)
+        wsum_s = jnp.ones((th, w), F32)
+    else:
+        acc = c_img
+        wsum = jnp.ones((th, w), F32)
     kernel_w = {0: 1.0, 1: 2.0 / 3.0, 2: 1.0 / 6.0}
     for dy in (-1, 0, 1):
         for dx in (-1, 0, 1):
             if dy == 0 and dx == 0:
                 continue
             oy, ox = th + dy * stride, padx + dx * stride
-            q = img[:, oy : oy + th, ox : ox + w]
+            q = src[:, oy - off : oy - off + th, ox : ox + w]
             qz = vz[oy : oy + th, ox : ox + w]
             qn = nrm[:, oy : oy + th, ox : ox + w]
             w_depth = jnp.exp(
@@ -449,9 +534,21 @@ def _atrous_pass_kernel(th, padx, w, stride, nch, win, out_ref):
             ndot = jnp.maximum((qn * c_n).sum(axis=0), 0.0)
             w_norm = ndot ** 8
             wq = w_depth * w_norm * kernel_w[max(abs(dy), abs(dx))]
-            acc = acc + q * wq[None]
-            wsum = wsum + wq
-    out_ref[:] = acc / wsum[None]
+            if has_guide:
+                wq_d = wq * g_d
+                wq_s = wq * g_s
+                acc_d = acc_d + q[0:3] * wq_d[None]
+                acc_s = acc_s + q[3:6] * wq_s[None]
+                wsum_d = wsum_d + wq_d
+                wsum_s = wsum_s + wq_s
+            else:
+                acc = acc + q * wq[None]
+                wsum = wsum + wq
+    if has_guide:
+        out_ref[:] = jnp.concatenate(
+            [acc_d / wsum_d[None], acc_s / wsum_s[None]], axis=0)
+    else:
+        out_ref[:] = acc / wsum[None]
 
 
 def _shadow_kernel(th, padx, w, radius, softness, depth_threshold, win, out_ref):
@@ -557,9 +654,10 @@ def stencil_supported(height: int, width: int) -> bool:
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("passes", "interpret", "storage_dtype"))
+                   static_argnames=("passes", "interpret", "storage_dtype",
+                                    "anti_firefly"))
 def atrous(img, view_z, normal, passes: int = 3, interpret: bool = False,
-           storage_dtype=None):
+           storage_dtype=None, guide=None, anti_firefly: bool = False):
     """Edge-stopping a-trous over channel-first img [C,H,W].
 
     view_z [H,W], normal [3,H,W]. Edge handling clamps at the frame border
@@ -571,34 +669,49 @@ def atrous(img, view_z, normal, passes: int = 3, interpret: bool = False,
     VMEM at that precision — the stencil is DMA-bound, so this halves its
     traffic; taps/weights still compute in f32 (input-quantization error
     only). None keeps the f32 window (bit-exact vs the oracle).
+
+    REBLUR fidelity (post/denoise.py semantics, NRDDenoiser.cpp:858-862):
+    `guide` [2,H,W] per-pixel blur radii splits the 6-channel img into
+    diffuse/specular weight groups with per-pass radius attenuation;
+    `anti_firefly` luminance-clamps the chain input.
     """
     nch = img.shape[0]
+    has_guide = guide is not None
 
     # The fused kernel's shrinking-extent math needs the first pass's
-    # extent start th - sum(strides[1:]) to clear its own stride:
-    # th - need[0] - strides[0] >= 0. With th >= 8 (_windowed_call's
-    # minimum band) that holds for passes <= 3 (8 - 6 - 1 = 1) and wraps
-    # slices (silent corruption) at passes >= 4 (8 - 14 < 0) — route
-    # larger pass counts through the exact per-pass kernels instead.
+    # extent start th - sum(strides[1:]) to clear its own stride (plus one
+    # more row for the anti-firefly clamp): th - need[0] - strides[0]
+    # - (1 if firefly) >= 0. With th >= 8 (_windowed_call's minimum band)
+    # that holds for passes <= 3 (8 - 6 - 1 - 1 = 0) and wraps slices
+    # (silent corruption) at passes >= 4 — route larger pass counts
+    # through the exact per-pass kernels instead.
     strides = [1 << p for p in range(passes)]
-    fused_ok = 8 - sum(strides[1:]) - strides[0] >= 0
+    fused_ok = 8 - sum(strides[1:]) - strides[0] - (1 if anti_firefly else 0) >= 0
 
     if _ATROUS_FUSED and fused_ok:
-        packed = jnp.concatenate([img, view_z[None], normal], axis=0)
+        chans = [img, view_z[None], normal]
+        if has_guide:
+            chans.append(guide)
+        packed = jnp.concatenate(chans, axis=0)
         if storage_dtype is not None:
             packed = packed.astype(storage_dtype)
+        nch_in = packed.shape[0]
 
         def kernel(th, padx, w, win, o):
-            return _atrous_fused_kernel(th, padx, w, passes, nch, win, o)
+            return _atrous_fused_kernel(th, padx, w, passes, nch, win, o,
+                                        has_guide=has_guide,
+                                        firefly=anti_firefly)
 
         # The fused kernel's Mosaic stack (3 in-register passes over the
         # [C, 3*th, wp] window) exceeds the default 16 MB scoped-VMEM limit
         # at 4K (measured 33.7 MB needed at th=8/wp=4096); raise the
         # per-kernel cap — v5e has 128 MB physical VMEM — and size bands
-        # against it (bpe=1030 from the same measurement), keeping 16-row
-        # bands at 1440p/4K: half the programs/DMAs of 8-row bands.
-        return _windowed_call(kernel, nch + 4, nch, packed, interpret,
-                              vmem_limit_bytes=100 << 20, bpe=1030)
+        # against it (bpe=1030 measured at the 10-channel window, scaled
+        # by channel count), keeping 16-row bands at 1440p/4K: half the
+        # programs/DMAs of 8-row bands.
+        return _windowed_call(kernel, nch_in, nch, packed, interpret,
+                              vmem_limit_bytes=100 << 20,
+                              bpe=-(-1030 * nch_in // 10))
 
     # Unfused fallback (RTVS_ATROUS_FUSED=0, or passes >= 4 where the
     # fused extents would underflow): one windowed call per pass —
@@ -606,24 +719,36 @@ def atrous(img, view_z, normal, passes: int = 3, interpret: bool = False,
     out = img
     for p in range(passes):
         out = atrous_single_pass(out, view_z, normal, 1 << p, interpret,
-                                 storage_dtype=storage_dtype)
+                                 storage_dtype=storage_dtype, guide=guide,
+                                 anti_firefly=anti_firefly and p == 0)
     return out
 
 
 def atrous_single_pass(img, view_z, normal, stride: int, interpret: bool = False,
-                       storage_dtype=None):
+                       storage_dtype=None, guide=None,
+                       anti_firefly: bool = False):
     """One edge-stopping a-trous pass at the given stride (the sharded
     pipeline runs passes separately, exchanging a row halo between them —
-    the fused 3-pass kernel cannot host a collective mid-kernel)."""
+    the fused 3-pass kernel cannot host a collective mid-kernel).
+    `guide`/`anti_firefly` as in atrous (firefly is the stride-1 head
+    clamp)."""
     nch = img.shape[0]
-    packed = jnp.concatenate([img, view_z[None], normal], axis=0)
+    has_guide = guide is not None
+    chans = [img, view_z[None], normal]
+    if has_guide:
+        chans.append(guide)
+    packed = jnp.concatenate(chans, axis=0)
     if storage_dtype is not None:
         packed = packed.astype(storage_dtype)
+    nch_in = packed.shape[0]
 
     def kernel(th, padx, w, win, o):
-        return _atrous_pass_kernel(th, padx, w, stride, nch, win, o)
+        return _atrous_pass_kernel(th, padx, w, stride, nch, win, o,
+                                   has_guide=has_guide,
+                                   firefly=anti_firefly)
 
-    return _windowed_call(kernel, nch + 4, nch, packed, interpret)
+    return _windowed_call(kernel, nch_in, nch, packed, interpret,
+                          bpe=-(-440 * nch_in // 10))
 
 
 @functools.partial(jax.jit, static_argnames=("radius", "interpret"))

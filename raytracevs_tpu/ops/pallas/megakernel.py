@@ -1645,6 +1645,12 @@ def _dfs_from_k(ks, cfg, xx, yy, frame, s, it0, cur, stack_f, stack_i, stack_n,
             # visit counts broadcast to every lane (divide sums by the
             # tile size to recover walk totals).
             rays = rays + ch["stat"]
+        if _STATS == "iters":
+            # Occupancy analysis: every executed machine iteration adds 1
+            # to every lane, so sum(rays)/(TILE_H*TILE_W) = total tile
+            # iterations and real-rays / (iters * 4096) = mean fraction
+            # of lanes doing work per iteration.
+            rays = rays + 1
 
         contrib = vmul(c_tp, color)
         color_acc = vadd(color_acc, vwhere(traced, contrib, vzeros(c_depth.shape)))

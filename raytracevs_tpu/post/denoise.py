@@ -50,6 +50,63 @@ ATROUS_PASSES = 3
 DEPTH_SIGMA = 0.05
 NORMAL_POWER = 8.0
 
+# REBLUR fidelity features (NRDDenoiser.cpp:858-871). Default ON to match
+# the reference's settings block; the env gates exist for A/B probing.
+# - anti-firefly (enableAntiFirefly = true): luminance-clamp each pixel to
+#   its 3x3 neighborhood max at the head of the blur chain, per signal.
+# - hitdist/accumulation-guided blur radius (maxBlurRadius = 30,
+#   minBlurRadius = 0): per-pixel radii shrink as history accumulates;
+#   specular additionally scales with accumulated hit distance (contact
+#   reflections stay sharp) and roughness (mirrors get no blur).
+ANTI_FIREFLY = os.environ.get("RTVS_ANTI_FIREFLY", "1") == "1"
+GUIDED_BLUR = os.environ.get("RTVS_GUIDED_BLUR", "1") == "1"
+MAX_BLUR_RADIUS = 30.0  # NRDDenoiser.cpp:860
+
+
+def _lum(rgb, axis=-1):
+    r, g, b = jnp.moveaxis(rgb, axis, 0)[:3]
+    return r * 0.2126 + g * 0.7152 + b * 0.0722
+
+
+def anti_firefly(img6):
+    """REBLUR enableAntiFirefly analog (NRDDenoiser.cpp:859): clamp each
+    pixel's luminance to the max over its 8 neighbors (edge-clamped),
+    separately for the diffuse (0:3) and specular (3:6) groups. Fireflies
+    (isolated hot pixels from rare glass paths) are scaled down without
+    shifting hue; ordinary pixels are untouched (their neighborhood max
+    exceeds their own luminance)."""
+    h, w = img6.shape[:2]
+    p = jnp.pad(img6, [(1, 1), (1, 1), (0, 0)], mode="edge")
+
+    def group(sl):
+        lum = _lum(img6[..., sl])
+        m = None
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dy == 0 and dx == 0:
+                    continue
+                q = _lum(_shifted(p, 1, dy, dx, h, w)[..., sl])
+                m = q if m is None else jnp.maximum(m, q)
+        scale = jnp.minimum(1.0, m / jnp.maximum(lum, 1e-6))
+        return img6[..., sl] * scale[..., None]
+
+    return jnp.concatenate([group(slice(0, 3)), group(slice(3, 6))], axis=-1)
+
+
+def blur_radius_planes(frames, spec_hitdist, view_z, roughness):
+    """Per-pixel blur radii in pixels (REBLUR maxBlurRadius=30,
+    minBlurRadius=0 semantics): radius shrinks with accumulated history
+    (fresh disocclusions blur wide, converged pixels stay sharp); the
+    specular radius additionally scales with the accumulated hit distance
+    relative to depth (short hitdist = contact reflection = sharp) and
+    sqrt(roughness) (a perfect mirror gets zero blur — minBlurRadius=0).
+    Returns (r_diffuse [H,W], r_specular [H,W])."""
+    base = MAX_BLUR_RADIUS / jnp.sqrt(1.0 + frames)
+    hd = jnp.maximum(spec_hitdist, 0.0)
+    hd_factor = hd / (hd + 0.2 * jnp.maximum(view_z, C.VIEWZ_MIN) + 1e-6)
+    r_spec = base * jnp.sqrt(jnp.clip(roughness, 0.0, 1.0)) * hd_factor
+    return base, r_spec
+
 
 class DenoiserState(NamedTuple):
     diffuse: jnp.ndarray  # [H,W,4] slow history (radiance + hitdist)
@@ -223,8 +280,14 @@ def _shifted(padded, pad, dy, dx, h, w):
     return padded[pad + dy : pad + dy + h, pad + dx : pad + dx + w]
 
 
-def _atrous_pass(img, view_z, normal, stride: int):
-    """One edge-stopping a-trous pass (edge-clamped borders). img [H,W,C]."""
+def _atrous_pass(img, view_z, normal, stride: int, guide=None):
+    """One edge-stopping a-trous pass (edge-clamped borders). img [H,W,C].
+
+    With `guide` ([H,W,2] per-pixel blur radii for the diffuse 0:3 and
+    specular 3:6 groups, in pixels), each group's neighbor weights are
+    attenuated by exp(-(stride/R)^2) of the CENTER pixel's radius: R >>
+    stride leaves the pass unchanged, R -> 0 degenerates to identity
+    (minBlurRadius=0 mirror sharpness)."""
     offsets = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1)]
     kernel = {0: 1.0, 1: 2.0 / 3.0, 2: 1.0 / 6.0}
     im_h, im_w = view_z.shape
@@ -232,6 +295,12 @@ def _atrous_pass(img, view_z, normal, stride: int):
     pimg = jnp.pad(img, spec + [(0, 0)], mode="edge")
     pz = jnp.pad(view_z, spec, mode="edge")
     pn = jnp.pad(normal, spec + [(0, 0)], mode="edge")
+    if guide is not None:
+        s2 = float(stride * stride)
+        g_d = jnp.exp(-s2 / jnp.square(jnp.maximum(guide[..., 0], 1e-3)))
+        g_s = jnp.exp(-s2 / jnp.square(jnp.maximum(guide[..., 1], 1e-3)))
+        wsum_d = jnp.ones(view_z.shape, F32)
+        wsum_s = jnp.ones(view_z.shape, F32)
     wsum = jnp.ones(view_z.shape, F32)
     acc = img
     for dy, dx in offsets:
@@ -246,20 +315,37 @@ def _atrous_pass(img, view_z, normal, stride: int):
         )
         w_spatial = kernel[max(abs(dy), abs(dx))]
         w = w_depth * w_norm * w_spatial
-        acc = acc + q * w[..., None]
-        wsum = wsum + w
-    return acc / wsum[..., None]
+        if guide is None:
+            acc = acc + q * w[..., None]
+            wsum = wsum + w
+        else:
+            w_d = w * g_d
+            w_s = w * g_s
+            acc = acc + jnp.concatenate(
+                [q[..., 0:3] * w_d[..., None], q[..., 3:6] * w_s[..., None]],
+                axis=-1)
+            wsum_d = wsum_d + w_d
+            wsum_s = wsum_s + w_s
+    if guide is None:
+        return acc / wsum[..., None]
+    return jnp.concatenate(
+        [acc[..., 0:3] / wsum_d[..., None], acc[..., 3:6] / wsum_s[..., None]],
+        axis=-1)
 
 
-def atrous(img, view_z, normal, passes: int = ATROUS_PASSES):
+def atrous(img, view_z, normal, passes: int = ATROUS_PASSES, guide=None,
+           use_anti_firefly: bool = False):
     """Edge-stopping a-trous wavelet filter. img [H,W,C].
 
     Neighbors clamp at the frame border (texture-load semantics, like the
-    reference's compute filters) — NOT wrap-around.
+    reference's compute filters) — NOT wrap-around. `guide`/
+    `use_anti_firefly` enable the REBLUR fidelity features (see
+    blur_radius_planes / anti_firefly; img must then be the 6-channel
+    diffuse+specular pack).
     """
-    out = img
+    out = anti_firefly(img) if use_anti_firefly else img
     for p in range(passes):
-        out = _atrous_pass(out, view_z, normal, 1 << p)
+        out = _atrous_pass(out, view_z, normal, 1 << p, guide=guide)
     return out
 
 
@@ -354,8 +440,14 @@ def denoise_frame(gbuffer, height: int, width: int, state: DenoiserState,
     # one fused filter pass: diffuse and specular share the edge-stopping
     # weights (depth + normal), so filtering them as 6 channels halves the
     # weight computation and the roll traffic
+    guide = None
+    if GUIDED_BLUR:
+        r_d, r_s = blur_radius_planes(frames, acc_s[..., 3], view_z,
+                                      jnp.square(nr[..., 3]))
+        guide = jnp.stack([r_d, r_s], axis=-1)
     out_ds = atrous(jnp.concatenate([acc_d[..., :3], acc_s[..., :3]], axis=-1),
-                    view_z, normal)
+                    view_z, normal, guide=guide,
+                    use_anti_firefly=ANTI_FIREFLY)
     out_d = out_ds[..., 0:3]
     out_s = out_ds[..., 3:6]
     out_shadow = shadow_denoise(shadow, obj_id, view_z, nr)
@@ -402,14 +494,28 @@ def denoise_frame_cf(gbuf_cf, state: DenoiserStateCF, interpret: bool = False):
     # that precision (the shadow filter stays f32: its packed window
     # carries object ids whose exact-match compare bf16 would corrupt)
     sd = None if state.packed.dtype == F32 else state.packed.dtype
+    guide = _guide_cf(new_packed, gbuf_cf.view_z,
+                      gbuf_cf.normal_roughness[3])
     out_ds = dk.atrous(
         jnp.concatenate([new_packed[0:3], new_packed[4:7]], axis=0),
         gbuf_cf.view_z, normal, passes=ATROUS_PASSES, interpret=interpret,
-        storage_dtype=sd)
+        storage_dtype=sd, guide=guide, anti_firefly=ANTI_FIREFLY)
     out_shadow = dk.shadow_denoise(gbuf_cf.shadow_data, gbuf_cf.obj_id,
                                    gbuf_cf.view_z, normal, interpret=interpret)
     return (out_ds[0:3], out_ds[3:6], out_shadow,
             DenoiserStateCF(packed=new_packed))
+
+
+def _guide_cf(new_packed, view_z, sqrt_rough):
+    """REBLUR blur-radius guide planes [2,H,W] from the accumulated CF
+    state (ch 7 = specular hitdist history, ch 14 = frames); None when
+    the feature is gated off."""
+    if not GUIDED_BLUR:
+        return None
+    r_d, r_s = blur_radius_planes(new_packed[14].astype(F32),
+                                  new_packed[7].astype(F32), view_z,
+                                  jnp.square(sqrt_rough))
+    return jnp.stack([r_d, r_s], axis=0)
 
 
 def _decode_oct_cf(nr):
@@ -460,9 +566,10 @@ def _denoise_frame_pallas(gbuffer, height: int, width: int, state: DenoiserState
     acc_s = new_packed[4:8]
     normal = _decode_oct(nr).transpose(2, 0, 1)
     sd = None if new_packed.dtype == F32 else new_packed.dtype
+    guide = _guide_cf(new_packed, view_z, nr[..., 3])
     out_ds = dk.atrous(jnp.concatenate([acc_d[0:3], acc_s[0:3]], axis=0),
                        view_z, normal, passes=ATROUS_PASSES, interpret=interpret,
-                       storage_dtype=sd)
+                       storage_dtype=sd, guide=guide, anti_firefly=ANTI_FIREFLY)
     out_shadow = dk.shadow_denoise(shadow, obj_id, view_z, normal,
                                    interpret=interpret)
 
@@ -646,13 +753,23 @@ def denoise_frame_sharded_cf(gbuf_cf, state: DenoiserStateCF, axis_name: str,
     normal = _decode_oct_cf(gbuf_cf.normal_roughness)
     sh = _SPATIAL_HALO_CF
     sd = None if state.packed.dtype == F32 else state.packed.dtype
+    # REBLUR guide planes ride the per-pass exchange; the 8-row halo
+    # already covers the anti-firefly clamp's extra row (stride+1 <= 5)
+    guide = _guide_cf(new_packed, gbuf_cf.view_z,
+                      gbuf_cf.normal_roughness[3])
     six = jnp.concatenate([new_packed[0:3], new_packed[4:7]],
                           axis=0).astype(F32)
     for p in range(ATROUS_PASSES):
-        sp = jnp.concatenate([six, gbuf_cf.view_z[None], normal], axis=0)
+        chans = [six, gbuf_cf.view_z[None], normal]
+        if guide is not None:
+            chans.append(guide)
+        sp = jnp.concatenate(chans, axis=0)
         spe = exchange_row_halo(sp, sh, axis_name, n_shards, axis=1)
+        g = spe[10:12] if guide is not None else None
         filtered = dk.atrous_single_pass(spe[0:6], spe[6], spe[7:10], 1 << p,
-                                         interpret=interpret, storage_dtype=sd)
+                                         interpret=interpret, storage_dtype=sd,
+                                         guide=g,
+                                         anti_firefly=ANTI_FIREFLY and p == 0)
         six = jax.lax.slice_in_dim(filtered, sh, sh + rows, axis=1)
 
     shp = jnp.concatenate(
@@ -703,15 +820,30 @@ def denoise_frame_sharded(gbuffer, rows: int, width: int, state: DenoiserState,
     normal = _decode_oct(nr)
     # a-trous with a per-pass halo exchange: pass p extends its own INPUT
     # by `stride` neighbor rows, filters, and crops — bit-equal to the
-    # whole-frame filter (see SHADOW_HALO note above). z and normals ride
-    # along as 4 extra channels so each pass is one collective.
+    # whole-frame filter (see SHADOW_HALO note above). z, normals, and the
+    # REBLUR guide radii ride along as extra channels so each pass is one
+    # collective; pass 0 exchanges one extra row so the anti-firefly
+    # clamp's 3x3 reach stays bit-equal to the whole-frame filter.
+    guide = None
+    if GUIDED_BLUR:
+        r_d, r_s = blur_radius_planes(frames, acc_s[..., 3], view_z,
+                                      jnp.square(nr[..., 3]))
+        guide = jnp.stack([r_d, r_s], axis=-1)
     out_ds = jnp.concatenate([acc_d[..., :3], acc_s[..., :3]], axis=-1)
     for p in range(ATROUS_PASSES):
         stride = 1 << p
-        sp = jnp.concatenate([out_ds, view_z[..., None], normal], axis=-1)
-        spe = exchange_row_halo(sp, stride, axis_name, n_shards)
+        extra = 1 if (p == 0 and ANTI_FIREFLY) else 0
+        chans = [out_ds, view_z[..., None], normal]
+        if guide is not None:
+            chans.append(guide)
+        sp = jnp.concatenate(chans, axis=-1)
+        spe = exchange_row_halo(sp, stride + extra, axis_name, n_shards)
+        if extra:
+            ff = anti_firefly(spe[..., 0:6])
+            spe = jnp.concatenate([ff, spe[..., 6:]], axis=-1)[1:-1]
+        g = spe[..., 10:12] if guide is not None else None
         out_ds = _atrous_pass(
-            spe[..., 0:6], spe[..., 6], spe[..., 7:10], stride
+            spe[..., 0:6], spe[..., 6], spe[..., 7:10], stride, guide=g
         )[stride:stride + rows]
 
     # obj_id survives the f32 round trip exactly (packed ids < 2**24)
