@@ -58,6 +58,19 @@ TILE_W = 128
 # falsified experiment; per-ray results are identical either way (RNG is
 # depth-salted, accumulation additive — tests prove bit-equality).
 EPOCH_SCHED = os.environ.get("RTVS_MK_EPOCH", "0") not in ("0", "")
+# Persistent-spp scheduling: all samples share one DFS loop with per-lane
+# sample restart (see _run_persistent_k) instead of an outer sample scan
+# whose every sample pays the tile's slowest lane. MEASURED SLOWER on the
+# canonical glass scene (v5e 1080p: spp12 b10 17.1 s vs 10.7 s scanned;
+# spp4 b5 1.55 s vs 1.08 s, scripts/probe_r4_persist.py): per-lane sample
+# drift de-phases the tile, and packet walks pay the UNION of lane
+# positions — out-of-phase lanes (one on its primary, another deep in a
+# glass subtree) explode the per-walk node union far more than the saved
+# tail iterations recover. Same lesson as the epoch-scheduling and
+# two-phase falsifications: sample-phase alignment IS the packet
+# coherence on this workload. Kept opt-in (RTVS_MK_PERSIST=1) with
+# interpret-mode equivalence coverage.
+PERSIST_SPP = os.environ.get("RTVS_MK_PERSIST", "0") == "1"
 # Traversal-stats mode: "nodes" / "leaves" makes the mesh walks count BVH
 # node visits (resp. leaf visits) and report them through the rays channel
 # (scaled by the 4096-lane tile, so analysis divides by TILE_H*TILE_W).
@@ -1559,8 +1572,103 @@ def _run_sample_k(ks, cfg, xx, yy, frame, s, bn, max_iters_override=None,
     return final[5], final[1]
 
 
+def _persist_restart(ks, cfg, xx, yy, persist, cur, sn, acc):
+    """Per-lane sample restart (persistent-spp scheduling, see _dfs_from_k).
+
+    Lanes whose path tree is exhausted (no current ray, empty stack) and
+    that still have samples left start their next sample's primary ray in
+    place: the lane sample counter advances, the per-sample blue-noise
+    channels are selected by the NEW index, and the running per-sample
+    bounce maximum folds into the cross-sample sum."""
+    spp = persist["spp"]
+    bn_all = persist["bn_all"]
+    (c_valid, c_o, c_d, c_depth, c_tp, c_flags, c_boost, c_rflags,
+     c_stype, c_sidx) = cur
+    s_vec = acc["s_vec"]
+    free = (~c_valid) & (sn == 0) & (s_vec < spp - 1)
+    new_s = s_vec + free.astype(I32)
+    # blue-noise channels of each lane's NEW sample index
+    bn = []
+    for c in range(4):
+        v = bn_all[0][c]
+        for si in range(1, spp):
+            v = jnp.where(new_s == si, bn_all[si][c], v)
+        bn.append(v)
+    dirty, dirty_f, vary_i, vary_f = _dirty_helpers(xx, yy)
+    prim = _primary_cur_k(ks, cfg, xx, yy, bn, vary_i, vary_f)
+
+    def sel(a, b):
+        return jnp.where(free, a, b)
+
+    def sel3(a, b):
+        return vwhere(free, a, b)
+
+    cur = (c_valid | free, sel3(prim[1], c_o), sel3(prim[2], c_d),
+           sel(prim[3], c_depth), sel3(prim[4], c_tp), sel(prim[5], c_flags),
+           sel(prim[6], c_boost), sel(prim[7], c_rflags),
+           sel(prim[8], c_stype), sel(prim[9], c_sidx))
+    acc = dict(acc)
+    acc["bounce_sum"] = acc["bounce_sum"] + jnp.where(free, acc["bounce"].astype(F32), 0.0)
+    acc["bounce"] = jnp.where(free, 0, acc["bounce"])
+    acc["s_vec"] = new_s
+    return cur, acc
+
+
+def _run_persistent_k(ks, cfg, xx, yy, frame, bn_all):
+    """All spp samples in ONE DFS loop with per-lane sample restart.
+
+    The scanned order (fori_loop over samples, each with its own while
+    loop) pays every sample's tile tail: the per-iteration packet walks
+    (closest + 2 shadow + thickness) run for the whole tile while only
+    the slowest lanes still have work. Restarting finished lanes on their
+    next sample keeps lane occupancy high, so the same total ray work
+    needs fewer iterations — and every iteration saved is one closest
+    walk + two shadow walks the tile never pays. Results match the
+    scanned order to ~1 ULP summation noise (see _dfs_from_k persist
+    notes; interpret-mode equivalence measured 1.9e-6 max)."""
+    spp = cfg.samples_per_pixel
+    shape = xx.shape
+    dirty, dirty_f, vary_i, vary_f = _dirty_helpers(xx, yy)
+    cur = _primary_cur_k(ks, cfg, xx, yy, bn_all[0], vary_i, vary_f)
+    stack_f, stack_i = _stack_init_k(shape, cfg, dirty, dirty_f, STACK_DEPTH)
+    stack_n = vary_i(jnp.zeros(shape, I32))
+    acc = _fresh_acc(shape, vary_i, vary_f)
+    acc["s_vec"] = vary_i(jnp.zeros(shape, I32))
+    acc["bounce_sum"] = vary_f(jnp.zeros(shape, F32))
+    final = _dfs_from_k(ks, cfg, xx, yy, frame, jnp.int32(0),
+                        jnp.int32(0), cur, stack_f, stack_i, stack_n, acc,
+                        _max_iters(cfg) * spp, STACK_DEPTH,
+                        persist=dict(spp=spp, bn_all=bn_all))
+    return final[5]
+
+
+def _finalize_persistent(accs, a):
+    """Fold the persistent run's accumulator dict into the per-tile channel
+    tuple — _merge_sample's cross-sample semantics, already realized
+    per lane: sums are complete, the shadow records are sample 0's, and
+    the bounce total is the per-sample-maxima sum."""
+    return (
+        vadd(accs[0], a["color"]),
+        vadd(accs[1], a["primary"]),
+        vadd(accs[2], a["diffuse"]),
+        vadd(accs[3], a["specular"]),
+        accs[4] + a["hitdist"],
+        accs[5] + a["bounce_sum"] + a["bounce"].astype(F32),
+        accs[6] + a["rays"].astype(F32),
+        a["svis"], a["spen"], a["sdist"],
+        vwhere(a["phit"], a["pnormal"], accs[10]),
+        jnp.where(a["phit"], a["prough"], accs[11]),
+        vwhere(a["phit"], a["palbedo"], accs[12]),
+        jnp.where(a["phit"], a["pmetal"], accs[13]),
+        jnp.where(a["phit"], a["ptrans"], accs[14]),
+        vwhere(a["phit"], a["ppos"], accs[15]),
+        accs[16] | a["phit"].astype(I32),
+        jnp.where(a["phit"], a["pobj"], accs[17]),
+    )
+
+
 def _dfs_from_k(ks, cfg, xx, yy, frame, s, it0, cur, stack_f, stack_i, stack_n,
-                acc, max_iters, stack_slots):
+                acc, max_iters, stack_slots, persist=None):
     """The DFS state machine, resumable from any (iteration, cur, stack, acc).
 
     `stack_slots` sizes the stack STORAGE arrays; the push-capacity checks
@@ -1570,17 +1678,36 @@ def _dfs_from_k(ks, cfg, xx, yy, frame, s, it0, cur, stack_f, stack_i, stack_n,
     at most one entry) makes identical spawn/overflow decisions to the
     full-depth machine. Returns the final flat state unflattened:
     (it, cur, stack_f, stack_i, stack_n, acc).
+
+    persist = dict(spp=int, bn_all=[spp][4] blue-noise tiles): PER-LANE
+    sample scheduling. Instead of an outer spp scan whose every sample
+    pays the tile's slowest lane (the per-sample tail leaves most lanes
+    idle while the packet walks still run), a lane that exhausts its
+    sample's path tree immediately restarts on its next sample's primary
+    ray. The per-sample math is UNCHANGED — seeds key on (pixel, lane
+    sample index, depth) and the blue-noise channels are selected per
+    lane — so results match the scanned order to float summation order
+    (~1 ULP on the accumulated sums; ray counts exact); only the
+    iteration count (and with it the number of packet walks) drops.
+    `s` is ignored in this mode (the lane sample index lives in the
+    carry); acc["svis"/"spen"/"sdist"] record sample 0 only, matching
+    _merge_sample's s==0 selection, and acc["bounce"] accumulates the
+    per-sample maxima via a running (bounce_sum, bounce_run) pair.
     """
+    spp_p = persist["spp"] if persist else 0
     # NOTE: boolean masks are carried as i32 — i1 vectors in Mosaic loop
     # carries hit "invalid relayout" errors on TPU.
     def flatten_state(it, cur, sf, si, sn, acc):
-        return (it, cur[0].astype(I32), *cur[1], *cur[2], cur[3], *cur[4], cur[5], cur[6],
+        base = (it, cur[0].astype(I32), *cur[1], *cur[2], cur[3], *cur[4], cur[5], cur[6],
                 cur[7], cur[8], cur[9], *sf, *si, sn,
                 *acc["color"], *acc["primary"], acc["bounce"], acc["rays"],
                 *acc["diffuse"], *acc["specular"], acc["hitdist"],
                 acc["svis"], acc["spen"], acc["sdist"], acc["phit"].astype(I32),
                 *acc["pnormal"], acc["prough"], *acc["palbedo"], acc["pmetal"],
                 acc["ptrans"], *acc["ppos"], acc["pobj"])
+        if persist:
+            base = base + (acc["s_vec"], acc["bounce_sum"])
+        return base
 
     def unflatten_state(t):
         it = t[0]
@@ -1600,14 +1727,22 @@ def _dfs_from_k(ks, cfg, xx, yy, frame, s, it0, cur, stack_f, stack_i, stack_n,
             palbedo=(t[k+23], t[k+24], t[k+25]), pmetal=t[k+26], ptrans=t[k+27],
             ppos=(t[k+28], t[k+29], t[k+30]), pobj=t[k+31],
         )
+        if persist:
+            acc["s_vec"] = t[k + 32]
+            acc["bounce_sum"] = t[k + 33]
         return it, cur, sf, si, sn, acc
 
     def cond(t):
         it, cur, sf, si, sn, acc = unflatten_state(t)
-        return (it < max_iters) & jnp.any(cur[0] | (sn > 0))
+        live = cur[0] | (sn > 0)
+        if persist:
+            live = live | (acc["s_vec"] < spp_p - 1)
+        return (it < max_iters) & jnp.any(live)
 
     def body(t):
         it, cur, sf, si, sn, acc = unflatten_state(t)
+        if persist:
+            cur, acc = _persist_restart(ks, cfg, xx, yy, persist, cur, sn, acc)
         (c_valid, c_o, c_d, c_depth, c_tp, c_flags, c_boost, c_rflags,
          c_stype, c_sidx) = cur
         active = c_valid
@@ -1638,7 +1773,9 @@ def _dfs_from_k(ks, cfg, xx, yy, frame, s, it0, cur, stack_f, stack_i, stack_n,
         traced = process & ~capped & ~killed
         rays = acc["rays"] + traced.astype(I32)
 
-        color, rec, ch, extra = _shade_and_spawn_k(ks, cfg, xx, yy, frame, s, cur, traced)
+        s_use = acc["s_vec"] if persist else s
+        color, rec, ch, extra = _shade_and_spawn_k(ks, cfg, xx, yy, frame,
+                                                   s_use, cur, traced)
         rays = rays + jnp.where(traced, extra, 0)
         if ch["stat"] is not None:
             # RTVS_MK_STATS analysis mode: the rays channel carries BVH
@@ -1662,9 +1799,12 @@ def _dfs_from_k(ks, cfg, xx, yy, frame, s, it0, cur, stack_f, stack_i, stack_n,
         diffuse = vadd(acc["diffuse"], vwhere(rec_now, rec["diffuse"], zz))
         specular = vadd(acc["specular"], vwhere(rec_now, rec["specular"], zz))
         hitdist = acc["hitdist"] + jnp.where(rec_now, rec["hit_distance"], 0.0)
-        svis = jnp.where(rec_now, rec["shadow_vis"], acc["svis"])
-        spen = jnp.where(rec_now, rec["shadow_pen"], acc["spen"])
-        sdist = jnp.where(rec_now, rec["shadow_dist"], acc["sdist"])
+        # Raw shadow data records sample 0 only — the per-lane equivalent
+        # of _merge_sample's s == 0 selection in the scanned order.
+        rec_sh = rec_now & (acc["s_vec"] == 0) if persist else rec_now
+        svis = jnp.where(rec_sh, rec["shadow_vis"], acc["svis"])
+        spen = jnp.where(rec_sh, rec["shadow_pen"], acc["spen"])
+        sdist = jnp.where(rec_sh, rec["shadow_dist"], acc["sdist"])
         first_hit = rec_now & rec["hit_mask"] & ~acc["phit"]
         pnormal = vwhere(first_hit, rec["normal"], acc["pnormal"])
         prough = jnp.where(first_hit, rec["roughness"], acc["prough"])
@@ -1685,6 +1825,9 @@ def _dfs_from_k(ks, cfg, xx, yy, frame, s, it0, cur, stack_f, stack_i, stack_n,
             pnormal=pnormal, prough=prough, palbedo=palbedo, pmetal=pmetal,
             ptrans=ptrans, ppos=ppos, pobj=pobj,
         )
+        if persist:
+            acc_next["s_vec"] = acc["s_vec"]
+            acc_next["bounce_sum"] = acc["bounce_sum"]
         return flatten_state(it + 1, cur_next, sf, si, sn, acc_next)
 
     init = flatten_state(it0, cur, stack_f, stack_i, stack_n, acc)
@@ -1934,6 +2077,9 @@ def make_kernel(cfg: RenderConfig, caps, phase_a: bool = False,
             a, _cur = _run_sample_k(kk, cfg, xx, yy, frame, s, bn)
             return _merge_sample(accs, a, s)
 
+        use_persist = (PERSIST_SPP and cfg.samples_per_pixel > 1
+                       and not phase_a)
+
         init = (
             vzeros(shape), vzeros(shape), vzeros(shape), vzeros(shape),
             jnp.zeros(shape, F32), jnp.zeros(shape, F32), jnp.zeros(shape, F32),
@@ -1950,6 +2096,13 @@ def make_kernel(cfg: RenderConfig, caps, phase_a: bool = False,
             a, cur1 = _run_sample_k(kk, cfg, xx, yy, frame, s0, bn,
                                     max_iters_override=1, stack_slots=1)
             accs = _merge_sample(init, a, s0)
+        elif use_persist:
+            bn_all = [
+                _blue_noise_tile_channels(bn_ref, frame, jnp.int32(si), row0)
+                for si in range(cfg.samples_per_pixel)
+            ]
+            a = _run_persistent_k(kk, cfg, xx, yy, frame, bn_all)
+            accs = _finalize_persistent(init, a)
         else:
             accs = jax.lax.fori_loop(0, cfg.samples_per_pixel, sample_body, init)
         (color, primary, diffuse, specular, hitdist, bounce, rays,
