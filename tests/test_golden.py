@@ -147,17 +147,17 @@ CONFIGS = [
 ]
 
 
-def _render(config_name):
+def _render(config_name, res=RES):
     if config_name == "config0_sample_scene":
         from raytracevs_tpu import Engine
 
         from conftest import analytic_scene_file
 
-        engine = Engine(RES, RES)
+        engine = Engine(res, res)
         engine.load_rtvs(analytic_scene_file(),
                          samples_per_pixel=2, max_bounces=6)
         return engine.render()
-    engine = _engine_for(config_name)
+    engine = _engine_for(config_name, res=res)
     img = engine.render()
     if config_name == "config5_caustics_denoise":
         for _ in range(2):  # multi-frame (temporal accumulation)
@@ -165,23 +165,37 @@ def _render(config_name):
     return img
 
 
-def _golden_path(config_name):
-    return os.path.join(GOLDEN_DIR, config_name + ".png")
+def _golden_path(config_name, res=RES):
+    suffix = "" if res == RES else f"_{res}"
+    return os.path.join(GOLDEN_DIR, config_name + suffix + ".png")
 
 
-@pytest.mark.parametrize("config_name", CONFIGS)
-def test_golden(config_name):
+def _check_golden(config_name, res):
     from PIL import Image
 
     from raytracevs_tpu.utils.ssim import ssim
 
-    path = _golden_path(config_name)
+    path = _golden_path(config_name, res)
     if not os.path.exists(path):
         pytest.skip(f"golden missing: {path} (regen with tests/test_golden.py --regen)")
     golden = np.asarray(Image.open(path).convert("RGBA"))
-    img = _render(config_name)
+    img = _render(config_name, res)
     score = ssim(img, golden)
-    assert score >= SSIM_THRESHOLD, f"{config_name}: SSIM {score:.4f} < {SSIM_THRESHOLD}"
+    assert score >= SSIM_THRESHOLD, f"{config_name}@{res}: SSIM {score:.4f} < {SSIM_THRESHOLD}"
+
+
+@pytest.mark.parametrize("config_name", CONFIGS)
+def test_golden(config_name):
+    _check_golden(config_name, RES)
+
+
+@pytest.mark.nightly
+@pytest.mark.parametrize("config_name", CONFIGS)
+def test_golden_256(config_name):
+    """Nightly 256x256 tier: thin features (the wine-glass stem, checker
+    edges, the caustic ring) are sub-pixel at 96px, so regressions there
+    slipped the fast goldens (VERDICT r3 weak #2)."""
+    _check_golden(config_name, 256)
 
 
 if __name__ == "__main__":
@@ -193,6 +207,7 @@ if __name__ == "__main__":
 
         os.makedirs(GOLDEN_DIR, exist_ok=True)
         for name in CONFIGS:
-            img = _render(name)
-            Image.fromarray(img).save(_golden_path(name))
-            print("wrote", _golden_path(name))
+            for res in (RES, 256):
+                img = _render(name, res)
+                Image.fromarray(img).save(_golden_path(name, res))
+                print("wrote", _golden_path(name, res))
