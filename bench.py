@@ -376,6 +376,29 @@ def main():
         "tunnel_floor_ms": round(_tunnel_floor() * 1000.0, 2),
     }
 
+    # 1b) analytic-only continuity key: the same scene-carried config on the
+    # scene MINUS its FBX meshes — the composition every pre-round-4 bench
+    # measured (the mesh service wasn't wired into the defaults then), kept
+    # as a secondary so round-over-round numbers stay comparable. The
+    # headline above is the TRUE canonical scene including the wine glass.
+    try:
+        import copy as _copy
+
+        from raytracevs_tpu.scene.data import MeshObjectData
+
+        scene_an = _copy.deepcopy(engine._scene)
+        scene_an.objects = [o for o in scene_an.objects
+                            if not isinstance(o, MeshObjectData)]
+        eng_an = Engine(width, height)
+        eng_an.update_scene(scene_an, enable_denoiser=False)
+        b_an = _pick_backend(eng_an._flat, eng_an._cfg)
+        best_s, an_rays = bench_cfg("headline_analytic", eng_an, eng_an._cfg,
+                                    b_an, frames)
+        result["headline_analytic_mrays"] = round(an_rays / best_s / 1e6, 3)
+        result["headline_analytic_frame_ms"] = round(best_s * 1000.0, 2)
+    except Exception as e:
+        result["headline_analytic_error"] = str(e)[:120]
+
     # 2) DEFAULT pipeline: denoiser ON (the data.py default) — full frame
     cfg_def = make_config(engine._scene, width, height, enable_denoiser=True)
     best_s, _ = bench_cfg("default", engine, cfg_def, backend, frames)
