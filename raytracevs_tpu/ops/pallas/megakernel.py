@@ -1158,6 +1158,14 @@ def _shade_and_spawn_k(ks, cfg, xx, yy, frame, s, cur, traced):
 
         shadow = {}
         for which, idx, selm in (("a", a_idx, a_sel), ("b", b_idx, b_sel)):
+            if which == "b" and "shadow2" in _DEBUG_DISABLE:
+                # perf-bisect kill switch: the SECOND dominant light renders
+                # unshadowed (its direct lighting stays), isolating what the
+                # secondary soft-shadow trace chain costs per frame.
+                shadow[which] = (jnp.ones(shape, F32), jnp.zeros(shape, F32),
+                                 jnp.full(shape, C.NRD_FP16_MAX, F32),
+                                 vconst(shape, 1.0, 1.0, 1.0))
+                continue
             lt_g, lp_g, lrad_g, lsamp_g = _gather_light(ks, idx)
             is_dir, l_vec, atten, ndotl, _dist = _light_geom_k(
                 ks, lt_g, (lp_g[0], lp_g[1], lp_g[2]), pos, nrm
