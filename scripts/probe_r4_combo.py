@@ -89,6 +89,7 @@ def child():
 def main():
     configs = [
         {},
+        {"RTVS_MK_DISABLE": "shadow2"},
         {"RTVS_MK_DISABLE": "mesh_thick"},
         {"RTVS_MK_DISABLE": "mesh_shadow"},
         {"RTVS_MK_DISABLE": "mesh_closest,mesh_shadow,mesh_thick"},
@@ -97,6 +98,19 @@ def main():
         {"RTVS_PROBE_OPAQUE": "1"},
         {"RTVS_PROBE_MESH_ONLY": "1"},
     ]
+    if os.environ.get("RTVS_PROBE_ONLY"):
+        # semicolon list of RTVS_MK_DISABLE values; "" = baseline,
+        # OPAQUE / MESH_ONLY select the scene-variant configs
+        want = os.environ["RTVS_PROBE_ONLY"].split(";")
+
+        def key(c):
+            if "RTVS_PROBE_OPAQUE" in c:
+                return "OPAQUE"
+            if "RTVS_PROBE_MESH_ONLY" in c:
+                return "MESH_ONLY"
+            return c.get("RTVS_MK_DISABLE", "")
+
+        configs = [c for c in configs if key(c) in want]
     for cfg in configs:
         env = dict(os.environ)
         env.update(cfg)
