@@ -112,28 +112,42 @@ def _reconstruct_legacy_convention(name: str, base: CachedMesh) -> CachedMesh:
       modeled along -Z ("Z-up export" with the glass extending in -Z),
       while the shipped WineGlass.fbx is Y-up (UpAxis=1, bounds 0..1.005
       in Y).
-    - /root/reference/ScreenShot.png shows the glass ~3 world units tall,
-      base seated on the floor: 3.0 / 0.3 scale = a 10x-units asset, with
-      the -0.03 y-position seating a base-at-origin asset slightly into
-      the floor.
+    - /root/reference/ScreenShot.png pins the world-space composition.
+      Inverting the scene camera's projection (pos (0,2.5,-5), lookAt
+      (0,1,0), vFOV 60) on the screenshot's glass landmarks: base on the
+      floor at world (0.20, 0, -1.51), rim at height 3.05, rim halfwidth
+      0.51. Height/position match a 10x-units vertical axis (3.0 / 0.3
+      scale, -0.03 y seating the base into the floor) — but the shipped
+      WineGlass.fbx is a WIDE coupe (halfwidth 0.105/unit-height; 10x
+      uniform gives rim halfwidth 1.05, twice the screenshot), while the
+      missing WineGlass2 was a slender tulip. The closest reconstruction
+      from the shipped geometry carries HALF the vertical scale on the
+      lateral axes (5x -> rim halfwidth 0.525 ~= the measured 0.51).
 
     Hence the missing export = shipped geometry mapped (x, y, z) ->
-    (10x, 10z, -10y) — a proper rotation (det +1, windings and normals
-    consistent) times a uniform 10x scale. Applying the scene transform to
-    this reconstruction reproduces the screenshot's composition; applying
-    it to the raw Y-up asset yields a 0.3-unit glass lying on its side.
+    (5x, 5z, -10y) — a proper rotation (det +1, windings and normals
+    consistent) times an anisotropic (5, 5, 10) scale; normals transform
+    by the inverse-transpose and renormalize. Applying the scene transform
+    to this reconstruction reproduces the screenshot's composition;
+    applying it to the raw Y-up asset yields a 0.3-unit glass lying on
+    its side.
     """
     v = base.vertices.reshape(-1, FLOATS_PER_VERTEX).copy()
 
-    def remap(a, s):
+    S_LATERAL, S_VERTICAL = 5.0, 10.0
+
+    def remap(a, s_lat, s_vert):
         out = a.copy()
-        out[:, 0] = a[:, 0] * s
-        out[:, 1] = a[:, 2] * s
-        out[:, 2] = -a[:, 1] * s
+        out[:, 0] = a[:, 0] * s_lat
+        out[:, 1] = a[:, 2] * s_lat
+        out[:, 2] = -a[:, 1] * s_vert
         return out
 
-    v[:, 0:3] = remap(v[:, 0:3], 10.0)
-    v[:, 4:7] = remap(v[:, 4:7], 1.0)
+    v[:, 0:3] = remap(v[:, 0:3], S_LATERAL, S_VERTICAL)
+    # normals: inverse-transpose of diag(5,5,10)·R -> divide by the scales
+    n = remap(v[:, 4:7], 1.0 / S_LATERAL, 1.0 / S_VERTICAL)
+    n /= np.maximum(np.linalg.norm(n, axis=1, keepdims=True), 1e-12)
+    v[:, 4:7] = n
     pos = v[:, 0:3]
     return CachedMesh(name, v.reshape(-1), base.indices.copy(),
                       pos.min(axis=0), pos.max(axis=0))

@@ -156,5 +156,8 @@ def test_default_engine_keeps_canonical_wine_glass(sample_scene_path):
     assert eng._flat.mesh is not None
     assert int(eng._flat.mesh.mk_num_tris) >= 5904  # >= the FBX's triangles
     # the reconstructed asset stands ~10 units along -Z (pre-transform)
-    bmin = eng.mesh_service.get_mesh("WineGlass2").bounds_min
-    assert bmin[2] < -9.0
+    # with HALF-scale lateral axes (the screenshot-pinned slender tulip:
+    # rim halfwidth 0.51 at the 0.3 scene scale — io/mesh_cache.py)
+    rec = eng.mesh_service.get_mesh("WineGlass2")
+    assert rec.bounds_min[2] < -9.0
+    assert (rec.bounds_max[0] - rec.bounds_min[0]) < 6.0
