@@ -723,11 +723,14 @@ def traverse_closest(mesh: MeshArrays, o, d, tmin, tmax, max_steps: Optional[int
 
 
 def traverse_shadow(mesh: MeshArrays, o, d, max_dist, absorb_scale=1.0,
-                    max_steps: Optional[int] = None):
+                    max_steps: Optional[int] = None, blocked0=None):
     """Shadow traversal: accumulate transmission over every triangle crossed
     (AnyHit_Shadow_Triangle, AnyHit_Shadow.hlsl:60-88).
 
     absorb_scale = SHADOW_ABSORPTION_THICKNESS * Scene.ShadowAbsorptionScale.
+    blocked0 [N] bool: lanes whose search already ended on an opaque
+    analytic hit (AcceptHitAndEndSearch ends the WHOLE search) — their walk
+    terminates at step 0, mirroring mesh_shadow_k's seeded packet mask.
     Returns (visibility [N], color [N,3], occluder_distance [N]).
     """
     n = o.shape[0]
@@ -780,7 +783,7 @@ def traverse_shadow(mesh: MeshArrays, o, d, max_dist, absorb_scale=1.0,
         jnp.ones((n,), F32),
         jnp.ones((n, 3), F32),
         jnp.full((n,), C.NRD_FP16_MAX, F32),
-        jnp.zeros((n,), bool),
+        jnp.zeros((n,), bool) if blocked0 is None else blocked0,
     )
     _, _, vis, color, occ, blocked = jax.lax.while_loop(cond, body, init)
     vis = jnp.where(blocked, 0.0, vis)
@@ -789,7 +792,15 @@ def traverse_shadow(mesh: MeshArrays, o, d, max_dist, absorb_scale=1.0,
 
 
 def traverse_thickness(mesh: MeshArrays, o, d, inst_id, max_steps: Optional[int] = None):
-    """Nearest same-instance hit (AnyHit_Thickness_Triangle.hlsl:111-129)."""
+    """Same-instance thickness hit (AnyHit_Thickness_Triangle.hlsl:111-129).
+
+    The reference's any-hit calls AcceptHitAndEndSearch on the FIRST
+    same-object hit traversal reaches — NOT the nearest. We match that
+    end-search semantics deterministically: the walk stops at the first
+    threaded-order leaf that yields any same-instance hit and returns the
+    nearest hit within it (megakernel.mesh_thickness_k walks the same
+    hit/miss links in the same order, so both backends agree exactly).
+    """
     n = o.shape[0]
     if max_steps is None:
         max_steps = mesh.num_nodes + 1
@@ -799,29 +810,34 @@ def traverse_thickness(mesh: MeshArrays, o, d, inst_id, max_steps: Optional[int]
     pk = _plane_table(mesh.v0, mesh.edge1, mesh.edge2)
 
     def cond(carry):
-        step, node, best_t = carry
+        step, node, best_t, found = carry
         return (step < max_steps) & jnp.any(node != _END)
 
     def body(carry):
-        step, node, best_t = carry
+        step, node, best_t, found = carry
+        node = jnp.where(found, _END, node)
         live = node != _END
         ni = jnp.clip(node, 0, mesh.num_nodes - 1)
         box_hit = live & _ray_aabb(o, inv_d, mesh.bbox_min[ni], mesh.bbox_max[ni], tmin, best_t)
         count = mesh.tri_count[ni]
         start = mesh.tri_start[ni]
         do_leaf = box_hit & (count > 0)
+        hit_leaf = jnp.zeros((n,), bool)
         for k in range(LEAF_SIZE):
             ti = jnp.clip(start + k, 0, mesh.num_tris - 1)
             valid = do_leaf & (k < count) & (mesh.inst[ti] == inst_id)
             th, tt, _, _ = _tri_hit_plane_row(o, d, pk[ti], tmin, best_t)
-            better = th & valid & (tt < best_t)
+            th = th & valid
+            better = th & (tt < best_t)
             best_t = jnp.where(better, tt, best_t)
+            hit_leaf = hit_leaf | th
         nxt = jnp.where(box_hit, mesh.hit_next[ni], mesh.miss_next[ni])
         node = jnp.where(live, nxt, node)
-        return step + 1, node, best_t
+        return step + 1, node, best_t, found | hit_leaf
 
-    init = (jnp.int32(0), jnp.zeros((n,), I32), jnp.full((n,), big, F32))
-    _, _, best_t = jax.lax.while_loop(cond, body, init)
+    init = (jnp.int32(0), jnp.zeros((n,), I32), jnp.full((n,), big, F32),
+            jnp.zeros((n,), bool))
+    _, _, best_t, _ = jax.lax.while_loop(cond, body, init)
     hit = best_t < big * 0.999
     return hit, jnp.where(hit, best_t, big)
 

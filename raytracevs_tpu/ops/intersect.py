@@ -332,18 +332,27 @@ def trace_shadow(scene, origin, direction, max_dist):
     color = jnp.where(blocked[:, None], 0.0, color)
     occluder = jnp.min(jnp.where(hit_mask, all_t, jnp.float32(C.NRD_FP16_MAX)), axis=1)
     occluder = jnp.where(jnp.any(hit_mask, axis=1), occluder, jnp.float32(C.NRD_FP16_MAX))
-    return _merge_mesh_shadow(scene, origin, direction, max_dist, vis, color, occluder)
+    import os as _os
+    _seed = _os.environ.get("RTVS_MK_SHADOW_SEED", "1") == "1"
+    return _merge_mesh_shadow(scene, origin, direction, max_dist, vis, color,
+                              occluder, blocked=blocked if _seed else None)
 
 
-def _merge_mesh_shadow(scene, origin, direction, max_dist, vis, color, occluder):
-    """Fold mesh-instance shadow transmission into the analytic result."""
+def _merge_mesh_shadow(scene, origin, direction, max_dist, vis, color, occluder,
+                       blocked=None):
+    """Fold mesh-instance shadow transmission into the analytic result.
+
+    `blocked` lanes ended their search on an opaque analytic hit
+    (AcceptHitAndEndSearch, AnyHit_Shadow.hlsl:44-49) — the mesh walk is
+    seeded blocked for them, in lockstep with megakernel.mesh_shadow_k."""
     if scene.mesh is None:
         return vis, color, occluder
     from . import bvh as bvh_mod
 
     scale = jnp.float32(C.SHADOW_ABSORPTION_THICKNESS) * scene.shadow_absorption_scale
     mvis, mcolor, mocc = bvh_mod.traverse_shadow(
-        scene.mesh, origin, direction, max_dist, absorb_scale=scale
+        scene.mesh, origin, direction, max_dist, absorb_scale=scale,
+        blocked0=blocked,
     )
     return vis * mvis, color * mcolor, jnp.minimum(occluder, mocc)
 

@@ -76,6 +76,10 @@ PERSIST_SPP = os.environ.get("RTVS_MK_PERSIST", "0") == "1"
 # (scaled by the 4096-lane tile, so analysis divides by TILE_H*TILE_W).
 # Perf analysis only — the rays metric is wrong while this is set.
 _STATS = os.environ.get("RTVS_MK_STATS", "")
+# Shadow walks start with analytically-blocked lanes already in the
+# end-search state (AcceptHitAndEndSearch parity; see shadow_trace_k).
+# RTVS_MK_SHADOW_SEED=0 reverts to unseeded walks for perf A/B.
+_SHADOW_SEED = os.environ.get("RTVS_MK_SHADOW_SEED", "1") == "1"
 _INVALID = 0x7FFFFFF
 STACK_DEPTH = C.WORK_QUEUE_STRIDE
 
@@ -723,8 +727,13 @@ def shadow_trace_k(ks: KScene, o, d, max_dist):
     color = vwhere(blocked, vzeros(shape), color)
     occ = jnp.where(any_hit, occ, F32(C.NRD_FP16_MAX))
     if ks.mesh is not None and "mesh_shadow" not in _DEBUG_DISABLE:
-        # Fold mesh transmission in (ops/intersect.py _merge_mesh_shadow)
-        mvis, mcol, mocc = mesh_shadow_k(ks.mesh, o, d, max_dist)
+        # Fold mesh transmission in (ops/intersect.py _merge_mesh_shadow).
+        # Lanes already blocked by an opaque analytic hit seed the walk's
+        # end-search mask (AcceptHitAndEndSearch, AnyHit_Shadow.hlsl:44-49:
+        # an opaque commit ends the WHOLE search) — they stop steering the
+        # packet, so fully-shadowed tiles skip the mesh BVH entirely.
+        mvis, mcol, mocc = mesh_shadow_k(ks.mesh, o, d, max_dist,
+                                         blocked0=blocked if _SHADOW_SEED else None)
         vis = vis * mvis
         color = vmul(color, mcol)
         occ = jnp.minimum(occ, mocc)
@@ -2810,10 +2819,15 @@ def mesh_closest_k(km: KMesh, o, d, tmin, tmax, skip_active, skip_inst):
                 visits=cnt)
 
 
-def mesh_shadow_k(km: KMesh, o, d, max_dist):
+def mesh_shadow_k(km: KMesh, o, d, max_dist, blocked0=None):
     """Packet shadow traversal: transmission product over every crossing
     (AnyHit_Shadow_Triangle semantics, ops/bvh.py traverse_shadow).
-    Beer-Lambert absorption factors arrive pre-exponentiated in inst_tbl."""
+    Beer-Lambert absorption factors arrive pre-exponentiated in inst_tbl.
+
+    blocked0: lanes whose search already ENDED on an opaque analytic hit
+    (AcceptHitAndEndSearch). They start blocked — no steering, no leaf
+    accumulation — and their outputs are forced to the blocked values the
+    caller would overwrite anyway (vis=0, color=0)."""
     shape = o[0].shape
     inv_d = _safe_inv(d)
     zero = o[0] * 0.0
@@ -2882,8 +2896,11 @@ def mesh_shadow_k(km: KMesh, o, d, max_dist):
         return (nxt, vis, cr, cg, cb, occ, blocked_i)
 
     one = 1.0 + zero
+    blocked_init = izero_like(zero)
+    if blocked0 is not None:
+        blocked_init = blocked_init | blocked0.astype(I32)
     init = (jnp.int32(0), one, one, one, one,
-            zero + F32(C.NRD_FP16_MAX), izero_like(zero))
+            zero + F32(C.NRD_FP16_MAX), blocked_init)
     _, vis, cr, cg, cb, occ, blocked_i = jax.lax.while_loop(cond, body, init)
     blocked = blocked_i != 0
     vis = jnp.where(blocked, 0.0, vis)
@@ -2911,28 +2928,41 @@ def mesh_thickness_k(km: KMesh, o, d, inst_id, active=None):
         return c[0] >= 0
 
     def body(c):
-        node, best_t = c
+        node, best_t, found_i = c
         bb_lo, bb_hi, hit_next, miss_next, tri_start, tri_count = _node_row(km, node)
         lane_hit = _ray_aabb_k(o, inv_d, bb_lo, bb_hi, tmin, best_t)
+        # First same-instance hit ENDS the search (AcceptHitAndEndSearch,
+        # AnyHit_Thickness_Triangle, AnyHit_Shadow.hlsl:111-129: the
+        # reference commits whichever same-object hit traversal reaches
+        # first, NOT the nearest). We take the nearest within the first
+        # threaded-order leaf that yields any hit — deterministic and
+        # identical to bvh.traverse_thickness, which walks the same
+        # hit/miss links in the same order.
+        lane_hit = lane_hit & (found_i == 0)
         any_hit = jnp.any(lane_hit)
         is_leaf = tri_count > 0
         lh_i = lane_hit.astype(I32)
 
-        def leaf_tests(best_t, n_tests):
+        def leaf_tests(carry, n_tests):
+            best_t, found_i = carry
             g, exm = _leaf_rows(km, tri_start, extra=True)
+            hit_i = found_i & 0
             for k in range(n_tests):
                 inst = _tg(exm, k, 9).astype(I32)
                 th, tt, _, _, _ = _tri_hit_plane_k(o, d, g, k, tmin, best_t)
                 th = th & (lh_i != 0) & (k < tri_count) & (inst == inst_id)
                 best_t = jnp.where(th & (tt < best_t), tt, best_t)
-            return best_t
+                hit_i = hit_i | th.astype(I32)
+            return best_t, found_i | hit_i
 
-        best_t = _leaf_dispatch(any_hit & is_leaf, tri_count, km.leaf_size,
-                                leaf_tests, best_t)
-        return (jnp.where(any_hit, hit_next, miss_next), best_t)
+        best_t, found_i = _leaf_dispatch(any_hit & is_leaf, tri_count,
+                                         km.leaf_size, leaf_tests,
+                                         (best_t, found_i))
+        return (jnp.where(any_hit, hit_next, miss_next), best_t, found_i)
 
     init_t = zero + big if active is None else jnp.where(active, big, 0.0) + zero
-    _, best_t = jax.lax.while_loop(cond, body, (jnp.int32(0), init_t))
+    _, best_t, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), init_t, izero_like(zero)))
     hit = best_t < big * 0.999  # ops/bvh.py traverse_thickness criterion
     return hit, jnp.where(hit, best_t, big)
 
