@@ -659,14 +659,23 @@ class TriHit(NamedTuple):
     u: jnp.ndarray  # [N] barycentric
     v: jnp.ndarray  # [N]
     inst: jnp.ndarray  # [N] instance index
+    thick_hit: jnp.ndarray = None  # [N] fused same-instance thickness found
+    thick_t: jnp.ndarray = None  # [N] its distance
 
 
 def traverse_closest(mesh: MeshArrays, o, d, tmin, tmax, max_steps: Optional[int] = None,
-                     skip_active=None, skip_inst=None) -> TriHit:
+                     skip_active=None, skip_inst=None, thick_inst=None) -> TriHit:
     """Stackless closest-hit traversal over [N] lanes.
 
     skip_active/skip_inst implement RAYFLAG_SKIP_SELF for mesh instances
     (AnyHit_SkipSelf.hlsl triangle variant).
+
+    thick_inst ([N] i32, -1 = none): lanes with a pending same-instance
+    thickness query resolve it during this walk (their t interval stays
+    open until the first same-instance hit — AcceptHitAndEndSearch parity,
+    AnyHit_Thickness_Triangle) instead of paying a separate
+    traverse_thickness. Mirrors megakernel.mesh_closest_k exactly (same
+    threaded order, same per-triangle rule).
     """
     n = o.shape[0]
     if max_steps is None:
@@ -676,18 +685,26 @@ def traverse_closest(mesh: MeshArrays, o, d, tmin, tmax, max_steps: Optional[int
     if skip_active is None:
         skip_active = jnp.zeros((n,), bool)
         skip_inst = jnp.zeros((n,), I32)
+    track = thick_inst is not None
+    big = jnp.float32(1e30)
 
     def cond(carry):
-        step, node, best_t, best_tri, best_u, best_v = carry
-        return (step < max_steps) & jnp.any(node != _END)
+        return (carry[0] < max_steps) & jnp.any(carry[1] != _END)
 
     def body(carry):
-        step, node, best_t, best_tri, best_u, best_v = carry
+        if track:
+            step, node, best_t, best_tri, best_u, best_v, thick_t, thick_f = carry
+            pend = (thick_inst >= 0) & ~thick_f
+            bound = jnp.where(pend, big, best_t)
+        else:
+            step, node, best_t, best_tri, best_u, best_v = carry
+            pend = None
+            bound = best_t
         live = node != _END
         ni = jnp.clip(node, 0, mesh.num_nodes - 1)
         bb_min = mesh.bbox_min[ni]
         bb_max = mesh.bbox_max[ni]
-        box_hit = live & _ray_aabb(o, inv_d, bb_min, bb_max, tmin, best_t)
+        box_hit = live & _ray_aabb(o, inv_d, bb_min, bb_max, tmin, bound)
 
         count = mesh.tri_count[ni]
         start = mesh.tri_start[ni]
@@ -696,8 +713,14 @@ def traverse_closest(mesh: MeshArrays, o, d, tmin, tmax, max_steps: Optional[int
         for k in range(LEAF_SIZE):
             ti = jnp.clip(start + k, 0, mesh.num_tris - 1)
             valid = do_leaf & (k < count)
-            th, tt, tu, tv = _tri_hit_plane_row(o, d, pk[ti], tmin, best_t)
-            th = th & valid & ~(skip_active & (mesh.inst[ti] == skip_inst))
+            bnd = jnp.where(pend, big, best_t) if track else best_t
+            th, tt, tu, tv = _tri_hit_plane_row(o, d, pk[ti], tmin, bnd)
+            th = th & valid
+            if track:
+                tm = th & (mesh.inst[ti] == thick_inst) & (tt < thick_t)
+                thick_t = jnp.where(tm, tt, thick_t)
+                thick_f = thick_f | tm
+            th = th & ~(skip_active & (mesh.inst[ti] == skip_inst))
             better = th & (tt < best_t)
             best_t = jnp.where(better, tt, best_t)
             best_tri = jnp.where(better, ti, best_tri)
@@ -706,7 +729,10 @@ def traverse_closest(mesh: MeshArrays, o, d, tmin, tmax, max_steps: Optional[int
 
         nxt = jnp.where(box_hit, mesh.hit_next[ni], mesh.miss_next[ni])
         node = jnp.where(live, nxt, node)
-        return step + 1, node, best_t, best_tri, best_u, best_v
+        out = (step + 1, node, best_t, best_tri, best_u, best_v)
+        if track:
+            out = out + (thick_t, thick_f)
+        return out
 
     init = (
         jnp.int32(0),
@@ -716,10 +742,17 @@ def traverse_closest(mesh: MeshArrays, o, d, tmin, tmax, max_steps: Optional[int
         jnp.zeros((n,), F32),
         jnp.zeros((n,), F32),
     )
-    _, _, best_t, best_tri, best_u, best_v = jax.lax.while_loop(cond, body, init)
+    if track:
+        init = init + (jnp.full((n,), big, F32), jnp.zeros((n,), bool))
+    out = jax.lax.while_loop(cond, body, init)
+    if track:
+        _, _, best_t, best_tri, best_u, best_v, thick_t, thick_f = out
+    else:
+        _, _, best_t, best_tri, best_u, best_v = out
+        thick_t = thick_f = None
     hit = best_t < jnp.asarray(tmax, F32) * 0.9999
     return TriHit(hit=hit, t=best_t, tri=best_tri, u=best_u, v=best_v,
-                  inst=mesh.inst[best_tri])
+                  inst=mesh.inst[best_tri], thick_hit=thick_f, thick_t=thick_t)
 
 
 def traverse_shadow(mesh: MeshArrays, o, d, max_dist, absorb_scale=1.0,

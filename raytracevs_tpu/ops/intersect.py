@@ -98,6 +98,8 @@ class Hit(NamedTuple):
     tri: jnp.ndarray = None  # [N] i32 triangle index (mesh hits)
     bary_u: jnp.ndarray = None  # [N]
     bary_v: jnp.ndarray = None  # [N]
+    thick_hit: jnp.ndarray = None  # [N] fused same-instance thickness found
+    thick_t: jnp.ndarray = None  # [N] its distance
 
 
 def _apply_skip(t, obj_type, index_base, skip_type, skip_index):
@@ -108,12 +110,15 @@ def _apply_skip(t, obj_type, index_base, skip_type, skip_index):
     return jnp.where(skip, _BIG, t)
 
 
-def trace_closest(scene, origin, direction, tmin, tmax, skip_type=None, skip_index=None) -> Hit:
+def trace_closest(scene, origin, direction, tmin, tmax, skip_type=None, skip_index=None,
+                  thick_inst=None) -> Hit:
     """Closest-hit resolve over spheres ++ planes ++ boxes.
 
     Global primitive ordering matches the reference's procedural BLAS
     (AccelerationStructure.cpp:107-300), so mat_slot = global index.
     skip_type/skip_index implement RAYFLAG_SKIP_SELF when given.
+    thick_inst rides the mesh walk for deferred same-instance thickness
+    (bvh.traverse_closest).
     """
     n = origin.shape[0]
     if skip_type is None:
@@ -177,13 +182,14 @@ def trace_closest(scene, origin, direction, tmin, tmax, skip_type=None, skip_ind
     tri = jnp.zeros((n,), jnp.int32)
     bary_u = jnp.zeros((n,), jnp.float32)
     bary_v = jnp.zeros((n,), jnp.float32)
+    thick_hit = thick_t = None
     if scene.mesh is not None:
         from . import bvh as bvh_mod
 
         mesh_skip = skip_type == C.OBJECT_TYPE_MESH
         mh = bvh_mod.traverse_closest(
             scene.mesh, origin, direction, tmin, tmax,
-            skip_active=mesh_skip, skip_inst=skip_index,
+            skip_active=mesh_skip, skip_inst=skip_index, thick_inst=thick_inst,
         )
         better = mh.hit & (mh.t < t)
         t = jnp.where(better, mh.t, t)
@@ -194,8 +200,10 @@ def trace_closest(scene, origin, direction, tmin, tmax, skip_type=None, skip_ind
         tri = jnp.where(better, mh.tri, tri)
         bary_u = jnp.where(better, mh.u, bary_u)
         bary_v = jnp.where(better, mh.v, bary_v)
+        thick_hit, thick_t = mh.thick_hit, mh.thick_t
     return Hit(hit=hit, t=t, obj_type=obj_type, obj_index=obj_index, mat_slot=best,
-               tri=tri, bary_u=bary_u, bary_v=bary_v)
+               tri=tri, bary_u=bary_u, bary_v=bary_v,
+               thick_hit=thick_hit, thick_t=thick_t)
 
 
 def box_face_normal(hit_position, centers, halves, axes, index):
@@ -357,11 +365,14 @@ def _merge_mesh_shadow(scene, origin, direction, max_dist, vis, color, occluder,
     return vis * mvis, color * mcolor, jnp.minimum(occluder, mocc)
 
 
-def trace_thickness(scene, origin, direction, obj_type, obj_index):
+def trace_thickness(scene, origin, direction, obj_type, obj_index, include_mesh=True):
     """Same-object thickness query (RayGen.hlsl:646-672, AnyHit_Thickness).
 
     Finds the nearest intersection with the *same* primitive along the
     refraction direction. Returns (hit [N] bool, t [N]).
+    include_mesh=False compiles out the mesh walk — callers that defer
+    mesh-glass thickness to the refract child's fused closest walk
+    (bvh.traverse_closest thick_inst) pass mesh lanes as invalid here.
     """
     n = origin.shape[0]
     tmin = jnp.full((n,), C.RAY_TMIN, jnp.float32)
@@ -386,7 +397,7 @@ def trace_thickness(scene, origin, direction, obj_type, obj_index):
         (obj_type == C.OBJECT_TYPE_SPHERE) | (obj_type == C.OBJECT_TYPE_BOX)
     )
     t = jnp.where(hit, t, jnp.float32(C.NRD_FP16_MAX))
-    if scene.mesh is not None:
+    if include_mesh and scene.mesh is not None:
         from . import bvh as bvh_mod
 
         mh, mt = bvh_mod.traverse_thickness(scene.mesh, origin, direction, obj_index)

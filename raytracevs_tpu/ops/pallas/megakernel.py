@@ -447,7 +447,8 @@ def _atten(ks, dist):
     return 1.0 / jnp.maximum(ks.atten_c + ks.atten_l * dist + ks.atten_q * dist * dist, 1e-4)
 
 
-def intersect_closest_k(ks: KScene, o, d, tmin, tmax, skip_type, skip_index):
+def intersect_closest_k(ks: KScene, o, d, tmin, tmax, skip_type, skip_index,
+                        thick_inst=None):
     """Closest hit + material + winner geometry, one static pass over prims.
 
     Returns dict of (TILE_H,TILE_W) arrays.
@@ -530,12 +531,15 @@ def intersect_closest_k(ks: KScene, o, d, tmin, tmax, skip_type, skip_index):
     mesh_nrm = vconst(shape, 0.0, 1.0, 0.0)
     mesh_front = jnp.zeros(shape, bool)
     visits = None
+    thick_hit = thick_t = None
     if ks.mesh is not None and "mesh_closest" not in _DEBUG_DISABLE:
         skip_m = (skip_type == C.OBJECT_TYPE_MESH)
         # Analytic hits prune the packet walk: a lane occluded by a plane
         # or sphere stops dragging the tile through BVH nodes behind it.
         mres = mesh_closest_k(ks.mesh, o, d, tmin, jnp.minimum(best_t, tmax),
-                              skip_m, skip_index)
+                              skip_m, skip_index, thick_inst=thick_inst)
+        if thick_inst is not None:
+            thick_hit, thick_t = mres["thick_hit"], mres["thick_t"]
         better = mres["hit"] & (mres["t"] < best_t)
         best_t = jnp.where(better, mres["t"], best_t)
         best_type = jnp.where(better, C.OBJECT_TYPE_MESH, best_type)
@@ -628,6 +632,8 @@ def intersect_closest_k(ks: KScene, o, d, tmin, tmax, skip_type, skip_index):
         "emission": emission,
         "absorption": absorption,
         "visits": visits,
+        "thick_hit": thick_hit,
+        "thick_t": thick_t,
     }
 
 
@@ -740,8 +746,12 @@ def shadow_trace_k(ks: KScene, o, d, max_dist):
     return vis, color, occ
 
 
-def thickness_trace_k(ks: KScene, o, d, obj_type, obj_index):
-    """Same-object thickness query (AnyHit_Thickness semantics)."""
+def thickness_trace_k(ks: KScene, o, d, obj_type, obj_index, include_mesh=True):
+    """Same-object thickness query (AnyHit_Thickness semantics).
+
+    include_mesh=False compiles out the mesh walk — callers that defer
+    mesh-glass thickness to the refract child's fused closest walk
+    (mesh_closest_k thick_inst) pass their mesh lanes as _INVALID here."""
     shape = o[0].shape
     tmin = F32(C.RAY_TMIN)
     t_out = jnp.full(shape, 1e30, F32)
@@ -772,7 +782,7 @@ def thickness_trace_k(ks: KScene, o, d, obj_type, obj_index):
         t_out = jnp.where(ok, t, t_out)
     hit = t_out < 1e29
     t_fin = jnp.where(hit, t_out, F32(C.NRD_FP16_MAX))
-    if ks.mesh is not None and "mesh_thick" not in _DEBUG_DISABLE:
+    if include_mesh and ks.mesh is not None and "mesh_thick" not in _DEBUG_DISABLE:
         mh, mt = mesh_thickness_k(ks.mesh, o, d, obj_index,
                                   active=obj_type == C.OBJECT_TYPE_MESH)
         sel_m = obj_type == C.OBJECT_TYPE_MESH
@@ -1064,7 +1074,37 @@ def _hit_context_k(ks, cfg, cur, traced):
     # masked, but with a mesh they must also stop steering the packet walk
     # (a stale ray would drag the whole tile through its BVH nodes).
     tmax = jnp.where(traced, F32(C.RAY_TMAX), 0.0)
-    isect = intersect_closest_k(ks, c_o, c_d, tmin, tmax, skip_t, skip_i)
+    # Deferred mesh-glass thickness: a refract child tagged by
+    # _spawn_children_k (instance+1 in c_rflags bits 8+) resolves its
+    # same-instance thickness DURING this closest walk — its ray IS the
+    # reference's thickness ray (RayGen.hlsl:650/776 share the origin
+    # hitPosition + refractDir*0.002) — and the Beer factor the reference
+    # applied at spawn (RayGen.hlsl:674-678) multiplies the path here
+    # instead; the product is identical.
+    fused_thick = (ks.mesh is not None and cfg.any_absorption
+                   and "mesh_thick" not in _DEBUG_DISABLE
+                   and "mesh_closest" not in _DEBUG_DISABLE)
+    if fused_thick:
+        thick_inst = jnp.where(traced, (c_rflags >> 8) - 1, -1)
+        isect = intersect_closest_k(ks, c_o, c_d, tmin, tmax, skip_t, skip_i,
+                                    thick_inst=thick_inst)
+        t_th = jnp.where((thick_inst >= 0) & isect["thick_hit"],
+                         isect["thick_t"], 0.0)
+        tscale = t_th * F32(C.GLASS_ABSORPTION_SCALE)
+        ab = vzeros(shape)
+        for i in range(ks.mesh.num_inst):
+            row = ks.mesh.inst_tbl[pl.ds(i, 1), :]
+            sel = thick_inst == i
+            ab = (jnp.where(sel, row[0, 1], ab[0]),
+                  jnp.where(sel, row[0, 2], ab[1]),
+                  jnp.where(sel, row[0, 3], ab[2]))
+        has_th = t_th > 0.0
+        pending_beer = (jnp.where(has_th, jnp.exp(-ab[0] * tscale), 1.0),
+                        jnp.where(has_th, jnp.exp(-ab[1] * tscale), 1.0),
+                        jnp.where(has_th, jnp.exp(-ab[2] * tscale), 1.0))
+    else:
+        pending_beer = None
+        isect = intersect_closest_k(ks, c_o, c_d, tmin, tmax, skip_t, skip_i)
 
     hit_mask = isect["hit"] & traced
     pos = isect["pos"]
@@ -1103,6 +1143,7 @@ def _hit_context_k(ks, cfg, cur, traced):
         transmission=transmission, ior=ior, specular=specular,
         emission=isect["emission"], absorption=isect["absorption"],
         is_glass=is_glass, f0_glass=f0_glass, f0=f0, spec_blend=spec_blend,
+        pending_beer=pending_beer,
     )
 
 
@@ -1112,6 +1153,13 @@ def _shade_and_spawn_k(ks, cfg, xx, yy, frame, s, cur, traced):
     (c_valid, c_o, c_d, c_depth, c_tp, c_flags, c_boost, c_rflags, c_stype, c_sidx) = cur
 
     hx = _hit_context_k(ks, cfg, cur, traced)
+    if hx["pending_beer"] is not None:
+        # Deferred mesh-glass refraction absorption (see _hit_context_k):
+        # scales this ray's throughput — children and the returned radiance
+        # both inherit it, exactly like the reference's spawn-time multiply.
+        c_tp = vmul(c_tp, hx["pending_beer"])
+        cur = (c_valid, c_o, c_d, c_depth, c_tp, c_flags, c_boost, c_rflags,
+               c_stype, c_sidx)
     isect = hx["isect"]
     hit_mask = hx["hit_mask"]
     pos, nrm, front_face = hx["pos"], hx["nrm"], hx["front_face"]
@@ -1331,6 +1379,11 @@ def _shade_and_spawn_k(ks, cfg, xx, yy, frame, s, cur, traced):
         transmission=transmission, position=pos,
         obj_id=jnp.where(hit_mask, isect["type"] * 65536 + isect["index"], -1),
     )
+    if hx["pending_beer"] is not None:
+        # The caller accumulates contrib = c_tp(unscaled) * color, so the
+        # deferred Beer rides the radiance (records are depth-0 only and
+        # tagged lanes are depth>=1 — they never record).
+        color = vmul(color, hx["pending_beer"])
     return color, records, children, ray_count
 
 
@@ -1379,15 +1432,31 @@ def _spawn_children_k(ks, cfg, xx, yy, frame, s, cur, hx):
                       jnp.clip(rt * tint[2], 0.0, 1.0))
 
         glass_spawn = hit_mask & is_glass
+        thick_tag = jnp.zeros(shape, I32)
         if cfg.any_absorption:
+            fused_thick = (ks.mesh is not None
+                           and "mesh_thick" not in _DEBUG_DISABLE
+                           and "mesh_closest" not in _DEBUG_DISABLE)
             th_o = vadd(pos, vscale(g_refract, F32(C.SELF_OFFSET)))
             do_th = glass_spawn & ~tir
+            th_type = jnp.where(do_th, isect["type"], _INVALID)
+            if fused_thick:
+                # Mesh-glass lanes defer their thickness to the refract
+                # child's own closest walk (see _hit_context_k): tag the
+                # child with instance+1 in rflags bits 8+. The thickness
+                # ray still counts (`extra`) — the reference traces it
+                # (RayGen.hlsl:650-670), we just resolve it for free.
+                absorbing = ((absorption[0] > 0.0) | (absorption[1] > 0.0)
+                             | (absorption[2] > 0.0))
+                is_mesh_th = th_type == C.OBJECT_TYPE_MESH
+                thick_tag = jnp.where(is_mesh_th & absorbing,
+                                      (isect["index"] + 1) << 8, 0)
+                th_type = jnp.where(is_mesh_th, _INVALID, th_type)
             # idle lanes query a type that matches nothing so the mesh walk
             # only follows lanes that actually need a thickness
             th_hit, th_t = thickness_trace_k(
-                ks, th_o, g_refract,
-                jnp.where(do_th, isect["type"], _INVALID),
-                isect["index"],
+                ks, th_o, g_refract, th_type, isect["index"],
+                include_mesh=not fused_thick,
             )
             extra = extra + do_th.astype(I32)
             thickness = jnp.where(do_th & th_hit, th_t, 0.0)
@@ -1403,6 +1472,7 @@ def _spawn_children_k(ks, cfg, xx, yy, frame, s, cur, hx):
         refract_tp_full = vmul(refract_tp, c_tp)
     else:
         glass_spawn = jnp.zeros(shape, bool)
+        thick_tag = jnp.zeros(shape, I32)
         tir = jnp.zeros(shape, bool)
         entering = front_face
         g_reflect = vzeros(shape)
@@ -1440,7 +1510,7 @@ def _spawn_children_k(ks, cfg, xx, yy, frame, s, cur, hx):
         reflect_dir=g_reflect, refract_dir=g_refract, metal_dir=metal_dir,
         reflect_tp=reflect_tp, refract_tp=refract_tp_full, metal_tp=metal_tp,
         hit_pos=pos, normal=nrm, hit_type=isect["type"], hit_index=isect["index"],
-        stat=isect["visits"],
+        thick_tag=thick_tag, stat=isect["visits"],
     )
     return children, extra
 
@@ -1451,6 +1521,9 @@ def _children_only_k(ks, cfg, xx, yy, frame, s, cur, traced):
     _shade_and_spawn_k (same intersection, material, RNG and spawn math);
     only the radiance/record computation is omitted."""
     hx = _hit_context_k(ks, cfg, cur, traced)
+    if hx["pending_beer"] is not None:
+        c_tp = vmul(cur[4], hx["pending_beer"])
+        cur = cur[:4] + (c_tp,) + cur[5:]
     children, extra = _spawn_children_k(ks, cfg, xx, yy, frame, s, cur, hx)
     return children, extra
 
@@ -1932,7 +2005,9 @@ def _advance_state_k(cur, ch, traced, stalled, sf, si, sn, stack_slots):
                       jnp.ones(c_depth.shape, F32))
     cont_rflags = pick(jnp.where(metal_inside, 0, C.RAYFLAG_SKIP_SELF).astype(I32),
                        jnp.full(c_depth.shape, C.RAYFLAG_SKIP_SELF, I32),
-                       jnp.zeros(c_depth.shape, I32),
+                       # refract child: pending-thickness tag (instance+1
+                       # in bits 8+, see _spawn_children_k / _hit_context_k)
+                       ch["thick_tag"],
                        jnp.zeros(c_depth.shape, I32))
     cont_stype = pick(jnp.where(metal_inside, _INVALID, ch["hit_type"]),
                       ch["hit_type"],
@@ -2731,19 +2806,31 @@ def _leaf_dispatch(leaf_now, tri_count, leaf_size, leaf_fn, carry):
     return jax.lax.cond(leaf_now, build(0), lambda c: c, carry)
 
 
-def mesh_closest_k(km: KMesh, o, d, tmin, tmax, skip_active, skip_inst):
+def mesh_closest_k(km: KMesh, o, d, tmin, tmax, skip_active, skip_inst,
+                   thick_inst=None):
     """Packet closest-hit over the threaded BVH.
 
     Mosaic-safe: all while carries are f32/i32 (no i1), and lane-varying
     carries are initialised from a lane-varying zero (`o[0]*0`) so the
     layout stays varying from iteration 0 (see the dirty-init note in
     _run_sample_k).
+
+    thick_inst (optional, [*,*] i32, -1 = none): lanes with a pending
+    same-instance thickness query ride this walk instead of paying a
+    separate mesh_thickness_k traversal — the refract child's ray IS the
+    reference's thickness ray (RayGen.hlsl:650 vs 776: both originate at
+    hitPosition + refractDir*0.002). Pending lanes keep an open t interval
+    until their first same-instance hit (AcceptHitAndEndSearch parity,
+    AnyHit_Thickness_Triangle), accumulated from the SAME per-triangle test
+    the closest search evaluates. Returns thick_t/thick_hit in the dict.
     """
     shape = o[0].shape
     inv_d = _safe_inv(d)
     zero = o[0] * 0.0  # lane-varying zero (dirty init)
     izero = zero.astype(I32)
     skip_i = jnp.where(skip_active, skip_inst, -1)
+    track = thick_inst is not None
+    big = F32(1e30)
 
     count_stats = _STATS in ("nodes", "leaves")
 
@@ -2755,27 +2842,46 @@ def mesh_closest_k(km: KMesh, o, d, tmin, tmax, skip_active, skip_inst):
         # VMEM state per node visit, so the smooth normal is interpolated
         # at candidate time (3 floats) instead of carrying 9 vertex-normal
         # components + barycentrics to the end.
-        if count_stats:
-            (node, cnt, best_t, best_inst, nx, ny, nz, gdot) = c
-        else:
-            (node, best_t, best_inst, nx, ny, nz, gdot) = c
+        c = list(c)
+        node = c.pop(0)
+        cnt = c.pop(0) if count_stats else None
+        if track:
+            thick_t, thick_f = c[-2], c[-1]
+            c = c[:-2]
+        (best_t, best_inst, nx, ny, nz, gdot) = c
         bb_lo, bb_hi, hit_next, miss_next, tri_start, tri_count = _node_row(km, node)
-        lane_hit = _ray_aabb_k(o, inv_d, bb_lo, bb_hi, tmin, best_t)
+        if track:
+            pend = (thick_inst >= 0) & (thick_f == 0)
+            bound = jnp.where(pend, big, best_t)
+        else:
+            pend = None
+            bound = best_t
+        lane_hit = _ray_aabb_k(o, inv_d, bb_lo, bb_hi, tmin, bound)
         any_hit = jnp.any(lane_hit)
         is_leaf = tri_count > 0
         # capture the box mask as i32 — Mosaic cannot pass i1 vectors
         # across scf.if region boundaries (promotes to i8, then fails
         # the i8->i1 trunc)
         lh_i = lane_hit.astype(I32)
+        pend_i = pend.astype(I32) if track else None
 
         def leaf_tests(carry, n_tests):
+            carry = list(carry)
+            if track:
+                thick_t, thick_hit_i = carry[-2], carry[-1]
+                carry = carry[:-2]
             (best_t, best_inst, nx, ny, nz, gdot) = carry
             g, exm = _leaf_rows(km, tri_start, extra=True)
             for k in range(n_tests):
                 inst = _tg(exm, k, 9).astype(I32)
-                th, tt, tu, tv, nd = _tri_hit_plane_k(o, d, g, k, tmin, best_t)
-                th = th & (lh_i != 0) & (k < tri_count) & (inst != skip_i)
-                better = th & (tt < best_t)
+                bnd = jnp.where(pend_i != 0, big, best_t) if track else best_t
+                th, tt, tu, tv, nd = _tri_hit_plane_k(o, d, g, k, tmin, bnd)
+                th = th & (lh_i != 0) & (k < tri_count)
+                if track:
+                    tm = th & (inst == thick_inst) & (tt < thick_t)
+                    thick_t = jnp.where(tm, tt, thick_t)
+                    thick_hit_i = thick_hit_i | tm.astype(I32)
+                better = th & (inst != skip_i) & (tt < best_t)
                 best_t = jnp.where(better, tt, best_t)
                 best_inst = jnp.where(better, inst, best_inst)
                 tw = 1.0 - tu - tv
@@ -2786,12 +2892,17 @@ def mesh_closest_k(km: KMesh, o, d, tmin, tmax, skip_active, skip_inst):
                 # geometric normal itself is never needed (small carry
                 # = less spilled VMEM per node visit)
                 gdot = jnp.where(better, nd, gdot)
-            return (best_t, best_inst, nx, ny, nz, gdot)
+            out = (best_t, best_inst, nx, ny, nz, gdot)
+            if track:
+                out = out + (thick_t, thick_hit_i)
+            return out
 
         leaf_now = any_hit & is_leaf
+        leaf_carry = (best_t, best_inst, nx, ny, nz, gdot)
+        if track:
+            leaf_carry = leaf_carry + (thick_t, thick_f)
         updated = _leaf_dispatch(
-            leaf_now, tri_count, km.leaf_size, leaf_tests,
-            (best_t, best_inst, nx, ny, nz, gdot),
+            leaf_now, tri_count, km.leaf_size, leaf_tests, leaf_carry,
         )
         nxt = jnp.where(any_hit, hit_next, miss_next)
         if count_stats:
@@ -2803,20 +2914,28 @@ def mesh_closest_k(km: KMesh, o, d, tmin, tmax, skip_active, skip_inst):
         jnp.int32(0), tmax + zero, izero - 1,
         zero, zero, zero, zero,
     )
+    if track:
+        init = init + (zero + big, izero)
     if count_stats:
         init = (init[0], jnp.int32(0), *init[1:])
-    out = jax.lax.while_loop(cond, body, init)
-    if count_stats:
-        (_, cnt, best_t, best_inst, nx, ny, nz, gdot) = out
-    else:
-        cnt = None
-        (_, best_t, best_inst, nx, ny, nz, gdot) = out
+    out = list(jax.lax.while_loop(cond, body, init))
+    out.pop(0)
+    cnt = out.pop(0) if count_stats else None
+    thick_t = thick_f = None
+    if track:
+        thick_t, thick_f = out[-2], out[-1]
+        out = out[:-2]
+    (best_t, best_inst, nx, ny, nz, gdot) = out
     # sentinel-based hit: tmax may arrive pre-tightened by analytic hits,
     # so "improved vs tmax" is no longer a usable criterion
     hit = best_inst >= 0
     smooth = vnorm((nx, ny, nz))
-    return dict(hit=hit, t=best_t, inst=best_inst, smooth=smooth, gdot=gdot,
-                visits=cnt)
+    res = dict(hit=hit, t=best_t, inst=best_inst, smooth=smooth, gdot=gdot,
+               visits=cnt)
+    if track:
+        res["thick_hit"] = thick_f != 0
+        res["thick_t"] = thick_t
+    return res
 
 
 def mesh_shadow_k(km: KMesh, o, d, max_dist, blocked0=None):

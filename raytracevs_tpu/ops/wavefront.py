@@ -187,9 +187,30 @@ def _shade_and_spawn(scene: FlatScene, cfg: RenderConfig, px, py, sample_index, 
     tmax = jnp.full((n,), C.RAY_TMAX, F32)
     skip_t = jnp.where((state.ray_flags & C.RAYFLAG_SKIP_SELF) != 0, state.skip_type, _INVALID)
     skip_i = jnp.where((state.ray_flags & C.RAYFLAG_SKIP_SELF) != 0, state.skip_index, 0)
-    hit = intersect.trace_closest(
-        scene, state.origin, state.direction, tmin, tmax, skip_t, skip_i
-    )
+    # Deferred mesh-glass thickness (lockstep with megakernel._hit_context_k):
+    # a refract child tagged with instance+1 in ray_flags bits 8+ resolves
+    # its same-instance thickness during this closest walk — its ray IS the
+    # reference's thickness ray (RayGen.hlsl:650/776 share the origin) —
+    # and the Beer factor the reference applied at spawn multiplies the
+    # path here instead; the product is identical.
+    fused_thick = scene.mesh is not None and cfg.any_absorption
+    beer = None
+    if fused_thick:
+        thick_inst = jnp.where(traced, (state.ray_flags >> 8) - 1, -1)
+        hit = intersect.trace_closest(
+            scene, state.origin, state.direction, tmin, tmax, skip_t, skip_i,
+            thick_inst=thick_inst,
+        )
+        t_th = jnp.where((thick_inst >= 0) & hit.thick_hit, hit.thick_t, 0.0)
+        tscale = t_th * F32(C.GLASS_ABSORPTION_SCALE)
+        ni = scene.mesh.inst_absorption.shape[0]
+        ab = scene.mesh.inst_absorption[jnp.clip(thick_inst, 0, ni - 1)]
+        beer = jnp.where((t_th > 0.0)[:, None], jnp.exp(-ab * tscale[:, None]), 1.0)
+        state = state._replace(throughput=state.throughput * beer)
+    else:
+        hit = intersect.trace_closest(
+            scene, state.origin, state.direction, tmin, tmax, skip_t, skip_i
+        )
     hit_mask = hit.hit & traced
     pos, nrm, front_face = intersect.surface_normal(scene, hit, state.origin, state.direction)
 
@@ -515,12 +536,26 @@ def _shade_and_spawn(scene: FlatScene, cfg: RenderConfig, px, py, sample_index, 
         # Compiled out when every glass material's absorption is zero: the
         # ray's only consumer is exp(-absorption*thickness) == 1 then.
         glass_spawn = can_spawn & is_glass
+        thick_tag = jnp.zeros((n,), I32)
         if cfg.any_absorption:
             th_origin = pos + g_refract * F32(C.SELF_OFFSET)
-            th_hit, th_t = intersect.trace_thickness(
-                scene, th_origin, g_refract, hit.obj_type, hit.obj_index
-            )
             do_thickness = glass_spawn & ~tir
+            th_type = hit.obj_type
+            if scene.mesh is not None:
+                # Mesh-glass lanes defer their thickness to the refract
+                # child's own closest walk (fused_thick above): tag the
+                # child with instance+1 in ray_flags bits 8+. The thickness
+                # ray still counts — the reference traces it
+                # (RayGen.hlsl:650-670), we just resolve it for free.
+                absorbing = jnp.any(absorption > 0.0, axis=-1)
+                is_mesh_th = th_type == C.OBJECT_TYPE_MESH
+                thick_tag = jnp.where(do_thickness & is_mesh_th & absorbing,
+                                      (hit.obj_index + 1) << 8, 0)
+                th_type = jnp.where(is_mesh_th, _INVALID, th_type)
+            th_hit, th_t = intersect.trace_thickness(
+                scene, th_origin, g_refract, th_type, hit.obj_index,
+                include_mesh=scene.mesh is None,
+            )
             ray_count = ray_count + do_thickness.astype(I32)
             thickness = jnp.where(do_thickness & th_hit, th_t, 0.0)
             refraction_absorb = jnp.where(
@@ -532,6 +567,7 @@ def _shade_and_spawn(scene: FlatScene, cfg: RenderConfig, px, py, sample_index, 
             refraction_absorb = jnp.ones((n, 3), F32)
     else:
         glass_spawn = jnp.zeros((n,), bool)
+        thick_tag = jnp.zeros((n,), I32)
         tir = jnp.zeros((n,), bool)
         entering = front_face
         g_reflect = sample_dummy
@@ -574,6 +610,7 @@ def _shade_and_spawn(scene: FlatScene, cfg: RenderConfig, px, py, sample_index, 
         "normal": nrm,
         "hit_obj_type": hit.obj_type,
         "hit_obj_index": hit.obj_index,
+        "thick_tag": thick_tag,
     }
     records = {
         "color": color,
@@ -594,6 +631,12 @@ def _shade_and_spawn(scene: FlatScene, cfg: RenderConfig, px, py, sample_index, 
             hit_mask, hit.obj_type * 65536 + hit.obj_index, -1
         ).astype(I32),
     }
+    if beer is not None:
+        # The caller accumulates contrib = cur.throughput(unscaled) * color,
+        # so the deferred Beer rides the radiance (records are depth-0 only
+        # and tagged lanes are depth>=1 — they never record). Lockstep with
+        # megakernel._shade_and_spawn_k.
+        color = color * beer
     return color, records, children, ray_count
 
 
@@ -726,7 +769,9 @@ def run_sample(scene: FlatScene, cfg: RenderConfig, px, py, sample_index, primar
             throughput=ch["refract_tp"],
             flags=refract_flags,
             sky_boost=jnp.full((n_lanes,), C.SKY_BOOST_GLASS, F32),
-            ray_flags=jnp.zeros((n_lanes,), I32),
+            # pending-thickness tag (instance+1 in bits 8+) — resolved by
+            # the child's own fused closest walk (_shade_and_spawn)
+            ray_flags=ch["thick_tag"],
             skip_type=jnp.full((n_lanes,), _INVALID, I32),
             skip_index=jnp.zeros((n_lanes,), I32),
         )

@@ -292,3 +292,78 @@ def test_megakernel_nine_instance_fallback_matches_jnp():
     np.testing.assert_array_equal(
         np.asarray(pal.gbuffer.obj_id), np.asarray(ref.gbuffer.obj_id)
     )
+
+
+def test_absorbing_mesh_glass_fused_thickness_matches_jnp():
+    """Absorbing mesh glass: the deferred (fused) thickness path.
+
+    The refract child's closest walk resolves the same-instance thickness
+    (mesh_closest_k thick_inst / bvh.traverse_closest thick_inst) and the
+    Beer factor is applied at the child's iteration instead of at spawn —
+    both backends must agree, and the absorption must actually tint
+    (catches a fused path that silently returns beer=1). Also exercises
+    the shadow blocked-seed (the opaque sphere shadows lanes whose
+    segments cross the glass BVH)."""
+    import tempfile
+
+    from raytracevs_tpu.io.mesh_cache import CachedMesh, MeshCacheService
+    from raytracevs_tpu.scene.data import (
+        LightData, LightType, MaterialData, MeshObjectData, PlaneData,
+        SceneData, SphereData,
+    )
+    from raytracevs_tpu.scene.transform import Transform
+    from test_big_mesh import _uv_sphere
+
+    verts, indices = _uv_sphere(rings=9, segs=9, radius=0.7)
+    ms = MeshCacheService("/nonexistent", cache_dir=tempfile.mkdtemp())
+    ms.register("GlassBall", CachedMesh(
+        name="GlassBall", vertices=verts, indices=indices,
+        bounds_min=np.array([-0.7, -0.7, -0.7]),
+        bounds_max=np.array([0.7, 0.7, 0.7]),
+    ))
+
+    scene = SceneData()
+    scene.camera.position = np.array([0.0, 1.2, -3.0])
+    scene.camera.look_at = np.array([0.0, 0.7, 0.0])
+    scene.settings.samples_per_pixel = 1
+    scene.settings.max_bounces = 4
+    glass = MaterialData(
+        base_color=np.array([0.95, 0.95, 0.95, 1.0]), transmission=1.0,
+        ior=1.2, roughness=0.0,
+        absorption=np.array([0.6, 0.15, 0.05]),  # non-uniform: channel swaps show
+    )
+    opaque = MaterialData(base_color=np.array([0.8, 0.8, 0.8, 1.0]), roughness=0.4)
+    scene.objects += [
+        MeshObjectData(mesh_name="GlassBall", material=glass,
+                       transform=Transform(position=np.array([0.0, 0.7, 0.0]))),
+        SphereData(position=np.array([1.4, 1.2, -0.6]), radius=0.4,
+                   material=opaque),
+        PlaneData(),
+    ]
+    scene.lights += [
+        LightData(type=LightType.POINT, position=np.array([2.5, 5.0, -2.0]),
+                  intensity=12.0),
+        LightData(type=LightType.DIRECTIONAL,
+                  direction=np.array([0.4, -1.0, 0.2]), intensity=0.7),
+        LightData(type=LightType.AMBIENT, color=np.array([0.3, 0.3, 0.3, 1.0])),
+    ]
+    flat = flatten_scene(scene, aspect=64 / 64, mesh_service=ms)
+    cfg = make_config(scene, 64, 64)
+    assert flat.mesh is not None
+    assert cfg.any_absorption
+
+    ref = render_rows(flat, cfg, jnp.int32(0), 64)
+    pal = render_rows(flat, cfg, jnp.int32(0), 64, backend="pallas",
+                      interpret=True)
+    r_ref = float(np.asarray(ref.rays))
+    assert abs(float(np.asarray(pal.rays)) - r_ref) / r_ref < 2e-3
+    cd = np.abs(np.asarray(pal.color) - np.asarray(ref.color)).max(axis=-1)
+    assert (cd > 1e-3).mean() < 0.02, f"{(cd > 1e-3).mean():.4f} of pixels diverge"
+
+    # Absorption sanity: zeroing the absorption must brighten the glass —
+    # the deferred Beer really fires (jnp oracle, cheap at this size).
+    scene.objects[0].material.absorption = np.array([0.0, 0.0, 0.0])
+    flat0 = flatten_scene(scene, aspect=64 / 64, mesh_service=ms)
+    ref0 = render_rows(flat0, cfg, jnp.int32(0), 64)
+    delta = np.asarray(ref0.color) - np.asarray(ref.color)
+    assert float(delta.max()) > 0.01, "absorption had no effect on the render"
