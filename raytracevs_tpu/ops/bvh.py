@@ -772,6 +772,12 @@ def traverse_shadow(mesh: MeshArrays, o, d, max_dist, absorb_scale=1.0,
     inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-12, jnp.where(d < 0, -1e-12, 1e-12), d)
     tmin = jnp.full((n,), C.RAY_TMIN, F32)
     pk = _plane_table(mesh.v0, mesh.edge1, mesh.edge2)
+    num_inst = int(mesh.inst_transmission.shape[0])
+    count_mode = _shadow_count_mode() and num_inst <= 8
+    if count_mode:
+        return _traverse_shadow_counts(mesh, o, d, max_dist, absorb_scale,
+                                       max_steps, blocked0, pk, inv_d, tmin,
+                                       num_inst)
 
     def cond(carry):
         step, node, vis, color, occ, blocked = carry
@@ -821,6 +827,103 @@ def traverse_shadow(mesh: MeshArrays, o, d, max_dist, absorb_scale=1.0,
     _, _, vis, color, occ, blocked = jax.lax.while_loop(cond, body, init)
     vis = jnp.where(blocked, 0.0, vis)
     color = jnp.where(blocked[:, None], 0.0, color)
+    return vis, color, occ
+
+
+def _shadow_count_mode():
+    import os
+    return os.environ.get("RTVS_MK_SHADOW_COUNT", "1") == "1"
+
+
+def _pow_u8(base, n_vec, one):
+    """base ** n for integer n in [0,255] by repeated squaring — pure
+    multiplies, bit-identical to megakernel._pow_u8 across backends."""
+    r = one
+    b = base
+    for bit in range(8):
+        r = jnp.where(((n_vec >> bit) & 1) != 0, r * b, r)
+        if bit < 7:
+            b = b * b
+    return r
+
+
+def _traverse_shadow_counts(mesh, o, d, max_dist, absorb_scale, max_steps,
+                            blocked0, pk, inv_d, tmin, num_inst):
+    """Count-based shadow traversal (<=8 instances) — the jnp mirror of
+    megakernel.mesh_shadow_count_k: per-crossing factors are per-instance
+    constants, so the walk packs per-instance crossing COUNTS into i32
+    words (8 bits/instance) and evaluates vis = prod trans_i^n_i,
+    color = prod beer_i^n_i once at walk end by repeated squaring."""
+    n = o.shape[0]
+    n_words = (num_inst + 3) // 4
+    trans_i = mesh.inst_transmission  # [I]
+    has_ab = jnp.any(mesh.inst_absorption > 0.0, axis=-1)
+    beer_i = jnp.where(has_ab[:, None],
+                       jnp.exp(-mesh.inst_absorption * absorb_scale), 1.0)  # [I,3]
+    opq = (trans_i < 0.01)  # [I] bool
+
+    def cond(carry):
+        return (carry[0] < max_steps) & jnp.any(carry[1] != _END)
+
+    def body(carry):
+        step, node, occ, blocked = carry[0], carry[1], carry[2], carry[3]
+        cnts = list(carry[4:])
+        node = jnp.where(blocked, _END, node)
+        live = node != _END
+        ni = jnp.clip(node, 0, mesh.num_nodes - 1)
+        box_hit = live & _ray_aabb(o, inv_d, mesh.bbox_min[ni], mesh.bbox_max[ni],
+                                   tmin, max_dist)
+        count = mesh.tri_count[ni]
+        start = mesh.tri_start[ni]
+        do_leaf = box_hit & (count > 0)
+        for k in range(LEAF_SIZE):
+            ti = jnp.clip(start + k, 0, mesh.num_tris - 1)
+            valid = do_leaf & (k < count)
+            th, tt, _, _ = _tri_hit_plane_row(o, d, pk[ti], tmin, max_dist)
+            th = th & valid
+            th_i = th.astype(I32)
+            inst = mesh.inst[ti]
+            blocked = blocked | (th & opq[inst])
+            if n_words == 1:
+                cnts[0] = cnts[0] + (th_i << (inst * 8))
+            else:
+                inc = th_i << ((inst & 3) * 8)
+                hi = inst >= 4
+                cnts[0] = cnts[0] + jnp.where(hi, 0, inc)
+                cnts[1] = cnts[1] + jnp.where(hi, inc, 0)
+            occ = jnp.where(th, jnp.minimum(occ, tt), occ)
+        nxt = jnp.where(box_hit, mesh.hit_next[ni], mesh.miss_next[ni])
+        node = jnp.where(live, nxt, node)
+        return (step + 1, node, occ, blocked, *cnts)
+
+    init = (
+        jnp.int32(0),
+        jnp.zeros((n,), I32),
+        jnp.full((n,), C.NRD_FP16_MAX, F32),
+        jnp.zeros((n,), bool) if blocked0 is None else blocked0,
+        *([jnp.zeros((n,), I32)] * n_words),
+    )
+    out = jax.lax.while_loop(cond, body, init)
+    occ, blocked = out[2], out[3]
+    cnts = out[4:]
+
+    one = jnp.ones((n,), F32)
+    vis = one
+    cr = one
+    cg = one
+    cb = one
+    for i in range(num_inst):
+        word = cnts[i // 4]
+        n_i = (word >> ((i & 3) * 8)) & 255
+        # Opaque instances contribute via `blocked` only (keep 0^n out of
+        # the translucent product) — mirror of mesh_shadow_count_k.
+        n_i = jnp.where(opq[i], 0, n_i)
+        vis = vis * _pow_u8(trans_i[i], n_i, one)
+        cr = cr * _pow_u8(beer_i[i, 0], n_i, one)
+        cg = cg * _pow_u8(beer_i[i, 1], n_i, one)
+        cb = cb * _pow_u8(beer_i[i, 2], n_i, one)
+    vis = jnp.where(blocked, 0.0, vis)
+    color = jnp.where(blocked[:, None], 0.0, jnp.stack([cr, cg, cb], axis=-1))
     return vis, color, occ
 
 

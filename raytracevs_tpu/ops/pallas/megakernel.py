@@ -80,6 +80,9 @@ _STATS = os.environ.get("RTVS_MK_STATS", "")
 # end-search state (AcceptHitAndEndSearch parity; see shadow_trace_k).
 # RTVS_MK_SHADOW_SEED=0 reverts to unseeded walks for perf A/B.
 _SHADOW_SEED = os.environ.get("RTVS_MK_SHADOW_SEED", "1") == "1"
+# Count-based shadow walk (mesh_shadow_count_k) for <=8-instance meshes;
+# RTVS_MK_SHADOW_COUNT=0 reverts to the multiply-per-crossing walk.
+_SHADOW_COUNT = os.environ.get("RTVS_MK_SHADOW_COUNT", "1") == "1"
 _INVALID = 0x7FFFFFF
 STACK_DEPTH = C.WORK_QUEUE_STRIDE
 
@@ -738,8 +741,10 @@ def shadow_trace_k(ks: KScene, o, d, max_dist):
         # end-search mask (AcceptHitAndEndSearch, AnyHit_Shadow.hlsl:44-49:
         # an opaque commit ends the WHOLE search) — they stop steering the
         # packet, so fully-shadowed tiles skip the mesh BVH entirely.
-        mvis, mcol, mocc = mesh_shadow_k(ks.mesh, o, d, max_dist,
-                                         blocked0=blocked if _SHADOW_SEED else None)
+        walk = (mesh_shadow_count_k
+                if _SHADOW_COUNT and ks.mesh.num_inst <= 8 else mesh_shadow_k)
+        mvis, mcol, mocc = walk(ks.mesh, o, d, max_dist,
+                                blocked0=blocked if _SHADOW_SEED else None)
         vis = vis * mvis
         color = vmul(color, mcol)
         occ = jnp.minimum(occ, mocc)
@@ -3021,6 +3026,124 @@ def mesh_shadow_k(km: KMesh, o, d, max_dist, blocked0=None):
     init = (jnp.int32(0), one, one, one, one,
             zero + F32(C.NRD_FP16_MAX), blocked_init)
     _, vis, cr, cg, cb, occ, blocked_i = jax.lax.while_loop(cond, body, init)
+    blocked = blocked_i != 0
+    vis = jnp.where(blocked, 0.0, vis)
+    color = vwhere(blocked, vzeros(shape), (cr, cg, cb))
+    return vis, color, occ
+
+
+def _pow_u8(base_scalar, n_vec, one_vec):
+    """base ** n for integer n in [0,255] by repeated squaring — pure
+    multiplies, so both backends produce bit-identical results (unlike
+    exp/log whose lowerings differ between Mosaic and CPU XLA). The base
+    stays scalar; only the select/multiply chain is lane-wide."""
+    r = one_vec
+    b = base_scalar
+    for bit in range(8):
+        r = jnp.where(((n_vec >> bit) & 1) != 0, r * b, r)
+        if bit < 7:
+            b = b * b
+    return r
+
+
+def mesh_shadow_count_k(km: KMesh, o, d, max_dist, blocked0=None):
+    """Count-based packet shadow traversal (<=8 instances).
+
+    Per-crossing shadow factors are PER-INSTANCE CONSTANTS (transmission
+    and the pre-exponentiated Beer tint, AnyHit_Shadow.hlsl:84), so the
+    walk only needs each lane's per-instance CROSSING COUNT: vis =
+    prod trans_i^n_i, color = prod beer_i^n_i, evaluated once at walk end
+    by repeated squaring (bit-exact across backends, see
+    bvh.traverse_shadow's count path). The leaf loop drops all inst_tbl
+    reads and material multiplies — one shift-add + occ-min per triangle —
+    and the while carry shrinks from 5 floats to 1-2 packed i32 count
+    words (8 bits/instance; crossings cap at 255 per instance per
+    segment, far beyond any sane mesh silhouette).
+
+    Opaque instances end the search (AcceptHitAndEndSearch) via a per-walk
+    scalar opacity bitmask; blocked0 seeds analytically-blocked lanes."""
+    shape = o[0].shape
+    inv_d = _safe_inv(d)
+    zero = o[0] * 0.0
+    izero = zero.astype(I32)
+    tmin = F32(C.RAY_TMIN)
+    ni = km.num_inst
+    n_words = (ni + 3) // 4  # 4 instances x 8 bits per count word
+
+    # Per-walk scalar opacity bitmask (transmission < 0.01 ends the search)
+    opq = jnp.int32(0)
+    for i in range(ni):
+        row = km.inst_tbl[pl.ds(i, 1), :]
+        opq = opq | (jnp.where(row[0, 0] < 0.01, 1, 0).astype(jnp.int32) << i)
+
+    def cond(c):
+        return c[0] >= 0
+
+    def body(c):
+        node, occ, blocked_i = c[0], c[1], c[2]
+        cnts = list(c[3:])
+        bb_lo, bb_hi, hit_next, miss_next, tri_start, tri_count = _node_row(km, node)
+        lane_hit = _ray_aabb_k(o, inv_d, bb_lo, bb_hi, tmin, max_dist)
+        lane_hit = lane_hit & (blocked_i == 0)
+        any_hit = jnp.any(lane_hit)
+        is_leaf = tri_count > 0
+        lh_i = lane_hit.astype(I32)
+
+        def leaf_tests(carry, n_tests):
+            occ, blocked_i = carry[0], carry[1]
+            cnts = list(carry[2:])
+            g, exm = _leaf_rows(km, tri_start, extra=True)
+            for k in range(n_tests):
+                th, tt, _, _, _ = _tri_hit_plane_k(o, d, g, k, tmin, max_dist)
+                th = th & (lh_i != 0) & (k < tri_count)
+                th_i = th.astype(I32)
+                inst = _tg(exm, k, 9).astype(I32)
+                blocked_i = blocked_i | (th_i & ((opq >> inst) & 1))
+                if n_words == 1:
+                    cnts[0] = cnts[0] + (th_i << (inst * 8))
+                else:
+                    inc = th_i << ((inst & 3) * 8)
+                    hi = inst >= 4
+                    cnts[0] = cnts[0] + jnp.where(hi, 0, inc)
+                    cnts[1] = cnts[1] + jnp.where(hi, inc, 0)
+                occ = jnp.where(th, jnp.minimum(occ, tt), occ)
+            return (occ, blocked_i, *cnts)
+
+        leaf_now = any_hit & is_leaf
+        occ, blocked_i, *cnts = _leaf_dispatch(
+            leaf_now, tri_count, km.leaf_size, leaf_tests,
+            (occ, blocked_i, *cnts),
+        )
+        nxt = jnp.where(any_hit, hit_next, miss_next)
+        return (nxt, occ, blocked_i, *cnts)
+
+    blocked_init = izero_like(zero)
+    if blocked0 is not None:
+        blocked_init = blocked_init | blocked0.astype(I32)
+    init = (jnp.int32(0), zero + F32(C.NRD_FP16_MAX), blocked_init,
+            *([izero] * n_words))
+    out = jax.lax.while_loop(cond, body, init)
+    occ, blocked_i = out[1], out[2]
+    cnts = out[3:]
+
+    one = 1.0 + zero
+    vis = one
+    cr = one
+    cg = one
+    cb = one
+    for i in range(ni):
+        word = cnts[i // 4]
+        n_i = (word >> ((i & 3) * 8)) & 255
+        row = km.inst_tbl[pl.ds(i, 1), :]
+        # Opaque instances contribute via `blocked` only (their trans^n
+        # would zero vis anyway, but keep them out of the product so the
+        # translucent math never multiplies by 0^n).
+        is_opq = (opq >> i) & 1
+        n_i = jnp.where(is_opq != 0, 0, n_i)
+        vis = vis * _pow_u8(row[0, 0], n_i, one)
+        cr = cr * _pow_u8(row[0, 4], n_i, one)
+        cg = cg * _pow_u8(row[0, 5], n_i, one)
+        cb = cb * _pow_u8(row[0, 6], n_i, one)
     blocked = blocked_i != 0
     vis = jnp.where(blocked, 0.0, vis)
     color = vwhere(blocked, vzeros(shape), (cr, cg, cb))
