@@ -83,6 +83,14 @@ _SHADOW_SEED = os.environ.get("RTVS_MK_SHADOW_SEED", "1") == "1"
 # Count-based shadow walk (mesh_shadow_count_k) for <=8-instance meshes;
 # RTVS_MK_SHADOW_COUNT=0 reverts to the multiply-per-crossing walk.
 _SHADOW_COUNT = os.environ.get("RTVS_MK_SHADOW_COUNT", "1") == "1"
+# RTVS_MK_SHADOW_FUSE=1 opts into the fused dual-ray dominant-light walk
+# (mesh_shadow2_count_k). FALSIFIED as a default on the canonical scene
+# (153.6 vs 142.5 ms, probe_r4_fuse): the two lights' shadow rays overlap
+# too little in the BVH, so union steering makes shared visits run BOTH
+# rays' triangle/box tests — leaf-op doubling outweighs the shared node
+# loads. Kept opt-in (bit-identical, tests/test_shadow_fuse.py) for
+# scenes whose dominant lights are nearly co-located.
+_SHADOW_FUSE = os.environ.get("RTVS_MK_SHADOW_FUSE", "0") == "1"
 _INVALID = 0x7FFFFFF
 STACK_DEPTH = C.WORK_QUEUE_STRIDE
 
@@ -667,8 +675,11 @@ def _box_hit(o, d, tmin, bc, bh, bax, bay, baz):
     return jnp.where(ok, t, F32(1e30)), entering
 
 
-def shadow_trace_k(ks: KScene, o, d, max_dist):
-    """Shadow transmission product over all prims (AnyHit_Shadow semantics)."""
+def _shadow_analytic_k(ks: KScene, o, d, max_dist):
+    """Analytic-prim part of AnyHit_Shadow: transmission product over the
+    sphere/plane/box tables. Returns (vis, color, occ, blocked) with the
+    opaque-blocked zeroing already applied (the mesh fold happens in the
+    caller so single- and dual-ray traces can share this body)."""
     shape = o[0].shape
     tmin = F32(C.RAY_TMIN)
     vis = jnp.ones(shape, F32)
@@ -735,6 +746,12 @@ def shadow_trace_k(ks: KScene, o, d, max_dist):
     vis = jnp.where(blocked, 0.0, vis)
     color = vwhere(blocked, vzeros(shape), color)
     occ = jnp.where(any_hit, occ, F32(C.NRD_FP16_MAX))
+    return vis, color, occ, blocked
+
+
+def shadow_trace_k(ks: KScene, o, d, max_dist):
+    """Shadow transmission product over all prims (AnyHit_Shadow semantics)."""
+    vis, color, occ, blocked = _shadow_analytic_k(ks, o, d, max_dist)
     if ks.mesh is not None and "mesh_shadow" not in _DEBUG_DISABLE:
         # Fold mesh transmission in (ops/intersect.py _merge_mesh_shadow).
         # Lanes already blocked by an opaque analytic hit seed the walk's
@@ -749,6 +766,41 @@ def shadow_trace_k(ks: KScene, o, d, max_dist):
         color = vmul(color, mcol)
         occ = jnp.minimum(occ, mocc)
     return vis, color, occ
+
+
+def shadow_trace2_k(ks: KScene, o, dA, maxA, dB, maxB):
+    """Two same-origin shadow traces (the per-iteration dominant-light
+    pair) resolved with ONE fused mesh packet walk.
+
+    The analytic prim tests stay per-ray (cheap static loops); the mesh
+    BVH — whose node DESCENT dominates shadow cost (count-walk probe:
+    a 25% leaf-op cut moved the frame only ~8%) — is walked once, steered
+    by the union of both rays. Per-ray results are bit-identical to two
+    sequential count walks: crossing counts / occ-min are traversal-order
+    independent, and genuine crossings arrive in the same threaded node
+    order, so opaque end-search (AnyHit_Shadow.hlsl:44-49) blocks each
+    lane at the same crossing either way."""
+    visA, colA, occA, blkA = _shadow_analytic_k(ks, o, dA, maxA)
+    visB, colB, occB, blkB = _shadow_analytic_k(ks, o, dB, maxB)
+    if ks.mesh is not None and "mesh_shadow" not in _DEBUG_DISABLE:
+        seedA = blkA if _SHADOW_SEED else None
+        seedB = blkB if _SHADOW_SEED else None
+        if _SHADOW_FUSE and _SHADOW_COUNT and ks.mesh.num_inst <= 8:
+            (mvA, mcA, moA), (mvB, mcB, moB) = mesh_shadow2_count_k(
+                ks.mesh, o, dA, maxA, dB, maxB,
+                blockedA0=seedA, blockedB0=seedB)
+        else:
+            walk = (mesh_shadow_count_k
+                    if _SHADOW_COUNT and ks.mesh.num_inst <= 8 else mesh_shadow_k)
+            mvA, mcA, moA = walk(ks.mesh, o, dA, maxA, blocked0=seedA)
+            mvB, mcB, moB = walk(ks.mesh, o, dB, maxB, blocked0=seedB)
+        visA = visA * mvA
+        colA = vmul(colA, mcA)
+        occA = jnp.minimum(occA, moA)
+        visB = visB * mvB
+        colB = vmul(colB, mcB)
+        occB = jnp.minimum(occB, moB)
+    return (visA, colA, occA), (visB, colB, occB)
 
 
 def thickness_trace_k(ks: KScene, o, d, obj_type, obj_index, include_mesh=True):
@@ -887,13 +939,12 @@ def _sigma_pack_dir(d_occ, tan_ang):
     )
 
 
-def _soft_shadow_k(ks, cfg, pos, nrm, active, lt, lp, lrad, lsamp, seed):
-    """CalculateSoftShadow for one gathered light per lane (Common.hlsli:1199+)."""
-    shape = pos[0].shape
-    if "shadow" in _DEBUG_DISABLE:  # perf-bisect kill switch: fully lit
-        return (seed, jnp.ones(shape, F32), jnp.zeros(shape, F32),
-                jnp.full(shape, C.NRD_FP16_MAX, F32),
-                vconst(shape, 1.0, 1.0, 1.0), jnp.zeros(shape, I32))
+def _soft_shadow_setup(ks, cfg, pos, nrm, active, lt, lp, lrad, lsamp, seed):
+    """Sample-direction generation half of CalculateSoftShadow
+    (Common.hlsli:1199+): consumes the light's RNG draws in exactly the
+    sequential order (all of this light's samples before the next light's)
+    and returns per-sample trace inputs, so the traces themselves can be
+    paired across the two dominant lights (shadow_trace2_k)."""
     is_dir = lt == C.LIGHT_TYPE_DIRECTIONAL
     is_ambient = lt == C.LIGHT_TYPE_AMBIENT
     soft = lrad > 0.001
@@ -912,20 +963,10 @@ def _soft_shadow_k(ks, cfg, pos, nrm, active, lt, lp, lrad, lsamp, seed):
     t_p, b_p = ortho_basis(vnorm(dir_point))
     t_d, b_d = ortho_basis(l_dir)
 
-    vis_sum = jnp.zeros(shape, F32)
-    pen_sum = jnp.zeros(shape, F32)
-    min_occ = jnp.full(shape, C.NRD_FP16_MAX, F32)
-    occluded = jnp.zeros(shape, I32)
-    valid_samples = jnp.zeros(shape, I32)
-    color_sum = vzeros(shape)
-    vis_h = jnp.ones(shape, F32)
-    color_h = vconst(shape, 1.0, 1.0, 1.0)
-    occ_h = jnp.full(shape, C.NRD_FP16_MAX, F32)
-    rays = jnp.zeros(shape, I32)
-
     shadowed = active & ~is_ambient
     soft_active = shadowed & soft
     hard_active = shadowed & ~soft
+    samples = []
     for s in range(cfg.max_soft_samples):
         iter_soft = soft_active & (s < num_samples)
         seed, u1 = masked_rng_next_t(seed, iter_soft)
@@ -949,14 +990,38 @@ def _soft_shadow_k(ks, cfg, pos, nrm, active, lt, lp, lrad, lsamp, seed):
         above = vdot(samp_dir, nrm) > 0.0
         do_trace = (iter_soft & above) | iter_hard
         trace_max = jnp.where(do_trace, trace_max, 0.0)  # keep idle lanes out of the walk
-        sv, sc, so = shadow_trace_k(ks, origin, trace_dir, trace_max)
-        rays = rays + do_trace.astype(I32)
+        samples.append((trace_dir, trace_max, iter_soft & above, iter_hard))
+
+    state = dict(origin=origin, soft=soft, is_dir=is_dir, is_ambient=is_ambient,
+                 active=active, dist_point=dist_point, light_size=light_size,
+                 tan_ang=tan_ang, samples=samples)
+    return seed, state
+
+
+def _soft_shadow_accum(state, traces):
+    """Accumulation half of CalculateSoftShadow: folds the per-sample
+    (vis, color, occ) trace results into the light's shadow outputs."""
+    soft = state["soft"]
+    is_dir = state["is_dir"]
+    shape = soft.shape
+    vis_sum = jnp.zeros(shape, F32)
+    pen_sum = jnp.zeros(shape, F32)
+    min_occ = jnp.full(shape, C.NRD_FP16_MAX, F32)
+    occluded = jnp.zeros(shape, I32)
+    valid_samples = jnp.zeros(shape, I32)
+    color_sum = vzeros(shape)
+    vis_h = jnp.ones(shape, F32)
+    color_h = vconst(shape, 1.0, 1.0, 1.0)
+    occ_h = jnp.full(shape, C.NRD_FP16_MAX, F32)
+    rays = jnp.zeros(shape, I32)
+
+    for (_, _, acc, iter_hard), (sv, sc, so) in zip(state["samples"], traces):
+        rays = rays + (acc | iter_hard).astype(I32)
 
         vis_h = jnp.where(iter_hard, sv, vis_h)
         color_h = vwhere(iter_hard, sc, color_h)
         occ_h = jnp.where(iter_hard & (sv < 0.99), so, occ_h)
 
-        acc = iter_soft & above
         vis_sum = jnp.where(acc, vis_sum + sv, vis_sum)
         color_sum = vwhere(acc, vadd(color_sum, vscale(sc, sv)), color_sum)
         valid_samples = valid_samples + acc.astype(I32)
@@ -964,7 +1029,8 @@ def _soft_shadow_k(ks, cfg, pos, nrm, active, lt, lp, lrad, lsamp, seed):
         occluded = occluded + occ_now.astype(I32)
         min_occ = jnp.where(occ_now, jnp.minimum(min_occ, so), min_occ)
         pen = jnp.where(
-            is_dir, _sigma_pack_dir(so, tan_ang), _sigma_pack_local(so, dist_point, light_size)
+            is_dir, _sigma_pack_dir(so, state["tan_ang"]),
+            _sigma_pack_local(so, state["dist_point"], state["light_size"])
         )
         pen_sum = jnp.where(occ_now, pen_sum + pen, pen_sum)
 
@@ -981,12 +1047,48 @@ def _soft_shadow_k(ks, cfg, pos, nrm, active, lt, lp, lrad, lsamp, seed):
     penumbra = jnp.where(soft, pen_soft, 0.0)
     shadow_color = vwhere(soft, color_soft, color_h)
 
-    lit = is_ambient | ~active
+    lit = state["is_ambient"] | ~state["active"]
     visibility = jnp.where(lit, 1.0, visibility)
     occluder = jnp.where(lit, F32(C.NRD_FP16_MAX), occluder)
     penumbra = jnp.where(lit, 0.0, penumbra)
     shadow_color = vwhere(lit, vconst(shape, 1.0, 1.0, 1.0), shadow_color)
+    return visibility, penumbra, occluder, shadow_color, rays
+
+
+def _shadow_disabled_stub(shape, seed):
+    return (seed, jnp.ones(shape, F32), jnp.zeros(shape, F32),
+            jnp.full(shape, C.NRD_FP16_MAX, F32),
+            vconst(shape, 1.0, 1.0, 1.0), jnp.zeros(shape, I32))
+
+
+def _soft_shadow_k(ks, cfg, pos, nrm, active, lt, lp, lrad, lsamp, seed):
+    """CalculateSoftShadow for one gathered light per lane (Common.hlsli:1199+)."""
+    if "shadow" in _DEBUG_DISABLE:  # perf-bisect kill switch: fully lit
+        return _shadow_disabled_stub(pos[0].shape, seed)
+    seed, state = _soft_shadow_setup(ks, cfg, pos, nrm, active, lt, lp, lrad, lsamp, seed)
+    traces = [shadow_trace_k(ks, state["origin"], td, tm)
+              for td, tm, _, _ in state["samples"]]
+    visibility, penumbra, occluder, shadow_color, rays = _soft_shadow_accum(state, traces)
     return seed, visibility, penumbra, occluder, shadow_color, rays
+
+
+def _soft_shadow_pair_k(ks, cfg, pos, nrm, a_args, b_args, seed):
+    """Both dominant lights' CalculateSoftShadow with paired traces: the
+    RNG stream is consumed light-by-light exactly as the sequential calls
+    would (all of a's draws, then all of b's — bit-identical sample dirs),
+    but sample s of light a and sample s of light b resolve through ONE
+    fused mesh walk (shadow_trace2_k). Outputs are bit-identical to two
+    _soft_shadow_k calls; only the mesh walk count halves."""
+    seed, st_a = _soft_shadow_setup(ks, cfg, pos, nrm, *a_args, seed)
+    seed, st_b = _soft_shadow_setup(ks, cfg, pos, nrm, *b_args, seed)
+    tr_a, tr_b = [], []
+    for (da, ma, _, _), (db, mb, _, _) in zip(st_a["samples"], st_b["samples"]):
+        ra, rb = shadow_trace2_k(ks, st_a["origin"], da, ma, db, mb)
+        tr_a.append(ra)
+        tr_b.append(rb)
+    out_a = _soft_shadow_accum(st_a, tr_a)
+    out_b = _soft_shadow_accum(st_b, tr_b)
+    return seed, out_a, out_b
 
 
 def _select_dominant_k(ks, pos, nrm):
@@ -1219,6 +1321,7 @@ def _shade_and_spawn_k(ks, cfg, xx, yy, frame, s, cur, traced):
         b_sel = sel0 & sel1
 
         shadow = {}
+        light_args = {}
         for which, idx, selm in (("a", a_idx, a_sel), ("b", b_idx, b_sel)):
             if which == "b" and "shadow2" in _DEBUG_DISABLE:
                 # perf-bisect kill switch: the SECOND dominant light renders
@@ -1239,11 +1342,33 @@ def _shade_and_spawn_k(ks, cfg, xx, yy, frame, s, cur, traced):
             secondary = jnp.minimum(reduced, base // 2 + 1)
             samples = jnp.where(top0_i == idx, base, jnp.where(top1_i == idx, secondary, 1))
             active = shade_mask & selm & (ndotl > 0.0)
-            seed, vis, pen, occ, scol, rr = _soft_shadow_k(
-                ks, cfg, pos, nrm, active, lt_g, lp_g, lrad_g, samples.astype(F32), seed
+            light_args[which] = (active, lt_g, lp_g, lrad_g, samples.astype(F32))
+
+        # Pair the two dominant lights' traces through one fused mesh walk
+        # when a mesh is present (shadow cost there is node-descent-bound;
+        # analytic-only scenes gain nothing from pairing). Outputs and RNG
+        # stream are bit-identical to the sequential calls.
+        fuse = (ks.mesh is not None and len(light_args) == 2
+                and "shadow" not in _DEBUG_DISABLE
+                and "mesh_shadow" not in _DEBUG_DISABLE
+                and _SHADOW_FUSE and cfg.max_soft_samples <= 8)
+        if fuse:
+            seed, out_a, out_b = _soft_shadow_pair_k(
+                ks, cfg, pos, nrm, light_args["a"], light_args["b"], seed
             )
-            shadow[which] = (vis, pen, occ, scol)
-            ray_count = ray_count + jnp.where(active, rr, 0)
+            for which, out in (("a", out_a), ("b", out_b)):
+                vis, pen, occ, scol, rr = out
+                shadow[which] = (vis, pen, occ, scol)
+                ray_count = ray_count + jnp.where(light_args[which][0], rr, 0)
+        else:
+            for which in ("a", "b"):
+                if which not in light_args:
+                    continue
+                seed, vis, pen, occ, scol, rr = _soft_shadow_k(
+                    ks, cfg, pos, nrm, *light_args[which], seed
+                )
+                shadow[which] = (vis, pen, occ, scol)
+                ray_count = ray_count + jnp.where(light_args[which][0], rr, 0)
 
         best_w = jnp.full(shape, -1.0, F32)
         for li in range(ks.l_cap):
@@ -3152,6 +3277,134 @@ def mesh_shadow_count_k(km: KMesh, o, d, max_dist, blocked0=None):
 
 def izero_like(zero_f32):
     return zero_f32.astype(I32)
+
+
+def mesh_shadow2_count_k(km: KMesh, o, dA, maxA, dB, maxB,
+                         blockedA0=None, blockedB0=None):
+    """Fused dual-ray count-based shadow traversal: both dominant lights'
+    shadow rays (same per-lane origin — the shaded hit point) walk the
+    BVH TOGETHER, steered by the union of their box hits.
+
+    Why: shadow-walk cost is node-descent-bound (the count walk's ~25%
+    leaf-op cut moved the frame only ~3%), and the two rays share their
+    origin, so their descents overlap heavily near the root. One fused
+    walk pays the node loads, rolls, and while-loop fixed costs once for
+    the union of visits instead of once per ray per visit.
+
+    Bit-exactness vs two sequential mesh_shadow_count_k walks: per-ray
+    triangle tests stay gated by that ray's own box hit, counts and
+    occ-min are traversal-order independent, and genuine crossings arrive
+    in the same threaded node order (the union steering visits a
+    superset of each solo walk's nodes, in the same relative order), so
+    the opaque end-search mask (AnyHit_Shadow.hlsl:44-49) freezes each
+    lane at the same crossing either way."""
+    shape = o[0].shape
+    invA = _safe_inv(dA)
+    invB = _safe_inv(dB)
+    zero = o[0] * 0.0
+    izero = zero.astype(I32)
+    tmin = F32(C.RAY_TMIN)
+    ni = km.num_inst
+    n_words = (ni + 3) // 4  # 4 instances x 8 bits per count word
+
+    opq = jnp.int32(0)
+    for i in range(ni):
+        row = km.inst_tbl[pl.ds(i, 1), :]
+        opq = opq | (jnp.where(row[0, 0] < 0.01, 1, 0).astype(jnp.int32) << i)
+
+    def cond(c):
+        return c[0] >= 0
+
+    def body(c):
+        node, occA, occB, blkA, blkB = c[0], c[1], c[2], c[3], c[4]
+        cnts = list(c[5:])  # A's count words then B's
+        bb_lo, bb_hi, hit_next, miss_next, tri_start, tri_count = _node_row(km, node)
+        hitA = _ray_aabb_k(o, invA, bb_lo, bb_hi, tmin, maxA) & (blkA == 0)
+        hitB = _ray_aabb_k(o, invB, bb_lo, bb_hi, tmin, maxB) & (blkB == 0)
+        any_hit = jnp.any(hitA | hitB)
+        is_leaf = tri_count > 0
+        lhA = hitA.astype(I32)
+        lhB = hitB.astype(I32)
+
+        def leaf_tests(carry, n_tests):
+            occA, occB, blkA, blkB = carry[0], carry[1], carry[2], carry[3]
+            cnts = list(carry[4:])
+            g, exm = _leaf_rows(km, tri_start, extra=True)
+            for k in range(n_tests):
+                inst = _tg(exm, k, 9).astype(I32)
+                opq_i = (opq >> inst) & 1
+                in_leaf = k < tri_count
+
+                thA, ttA, _, _, _ = _tri_hit_plane_k(o, dA, g, k, tmin, maxA)
+                thA = thA & (lhA != 0) & in_leaf
+                thA_i = thA.astype(I32)
+                blkA = blkA | (thA_i & opq_i)
+                thB, ttB, _, _, _ = _tri_hit_plane_k(o, dB, g, k, tmin, maxB)
+                thB = thB & (lhB != 0) & in_leaf
+                thB_i = thB.astype(I32)
+                blkB = blkB | (thB_i & opq_i)
+                if n_words == 1:
+                    cnts[0] = cnts[0] + (thA_i << (inst * 8))
+                    cnts[1] = cnts[1] + (thB_i << (inst * 8))
+                else:
+                    incA = thA_i << ((inst & 3) * 8)
+                    incB = thB_i << ((inst & 3) * 8)
+                    hi = inst >= 4
+                    cnts[0] = cnts[0] + jnp.where(hi, 0, incA)
+                    cnts[1] = cnts[1] + jnp.where(hi, incA, 0)
+                    cnts[n_words] = cnts[n_words] + jnp.where(hi, 0, incB)
+                    cnts[n_words + 1] = cnts[n_words + 1] + jnp.where(hi, incB, 0)
+                occA = jnp.where(thA, jnp.minimum(occA, ttA), occA)
+                occB = jnp.where(thB, jnp.minimum(occB, ttB), occB)
+            return (occA, occB, blkA, blkB, *cnts)
+
+        leaf_now = any_hit & is_leaf
+        out = _leaf_dispatch(leaf_now, tri_count, km.leaf_size, leaf_tests,
+                             (occA, occB, blkA, blkB, *cnts))
+        occA, occB, blkA, blkB = out[0], out[1], out[2], out[3]
+        cnts = list(out[4:])
+        nxt = jnp.where(any_hit, hit_next, miss_next)
+        return (nxt, occA, occB, blkA, blkB, *cnts)
+
+    blkA_init = izero_like(zero)
+    blkB_init = izero_like(zero)
+    if blockedA0 is not None:
+        blkA_init = blkA_init | blockedA0.astype(I32)
+    if blockedB0 is not None:
+        blkB_init = blkB_init | blockedB0.astype(I32)
+    init = (jnp.int32(0), zero + F32(C.NRD_FP16_MAX), zero + F32(C.NRD_FP16_MAX),
+            blkA_init, blkB_init, *([izero] * (2 * n_words)))
+    out = jax.lax.while_loop(cond, body, init)
+    occA, occB, blkA, blkB = out[1], out[2], out[3], out[4]
+    cnts = out[5:]
+
+    one = 1.0 + zero
+    visA, crA, cgA, cbA = one, one, one, one
+    visB, crB, cgB, cbB = one, one, one, one
+    for i in range(ni):
+        wordA = cnts[i // 4]
+        wordB = cnts[n_words + i // 4]
+        nA = (wordA >> ((i & 3) * 8)) & 255
+        nB = (wordB >> ((i & 3) * 8)) & 255
+        row = km.inst_tbl[pl.ds(i, 1), :]
+        is_opq = (opq >> i) & 1
+        nA = jnp.where(is_opq != 0, 0, nA)
+        nB = jnp.where(is_opq != 0, 0, nB)
+        visA = visA * _pow_u8(row[0, 0], nA, one)
+        crA = crA * _pow_u8(row[0, 4], nA, one)
+        cgA = cgA * _pow_u8(row[0, 5], nA, one)
+        cbA = cbA * _pow_u8(row[0, 6], nA, one)
+        visB = visB * _pow_u8(row[0, 0], nB, one)
+        crB = crB * _pow_u8(row[0, 4], nB, one)
+        cgB = cgB * _pow_u8(row[0, 5], nB, one)
+        cbB = cbB * _pow_u8(row[0, 6], nB, one)
+    bA = blkA != 0
+    bB = blkB != 0
+    visA = jnp.where(bA, 0.0, visA)
+    colorA = vwhere(bA, vzeros(shape), (crA, cgA, cbA))
+    visB = jnp.where(bB, 0.0, visB)
+    colorB = vwhere(bB, vzeros(shape), (crB, cgB, cbB))
+    return (visA, colorA, occA), (visB, colorB, occB)
 
 
 def mesh_thickness_k(km: KMesh, o, d, inst_id, active=None):
