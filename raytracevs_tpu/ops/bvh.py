@@ -336,10 +336,17 @@ def collapse_leaves(b: BuiltBVH, max_leaf: int, align: int = 8) -> BuiltBVH:
     right = miss_next[left]).
 
     The output carries its OWN triangle arrays, re-emitted so every leaf
-    range starts at a multiple of `align` (padding duplicates the leaf's
-    last triangle — harmless, the closest-hit compare is strict): the
-    Pallas walk can then fetch a whole leaf with one aligned block load
-    instead of one dynamic slice per triangle.
+    range starts at a multiple of `align`: the Pallas walk can then fetch
+    a whole leaf with one aligned block load instead of one dynamic slice
+    per triangle.
+
+    Padding slots hold a DEGENERATE far-plane triangle (v0 at 1e30: its
+    plane test yields t >= ~1e29 or NaN, so every ordered compare in
+    _tri_hit_plane is false and it can never hit). Leaf loops that mask
+    k < tri_count never see the pads at all; the shadow fat-leaf walk
+    (megakernel mesh_shadow_count_k) deliberately tests whole PADDED
+    subtree ranges — inert pads keep its per-instance crossing counts
+    exact where duplicated-last-triangle padding would double-count.
     """
     if max_leaf > 64:
         raise ValueError(
@@ -364,12 +371,13 @@ def collapse_leaves(b: BuiltBVH, max_leaf: int, align: int = 8) -> BuiltBVH:
         return ls, lc + rc
 
     tri_order: list = []  # original tri indices, leaf-ordered + padded
+    deg = len(b.v0)  # index of the appended degenerate pad triangle
 
     def emit_leaf_tris(start, count):
         new_start = len(tri_order)
         tri_order.extend(range(start, start + count))
         while len(tri_order) % align:
-            tri_order.append(start + count - 1)  # pad: repeat last tri
+            tri_order.append(deg)  # pad: inert degenerate triangle
         return new_start
 
     def emit(node, miss_new):
@@ -420,7 +428,21 @@ def collapse_leaves(b: BuiltBVH, max_leaf: int, align: int = 8) -> BuiltBVH:
     # trailing pad: a full-leaf block load from the LAST leaf must stay in
     # bounds (the kernel always reads round_up(max_leaf, align) rows)
     pad_rows = -(-max_leaf // align) * align
-    tri_order.extend([tri_order[-1]] * pad_rows)
+    tri_order.extend([deg] * pad_rows)
+
+    # the degenerate pad triangle: far-plane z = 1e30, unit plane basis
+    # (plane_repr is well-conditioned; only its t is absurd)
+    deg_v0 = np.array([[0.0, 0.0, 1e30]], np.float32)
+    deg_e1 = np.array([[1.0, 0.0, 0.0]], np.float32)
+    deg_e2 = np.array([[0.0, 1.0, 0.0]], np.float32)
+    deg_n = np.array([[0.0, 0.0, 1.0]], np.float32)
+    v0 = np.concatenate([b.v0, deg_v0])
+    e1 = np.concatenate([b.edge1, deg_e1])
+    e2 = np.concatenate([b.edge2, deg_e2])
+    n0 = np.concatenate([b.n0, deg_n])
+    n1 = np.concatenate([b.n1, deg_n])
+    n2 = np.concatenate([b.n2, deg_n])
+    inst = np.concatenate([b.inst, np.zeros(1, b.inst.dtype)])
 
     o = np.asarray(tri_order, np.int64)
     return BuiltBVH(
@@ -430,8 +452,8 @@ def collapse_leaves(b: BuiltBVH, max_leaf: int, align: int = 8) -> BuiltBVH:
         miss_next=np.asarray([_END if x is None else x for x in out_miss], np.int32),
         tri_start=np.asarray(out_start, np.int32),
         tri_count=np.asarray(out_count, np.int32),
-        v0=b.v0[o], edge1=b.edge1[o], edge2=b.edge2[o],
-        n0=b.n0[o], n1=b.n1[o], n2=b.n2[o], inst=b.inst[o],
+        v0=v0[o], edge1=e1[o], edge2=e2[o],
+        n0=n0[o], n1=n1[o], n2=n2[o], inst=inst[o],
     )
 
 

@@ -2812,7 +2812,7 @@ class KMesh:
         self.hbm_scratch = hbm_scratch
 
 
-def _node_row(km, node):
+def _node_row(km, node, sub=False):
     """Fetch node fields from the node table (layout from its shape).
 
     Flat [Nn,16] (512 B/node after lane padding): one dynamic row load —
@@ -2821,19 +2821,23 @@ def _node_row(km, node):
     load + one dynamic lane rotate brings node (i&7) to lanes 0..15 —
     8x the capacity, measured ~16-18% slower per frame on walk-heavy
     scenes (233k-tri probe: 32.7 vs 28.1 ms opaque), so pack_mesh only
-    packs past _NODE_PACK_MB."""
+    packs past _NODE_PACK_MB.
+
+    With sub=True, also returns lanes 10/11 — the node's padded subtree
+    triangle range (start, count) that pack_mesh stores for the shadow
+    fat-leaf walk."""
     if km.nodes_fi.shape[1] != 128:  # flat [Nn,16]
         nf = km.nodes_fi[pl.ds(node, 1), :]  # (1,16)
-        bb_lo = (nf[0, 0], nf[0, 1], nf[0, 2])
-        bb_hi = (nf[0, 3], nf[0, 4], nf[0, 5])
-        return (bb_lo, bb_hi, nf[0, 6].astype(I32), nf[0, 7].astype(I32),
-                nf[0, 8].astype(I32), nf[0, 9].astype(I32))
-    row = km.nodes_fi[pl.ds(node >> 3, 1), :]  # (1,128): 8 packed nodes
-    nf = pltpu.roll(row, (128 - (node & 7) * 16) % 128, axis=1)
+    else:
+        row = km.nodes_fi[pl.ds(node >> 3, 1), :]  # (1,128): 8 packed nodes
+        nf = pltpu.roll(row, (128 - (node & 7) * 16) % 128, axis=1)
     bb_lo = (nf[0, 0], nf[0, 1], nf[0, 2])
     bb_hi = (nf[0, 3], nf[0, 4], nf[0, 5])
-    return (bb_lo, bb_hi, nf[0, 6].astype(I32), nf[0, 7].astype(I32),
+    base = (bb_lo, bb_hi, nf[0, 6].astype(I32), nf[0, 7].astype(I32),
             nf[0, 8].astype(I32), nf[0, 9].astype(I32))
+    if sub:
+        return base + (nf[0, 10].astype(I32), nf[0, 11].astype(I32))
+    return base
 
 
 def _leaf_pad(leaf_size):
@@ -2908,6 +2912,17 @@ def _leaf_rows(km, tri_start, extra=False):
 # so leaf24 stays optimal). Set RTVS_MK_LEAF_TIERS=0 to disable.
 _LEAF_TIERS = os.environ.get("RTVS_MK_LEAF_TIERS", "1") == "1"
 
+# Shadow fat-leaf walk: the count-based shadow traversal tests any
+# internal node whose padded subtree fits one leaf window (<=64 tris) as
+# a single fat leaf instead of descending it (bit-identical hit set; see
+# mesh_shadow_count_k docstring). FALSIFIED as a default on the canonical
+# scene (143.8 vs 142.3 ms spp1/b5 1080p — the saved node visits don't
+# pay for the pad-slot tri tests; shadow cost is walk-entry/fixed-cost
+# bound, consistent with the leaf64-global sweep where the shadow
+# component got WORSE, 74.1 vs 61.0 ms). Kept opt-in for deeper trees
+# where subtree merging removes real descent: RTVS_MK_SHADOW_FAT=1.
+_SHADOW_FAT = os.environ.get("RTVS_MK_SHADOW_FAT", "0") == "1"
+
 
 def _leaf_dispatch(leaf_now, tri_count, leaf_size, leaf_fn, carry):
     """Run leaf_fn(carry, n_tests) under lax.cond when leaf_now.
@@ -2921,7 +2936,7 @@ def _leaf_dispatch(leaf_now, tri_count, leaf_size, leaf_fn, carry):
     if not _LEAF_TIERS or leaf_size <= 8:
         return jax.lax.cond(leaf_now, lambda c: leaf_fn(c, leaf_size),
                             lambda c: c, carry)
-    tiers = [t for t in (8, 16) if t < leaf_size] + [leaf_size]
+    tiers = [t for t in (8, 16, 24, 32, 48) if t < leaf_size] + [leaf_size]
 
     def tier_fn(n):
         return lambda cc: leaf_fn(cc, n)
@@ -3186,7 +3201,16 @@ def mesh_shadow_count_k(km: KMesh, o, d, max_dist, blocked0=None):
     segment, far beyond any sane mesh silhouette).
 
     Opaque instances end the search (AcceptHitAndEndSearch) via a per-walk
-    scalar opacity bitmask; blocked0 seeds analytically-blocked lanes."""
+    scalar opacity bitmask; blocked0 seeds analytically-blocked lanes.
+
+    RTVS_MK_SHADOW_FAT=1 (opt-in, falsified as a default — see the flag
+    comment): any internal node whose whole PADDED subtree fits one leaf
+    window (<=64 tris) is tested as a single fat leaf and its descent
+    skipped. Shadow rays need no nearest-hit ordering, pad slots are
+    inert degenerate triangles (collapse_leaves), and a lane that misses
+    an inner box can't hit its triangles — so the hit set, counts, occ
+    and blocked are bit-identical to the fine walk
+    (tests/test_megakernel.py::test_shadow_fat_walk_bit_identical)."""
     shape = o[0].shape
     inv_d = _safe_inv(d)
     zero = o[0] * 0.0
@@ -3194,6 +3218,7 @@ def mesh_shadow_count_k(km: KMesh, o, d, max_dist, blocked0=None):
     tmin = F32(C.RAY_TMIN)
     ni = km.num_inst
     n_words = (ni + 3) // 4  # 4 instances x 8 bits per count word
+    fat_walk = _SHADOW_FAT and km.leaf_size <= 64
 
     # Per-walk scalar opacity bitmask (transmission < 0.01 ends the search)
     opq = jnp.int32(0)
@@ -3207,20 +3232,30 @@ def mesh_shadow_count_k(km: KMesh, o, d, max_dist, blocked0=None):
     def body(c):
         node, occ, blocked_i = c[0], c[1], c[2]
         cnts = list(c[3:])
-        bb_lo, bb_hi, hit_next, miss_next, tri_start, tri_count = _node_row(km, node)
+        if fat_walk:
+            (bb_lo, bb_hi, hit_next, miss_next, _ts, _tc,
+             eff_start, eff_count) = _node_row(km, node, sub=True)
+            # leaves have sub == their own padded range, so one predicate
+            # covers both: test-and-skip any <=64-padded-tri subtree
+            is_leaf = eff_count <= 64
+            leaf_size = 64
+        else:
+            (bb_lo, bb_hi, hit_next, miss_next, eff_start,
+             eff_count) = _node_row(km, node)
+            is_leaf = eff_count > 0
+            leaf_size = km.leaf_size
         lane_hit = _ray_aabb_k(o, inv_d, bb_lo, bb_hi, tmin, max_dist)
         lane_hit = lane_hit & (blocked_i == 0)
         any_hit = jnp.any(lane_hit)
-        is_leaf = tri_count > 0
         lh_i = lane_hit.astype(I32)
 
         def leaf_tests(carry, n_tests):
             occ, blocked_i = carry[0], carry[1]
             cnts = list(carry[2:])
-            g, exm = _leaf_rows(km, tri_start, extra=True)
+            g, exm = _leaf_rows(km, eff_start, extra=True)
             for k in range(n_tests):
                 th, tt, _, _, _ = _tri_hit_plane_k(o, d, g, k, tmin, max_dist)
-                th = th & (lh_i != 0) & (k < tri_count)
+                th = th & (lh_i != 0) & (k < eff_count)
                 th_i = th.astype(I32)
                 inst = _tg(exm, k, 9).astype(I32)
                 blocked_i = blocked_i | (th_i & ((opq >> inst) & 1))
@@ -3236,10 +3271,13 @@ def mesh_shadow_count_k(km: KMesh, o, d, max_dist, blocked0=None):
 
         leaf_now = any_hit & is_leaf
         occ, blocked_i, *cnts = _leaf_dispatch(
-            leaf_now, tri_count, km.leaf_size, leaf_tests,
+            leaf_now, eff_count, leaf_size, leaf_tests,
             (occ, blocked_i, *cnts),
         )
-        nxt = jnp.where(any_hit, hit_next, miss_next)
+        # a tested fat subtree is SKIPPED (miss_next); plain leaves have
+        # hit_next == miss_next so the classic select is unchanged
+        nxt = jnp.where(any_hit & jnp.logical_not(is_leaf),
+                        hit_next, miss_next)
         return (nxt, occ, blocked_i, *cnts)
 
     blocked_init = izero_like(zero)
@@ -3489,6 +3527,32 @@ def pack_mesh(mesh, shadow_absorb_scale=None) -> tuple:
                 .at[:, 7].set(mesh.mk_miss_next.astype(F32))
                 .at[:, 8].set(mesh.mk_tri_start.astype(F32))
                 .at[:, 9].set(mesh.mk_tri_count.astype(F32)))
+    # Lanes 10/11: each node's PADDED subtree triangle range (start, count)
+    # for the shadow fat-leaf walk — the descent-bound shadow traversal
+    # treats any internal node whose whole subtree fits one leaf window
+    # (<=64 padded tris) as a single fat leaf. Subtree ranges exist because
+    # collapse_leaves re-emits triangles leaf-ordered in preorder, so the
+    # subtree of node i covers the contiguous padded range from its first
+    # leaf's start to its last leaf's aligned end — recoverable from the
+    # threading invariant (miss_next[i] = first preorder node after i's
+    # subtree). Pad slots are inert degenerate triangles (ops/bvh.py
+    # collapse_leaves), so testing the whole padded range is count-exact.
+    if nn > 0:
+        cnt_i = mesh.mk_tri_count.astype(jnp.int32)
+        start_i = mesh.mk_tri_start.astype(jnp.int32)
+        leaf_m = cnt_i > 0
+        pad_end = jnp.where(leaf_m, ((start_i + cnt_i + 7) // 8) * 8, 0)
+        cpe = jax.lax.cummax(pad_end, axis=0)
+        big = jnp.int32(2**30)
+        nls = jnp.flip(jax.lax.cummin(
+            jnp.flip(jnp.where(leaf_m, start_i, big))))
+        ends = jnp.where(mesh.mk_miss_next < 0, nn,
+                         mesh.mk_miss_next.astype(jnp.int32))
+        sub_end = cpe[ends - 1]
+        sub_start = jnp.minimum(nls, sub_end)
+        sub_cnt = jnp.maximum(sub_end - sub_start, 0)
+        nodes_fi = (nodes_fi.at[:, 10].set(sub_start.astype(F32))
+                    .at[:, 11].set(sub_cnt.astype(F32)))
     # Dense-pack 8 nodes per 128-lane row (row-major reshape puts node i
     # at row i>>3, lanes (i&7)*16..+16): the [Nn,16] layout lane-pads to
     # 128 = 512 B/node; packed is 64 B/node. The per-visit lane rotate

@@ -24,13 +24,20 @@ W, H = 256, 32  # smallest reproject/stencil-supported size (w%128 and
                 # runtime
 
 
-@pytest.fixture(scope="module")
-def frames():
+@pytest.fixture(scope="module", params=[
+    pytest.param(2, id="b2"),
+    pytest.param(4, id="b4", marks=pytest.mark.nightly),
+])
+def frames(request):
+    # Fast tier renders at max_bounces=2 (interpret-mode megakernel time
+    # scales with the bounce loop; every code path — spawns, shadows,
+    # thickness — already fires at depth 1-2). Nightly keeps the original
+    # 4-bounce frames.
     from conftest import analytic_scene_file
 
     eng = Engine(W, H)
     eng.load_rtvs(analytic_scene_file(), samples_per_pixel=1,
-                  max_bounces=4, enable_denoiser=True)
+                  max_bounces=request.param, enable_denoiser=True)
     flat, cfg = eng._flat, eng._cfg
     out_l = render_rows(flat, cfg, jnp.int32(0), H, backend="pallas",
                         interpret=True)

@@ -76,10 +76,17 @@ def test_megakernel_mesh_matches_jnp_wavefront():
     assert np.percentile(nd, 99.9) < 2e-3
 
 
-def test_pallas_photon_gather_matches_jnp():
+@pytest.mark.parametrize("h", [
+    pytest.param(32, id="fast"),
+    pytest.param(96, id="full", marks=pytest.mark.nightly),
+])
+def test_pallas_photon_gather_matches_jnp(h):
     """The Pallas chunked gather agrees with the reference-semantics hash
     walk (ops/photon.py) up to its documented deviations (corner cells,
-    collision double-counts, cap ordering)."""
+    collision double-counts, cap ordering).
+
+    Fast tier runs a 128x32 receiver grid (interpret-mode gather time is
+    linear in pixels); nightly keeps the original 128x96."""
     from raytracevs_tpu.ops import photon as photon_mod
     from raytracevs_tpu.ops.pallas import photon_gather
     from raytracevs_tpu.scene.data import (
@@ -100,7 +107,7 @@ def test_pallas_photon_gather_matches_jnp():
     pmap = photon_mod.emit_and_trace(flat, cfg.num_photons)
     assert int(np.asarray(pmap.count)) > 0
 
-    h, w = 96, 128
+    w = 128
     n = h * w
     xs = np.linspace(-3, 3, w, dtype=np.float32)
     zs = np.linspace(-2, 4, h, dtype=np.float32)
@@ -367,3 +374,69 @@ def test_absorbing_mesh_glass_fused_thickness_matches_jnp():
     ref0 = render_rows(flat0, cfg, jnp.int32(0), 64)
     delta = np.asarray(ref0.color) - np.asarray(ref.color)
     assert float(delta.max()) > 0.01, "absorption had no effect on the render"
+
+
+def test_shadow_fat_walk_bit_identical(monkeypatch):
+    """The shadow fat-leaf walk (mesh_shadow_count_k RTVS_MK_SHADOW_FAT)
+    must be BIT-identical to the fine walk: a fat subtree test covers
+    exactly the union of its leaves' real triangles (pad slots are inert
+    degenerate triangles), a lane that misses an inner box cannot hit its
+    triangles, and counts/occ/blocked are order-independent reductions."""
+    import tempfile
+
+    from raytracevs_tpu.io.mesh_cache import CachedMesh, MeshCacheService
+    from raytracevs_tpu.ops.pallas import megakernel as mk
+    from raytracevs_tpu.scene.data import (
+        LightData, LightType, MaterialData, MeshObjectData, PlaneData,
+        SceneData, SphereData,
+    )
+    from raytracevs_tpu.scene.transform import Transform
+    from test_big_mesh import _uv_sphere
+
+    verts, indices = _uv_sphere(rings=9, segs=9, radius=0.7)
+    ms = MeshCacheService("/nonexistent", cache_dir=tempfile.mkdtemp())
+    ms.register("GlassBall", CachedMesh(
+        name="GlassBall", vertices=verts, indices=indices,
+        bounds_min=np.array([-0.7, -0.7, -0.7]),
+        bounds_max=np.array([0.7, 0.7, 0.7]),
+    ))
+
+    scene = SceneData()
+    scene.camera.position = np.array([0.0, 1.2, -3.0])
+    scene.camera.look_at = np.array([0.0, 0.7, 0.0])
+    scene.settings.samples_per_pixel = 1
+    scene.settings.max_bounces = 3
+    glass = MaterialData(
+        base_color=np.array([0.95, 0.95, 0.95, 1.0]), transmission=0.9,
+        ior=1.2, roughness=0.0)
+    opaque = MaterialData(base_color=np.array([0.8, 0.8, 0.8, 1.0]),
+                          roughness=0.4)
+    scene.objects += [
+        MeshObjectData(mesh_name="GlassBall", material=glass,
+                       transform=Transform(position=np.array([0.0, 0.7, 0.0]))),
+        SphereData(position=np.array([1.4, 1.2, -0.6]), radius=0.4,
+                   material=opaque),
+        PlaneData(),
+    ]
+    scene.lights += [
+        LightData(type=LightType.POINT, position=np.array([2.5, 5.0, -2.0]),
+                  intensity=12.0),
+        LightData(type=LightType.DIRECTIONAL,
+                  direction=np.array([0.4, -1.0, 0.2]), intensity=0.7),
+        LightData(type=LightType.AMBIENT, color=np.array([0.3, 0.3, 0.3, 1.0])),
+    ]
+    flat = flatten_scene(scene, aspect=64 / 32, mesh_service=ms)
+    cfg = make_config(scene, 64, 32)
+    assert flat.mesh is not None
+
+    monkeypatch.setattr(mk, "_SHADOW_FAT", True)
+    jax.clear_caches()
+    fat = render_rows(flat, cfg, jnp.int32(0), 32, backend="pallas",
+                      interpret=True)
+    monkeypatch.setattr(mk, "_SHADOW_FAT", False)
+    jax.clear_caches()
+    fine = render_rows(flat, cfg, jnp.int32(0), 32, backend="pallas",
+                       interpret=True)
+    np.testing.assert_array_equal(np.asarray(fat.color),
+                                  np.asarray(fine.color))
+    assert float(np.asarray(fat.rays)) == float(np.asarray(fine.rays))

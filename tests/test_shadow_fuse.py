@@ -23,7 +23,7 @@ from raytracevs_tpu.scene.flatten import flatten_scene, make_config
 from raytracevs_tpu.scene.sanitize import sanitize_scene
 
 
-def _mesh_scene(opaque_mesh=False):
+def _mesh_scene(opaque_mesh=False, h=64):
     from test_big_mesh import _uv_sphere
 
     verts, indices = _uv_sphere(rings=9, segs=9, radius=0.7)
@@ -66,8 +66,8 @@ def _mesh_scene(opaque_mesh=False):
         LightData(type=LightType.AMBIENT, color=np.array([0.3, 0.3, 0.3, 1.0])),
     ]
     scene = sanitize_scene(scene)
-    flat = flatten_scene(scene, aspect=1.0, mesh_service=ms)
-    cfg = make_config(scene, 64, 64, max_soft_samples=2)
+    flat = flatten_scene(scene, aspect=64 / h, mesh_service=ms)
+    cfg = make_config(scene, 64, h, max_soft_samples=2)
     assert flat.mesh is not None
     return flat, cfg
 
@@ -77,14 +77,21 @@ def _render(flat, cfg, monkeypatch, fuse):
     from raytracevs_tpu.ops.render import render_rows
 
     monkeypatch.setattr(mk, "_SHADOW_FUSE", fuse)
-    out = render_rows(flat, cfg, jnp.int32(0), 64, backend="pallas",
+    out = render_rows(flat, cfg, jnp.int32(0), cfg.height, backend="pallas",
                       interpret=True)
     return np.asarray(out.color), float(np.asarray(out.rays))
 
 
-@pytest.mark.parametrize("opaque_mesh", [False, True])
-def test_fused_dual_light_walk_bit_identical(monkeypatch, opaque_mesh):
-    flat, cfg = _mesh_scene(opaque_mesh=opaque_mesh)
+# The fused walk is OPT-IN (default off: falsified as a perf win, kept
+# for union-dominated workloads), so the fast tier runs one 64x32 glass
+# case; nightly adds the opaque end-search-ordering case at full size.
+@pytest.mark.parametrize("opaque_mesh,h", [
+    pytest.param(False, 32, id="glass-fast"),
+    pytest.param(True, 64, id="opaque-full", marks=pytest.mark.nightly),
+    pytest.param(False, 64, id="glass-full", marks=pytest.mark.nightly),
+])
+def test_fused_dual_light_walk_bit_identical(monkeypatch, opaque_mesh, h):
+    flat, cfg = _mesh_scene(opaque_mesh=opaque_mesh, h=h)
     c_fused, r_fused = _render(flat, cfg, monkeypatch, True)
     c_seq, r_seq = _render(flat, cfg, monkeypatch, False)
     assert r_fused == r_seq
