@@ -499,7 +499,15 @@ def combine_blas(blas_list) -> BuiltBVH:
 
 
 class MeshArrays(NamedTuple):
-    """Device-side BVH + triangle arrays (a jax pytree)."""
+    """Device-side BVH + triangle arrays (a jax pytree).
+
+    SENTINEL NOTE: the mk_* triangle arrays are 8-aligned per leaf range
+    by padding with an inert DEGENERATE triangle (far plane z=1e30,
+    inst=0 — collapse_leaves). Every current consumer is safe (leaf loops
+    mask k < tri_count or rely on the ordered t-compare rejecting the
+    absurd t), but any future code computing bounds, centroids, or
+    statistics from mk_v0/mk_inst MUST mask indices >= the real count of
+    each leaf range, or the 1e30 sentinel will poison the result."""
 
     bbox_min: jnp.ndarray
     bbox_max: jnp.ndarray

@@ -91,6 +91,17 @@ _SHADOW_COUNT = os.environ.get("RTVS_MK_SHADOW_COUNT", "1") == "1"
 # loads. Kept opt-in (bit-identical, tests/test_shadow_fuse.py) for
 # scenes whose dominant lights are nearly co-located.
 _SHADOW_FUSE = os.environ.get("RTVS_MK_SHADOW_FUSE", "0") == "1"
+# Root-AABB walk preculling: a per-lane segment-vs-root-box slab test
+# OUTSIDE each mesh walk lets the whole tile SKIP the walk (scalar
+# lax.cond) when no lane's segment can touch the mesh. Exact by
+# construction — a lane whose segment misses the root box can hit no node
+# nested inside it, so its walk outputs are the miss values either way.
+# This attacks walk-ENTRY cost, the measured bound on the canonical
+# scene's shadow component (CLAUDE.md round-4 session-3: fat-leaf and
+# leaf64 falsifications closed the node-descent theory). The reference's
+# driver does the identical top-level skip inside TraceRay (the TLAS root
+# test rejects before any BLAS is visited). RTVS_MK_PRECULL=0 for A/B.
+_PRECULL = os.environ.get("RTVS_MK_PRECULL", "1") == "1"
 _INVALID = 0x7FFFFFF
 STACK_DEPTH = C.WORK_QUEUE_STRIDE
 
@@ -544,13 +555,54 @@ def intersect_closest_k(ks: KScene, o, d, tmin, tmax, skip_type, skip_index,
     visits = None
     thick_hit = thick_t = None
     if ks.mesh is not None and "mesh_closest" not in _DEBUG_DISABLE:
-        skip_m = (skip_type == C.OBJECT_TYPE_MESH)
-        # Analytic hits prune the packet walk: a lane occluded by a plane
-        # or sphere stops dragging the tile through BVH nodes behind it.
-        mres = mesh_closest_k(ks.mesh, o, d, tmin, jnp.minimum(best_t, tmax),
-                              skip_m, skip_index, thick_inst=thick_inst)
-        if thick_inst is not None:
-            thick_hit, thick_t = mres["thick_hit"], mres["thick_t"]
+        km = ks.mesh
+        track = thick_inst is not None
+        count_stats = _STATS in ("nodes", "leaves")
+        skip_m_i = (skip_type == C.OBJECT_TYPE_MESH).astype(I32)
+
+        def run(_):
+            # Analytic hits prune the packet walk: a lane occluded by a
+            # plane or sphere stops dragging the tile through BVH nodes
+            # behind it.
+            mr = mesh_closest_k(km, o, d, tmin, jnp.minimum(best_t, tmax),
+                                skip_m_i != 0, skip_index,
+                                thick_inst=thick_inst)
+            out = (mr["t"], mr["inst"], mr["smooth"][0], mr["smooth"][1],
+                   mr["smooth"][2], mr["gdot"])
+            if track:
+                out = out + (mr["thick_t"], mr["thick_hit"].astype(I32))
+            if count_stats:
+                out = out + (mr["visits"],)
+            return out
+
+        if _PRECULL:
+            zero = o[0] * 0.0
+            izero = zero.astype(I32)
+            bound = jnp.minimum(best_t, tmax)
+            if track:
+                # pending-thickness lanes walk with an OPEN t interval
+                # (mesh_closest_k bound=big), so precull them against it
+                bound = jnp.where(thick_inst >= 0, F32(1e30), bound)
+            pre = _ray_aabb_k(o, _safe_inv(d), *_mesh_root_bb(km),
+                              tmin, bound)
+
+            def skipb(_):
+                out = (zero + F32(1e30), izero - 1, zero, 1.0 + zero,
+                       zero, zero)
+                if track:
+                    out = out + (zero + F32(1e30), izero)
+                if count_stats:
+                    out = out + (jnp.int32(0),)
+                return out
+
+            mout = jax.lax.cond(jnp.any(pre), run, skipb, 0)
+        else:
+            mout = run(0)
+        mres = dict(t=mout[0], inst=mout[1],
+                    smooth=(mout[2], mout[3], mout[4]), gdot=mout[5],
+                    hit=mout[1] >= 0, visits=mout[-1] if count_stats else None)
+        if track:
+            thick_t, thick_hit = mout[6], mout[7] != 0
         better = mres["hit"] & (mres["t"] < best_t)
         best_t = jnp.where(better, mres["t"], best_t)
         best_type = jnp.where(better, C.OBJECT_TYPE_MESH, best_type)
@@ -758,12 +810,35 @@ def shadow_trace_k(ks: KScene, o, d, max_dist):
         # end-search mask (AcceptHitAndEndSearch, AnyHit_Shadow.hlsl:44-49:
         # an opaque commit ends the WHOLE search) — they stop steering the
         # packet, so fully-shadowed tiles skip the mesh BVH entirely.
+        km = ks.mesh
         walk = (mesh_shadow_count_k
-                if _SHADOW_COUNT and ks.mesh.num_inst <= 8 else mesh_shadow_k)
-        mvis, mcol, mocc = walk(ks.mesh, o, d, max_dist,
-                                blocked0=blocked if _SHADOW_SEED else None)
+                if _SHADOW_COUNT and km.num_inst <= 8 else mesh_shadow_k)
+        blk_i = blocked.astype(I32)  # i32: bool captures can't cross scf.if
+        seed = blk_i if _SHADOW_SEED else None
+
+        def run(_):
+            mvis, mcol, mocc = walk(km, o, d, max_dist, blocked0=seed)
+            return (mvis, mcol[0], mcol[1], mcol[2], mocc)
+
+        if _PRECULL:
+            pre = _ray_aabb_k(o, _safe_inv(d), *_mesh_root_bb(km),
+                              F32(C.RAY_TMIN), max_dist)
+            # Seeded walks also skip when every in-box lane is blocked
+            # (their search already ended); unseeded walks keep blocked
+            # lanes live, matching legacy occ accumulation bit-for-bit.
+            need_l = (pre & (blk_i == 0)) if _SHADOW_SEED else pre
+            zero = o[0] * 0.0
+            one = 1.0 + zero
+
+            def skip(_):
+                return (one, one, one, one, zero + F32(C.NRD_FP16_MAX))
+
+            mvis, mr, mg, mb, mocc = jax.lax.cond(
+                jnp.any(need_l), run, skip, 0)
+        else:
+            mvis, mr, mg, mb, mocc = run(0)
         vis = vis * mvis
-        color = vmul(color, mcol)
+        color = vmul(color, (mr, mg, mb))
         occ = jnp.minimum(occ, mocc)
     return vis, color, occ
 
@@ -783,22 +858,51 @@ def shadow_trace2_k(ks: KScene, o, dA, maxA, dB, maxB):
     visA, colA, occA, blkA = _shadow_analytic_k(ks, o, dA, maxA)
     visB, colB, occB, blkB = _shadow_analytic_k(ks, o, dB, maxB)
     if ks.mesh is not None and "mesh_shadow" not in _DEBUG_DISABLE:
-        seedA = blkA if _SHADOW_SEED else None
-        seedB = blkB if _SHADOW_SEED else None
-        if _SHADOW_FUSE and _SHADOW_COUNT and ks.mesh.num_inst <= 8:
-            (mvA, mcA, moA), (mvB, mcB, moB) = mesh_shadow2_count_k(
-                ks.mesh, o, dA, maxA, dB, maxB,
-                blockedA0=seedA, blockedB0=seedB)
+        km = ks.mesh
+        blkA_i = blkA.astype(I32)  # i32: bool captures can't cross scf.if
+        blkB_i = blkB.astype(I32)
+        seedA = blkA_i if _SHADOW_SEED else None
+        seedB = blkB_i if _SHADOW_SEED else None
+
+        def run(_):
+            if _SHADOW_FUSE and _SHADOW_COUNT and km.num_inst <= 8:
+                (mvA, mcA, moA), (mvB, mcB, moB) = mesh_shadow2_count_k(
+                    km, o, dA, maxA, dB, maxB,
+                    blockedA0=seedA, blockedB0=seedB)
+            else:
+                walk = (mesh_shadow_count_k
+                        if _SHADOW_COUNT and km.num_inst <= 8
+                        else mesh_shadow_k)
+                mvA, mcA, moA = walk(km, o, dA, maxA, blocked0=seedA)
+                mvB, mcB, moB = walk(km, o, dB, maxB, blocked0=seedB)
+            return (mvA, mcA[0], mcA[1], mcA[2], moA,
+                    mvB, mcB[0], mcB[1], mcB[2], moB)
+
+        if _PRECULL:
+            lo, hi = _mesh_root_bb(km)
+            tmin = F32(C.RAY_TMIN)
+            preA = _ray_aabb_k(o, _safe_inv(dA), lo, hi, tmin, maxA)
+            preB = _ray_aabb_k(o, _safe_inv(dB), lo, hi, tmin, maxB)
+            if _SHADOW_SEED:
+                need_l = (preA & (blkA_i == 0)) | (preB & (blkB_i == 0))
+            else:
+                need_l = preA | preB
+            zero = o[0] * 0.0
+            one = 1.0 + zero
+            inf = zero + F32(C.NRD_FP16_MAX)
+
+            def skip(_):
+                return (one, one, one, one, inf, one, one, one, one, inf)
+
+            out = jax.lax.cond(jnp.any(need_l), run, skip, 0)
         else:
-            walk = (mesh_shadow_count_k
-                    if _SHADOW_COUNT and ks.mesh.num_inst <= 8 else mesh_shadow_k)
-            mvA, mcA, moA = walk(ks.mesh, o, dA, maxA, blocked0=seedA)
-            mvB, mcB, moB = walk(ks.mesh, o, dB, maxB, blocked0=seedB)
+            out = run(0)
+        (mvA, mrA, mgA, mbA, moA, mvB, mrB, mgB, mbB, moB) = out
         visA = visA * mvA
-        colA = vmul(colA, mcA)
+        colA = vmul(colA, (mrA, mgA, mbA))
         occA = jnp.minimum(occA, moA)
         visB = visB * mvB
-        colB = vmul(colB, mcB)
+        colB = vmul(colB, (mrB, mgB, mbB))
         occB = jnp.minimum(occB, moB)
     return (visA, colA, occA), (visB, colB, occB)
 
@@ -2840,6 +2944,16 @@ def _node_row(km, node, sub=False):
     return base
 
 
+def _mesh_root_bb(km):
+    """Root AABB (node 0) as per-packet scalars — one STATIC row-0 load.
+
+    Both node layouts place node 0's 16 fields at lanes 0..15 of row 0
+    (flat [Nn,16]: row 0 IS node 0; dense-packed [Nn/8,128]: node 0 is
+    the first 16-lane group), so no roll is needed."""
+    nf = km.nodes_fi[pl.ds(0, 1), :]
+    return (nf[0, 0], nf[0, 1], nf[0, 2]), (nf[0, 3], nf[0, 4], nf[0, 5])
+
+
 def _leaf_pad(leaf_size):
     return -(-leaf_size // 8) * 8
 
@@ -3217,6 +3331,10 @@ def mesh_shadow_count_k(km: KMesh, o, d, max_dist, blocked0=None):
     izero = zero.astype(I32)
     tmin = F32(C.RAY_TMIN)
     ni = km.num_inst
+    # word routing below is hardwired to 2 words (hi = inst >= 4); the
+    # call sites gate on num_inst <= 8, so instance 8+ can never alias
+    # into word 1 — keep the invariant explicit
+    assert ni <= 8, "count walk requires <=8 instances (callers gate this)"
     n_words = (ni + 3) // 4  # 4 instances x 8 bits per count word
     fat_walk = _SHADOW_FAT and km.leaf_size <= 64
 
@@ -3343,6 +3461,7 @@ def mesh_shadow2_count_k(km: KMesh, o, dA, maxA, dB, maxB,
     izero = zero.astype(I32)
     tmin = F32(C.RAY_TMIN)
     ni = km.num_inst
+    assert ni <= 8, "count walk requires <=8 instances (callers gate this)"
     n_words = (ni + 3) // 4  # 4 instances x 8 bits per count word
 
     opq = jnp.int32(0)

@@ -14,7 +14,7 @@ horizontal FOV scales with W/H, so a 1088-row render spans the SAME
 vertical world extent as the 1080-row reference and 1080/1088 of its
 horizontal extent. `warp_to_reference` resamples the render onto the
 reference pixel grid (pure bilinear, sub-pixel scale 1.0074) and crops
-the ~8 edge columns the render does not cover.
+the ~8 edge columns per side (~16 total) the render does not cover.
 """
 from __future__ import annotations
 
@@ -45,7 +45,9 @@ def warp_to_reference(img: np.ndarray, ref_h: int = 1080, ref_w: int = 1920):
     fy = (ry + 1.0) / 2.0 * src_h - 0.5
     fx = (sx_ndc + 1.0) / 2.0 * src_w - 0.5
 
-    valid = (fx >= 0.0) & (fx <= src_w - 1.0)
+    # half-ULP slack: at matched aspect fx[0] lands on exactly 0.0 modulo
+    # float rounding; without the epsilon an identity warp drops a column
+    valid = (fx >= -1e-3) & (fx <= src_w - 1.0 + 1e-3)
     first, last = int(np.argmax(valid)), int(len(valid) - np.argmax(valid[::-1]))
     col_slice = slice(first, last)
 
@@ -76,7 +78,8 @@ def compare_to_reference(render: np.ndarray, ref: np.ndarray | None = None,
 
         ref = read_png(REF_SCREENSHOT)
     ref = np.asarray(ref)[..., :3].astype(np.float32)
-    warped, cols = warp_to_reference(np.asarray(render)[..., :3])
+    warped, cols = warp_to_reference(np.asarray(render)[..., :3],
+                                     ref_h=ref.shape[0], ref_w=ref.shape[1])
     ref_c = ref[:, cols]
     wrp_c = warped[:, cols]
     out = {"ssim": round(ssim(wrp_c, ref_c), 4)}

@@ -2,7 +2,7 @@
 (shadow blocked-seed, fused thickness, count-based shadow walk) across the
 standalone wine-glass scene (VERDICT #6 target: >130 Mrays/s), the canonical
 fast config (session-2 exit: 142.2 ms), and the canonical headline config
-(VERDICT #3 target: >=10%% down from 10716 ms).
+(VERDICT #3 target: >=10% down from 10716 ms).
 
 One process, batched scans, floor-subtracted — the bench.py contract.
 """

@@ -234,3 +234,62 @@ def test_collapse_leaves_traversal_equivalence(glass_tris):
         bvh.LEAF_SIZE = old
     np.testing.assert_array_equal(np.asarray(h1.hit), np.asarray(h2.hit))
     np.testing.assert_allclose(np.asarray(h1.t), np.asarray(h2.t), atol=1e-6)
+
+
+def test_packed_subtree_ranges_multi_instance():
+    """pack_mesh's cummax/cummin recovery of per-node PADDED subtree
+    triangle ranges (node-row lanes 10/11, the shadow fat-leaf walk's
+    input) vs a recursive ground truth — across combine_blas instance
+    boundaries (offset tri ranges, instance-root chains), the riskiest
+    path (ADVICE r4 #1)."""
+    from raytracevs_tpu.ops.pallas.megakernel import pack_mesh
+
+    rng = np.random.default_rng(5)
+    # an irregular soup so the SAH tree has real depth and uneven leaves
+    n_tri = 73
+    base = rng.normal(size=(n_tri, 3)).astype(np.float32)
+    v0 = base
+    v1 = base + rng.normal(scale=0.3, size=(n_tri, 3)).astype(np.float32)
+    v2 = base + rng.normal(scale=0.3, size=(n_tri, 3)).astype(np.float32)
+    nrm = np.cross(v1 - v0, v2 - v0).astype(np.float32)
+
+    blas = []
+    for inst in range(4):
+        m4 = np.eye(4, dtype=np.float32)
+        m4[3, :3] = [inst * 3.0, 0.0, 0.0]
+        b = bvh.build_bvh(v0, v1, v2, nrm, nrm, nrm,
+                          np.zeros(n_tri, np.int32))
+        b = bvh.transform_blas(b, m4, inst)
+        blas.append(bvh.collapse_leaves(b, bvh.MK_LEAF_SIZE,
+                                        align=bvh.MK_LEAF_ALIGN))
+    forest = bvh.combine_blas(blas)
+    mesh = bvh.to_device(forest, np.zeros(4, np.float32),
+                         np.zeros((4, 3), np.float32), mk_built=forest)
+    nodes_fi, _, _, _ = pack_mesh(mesh)
+    nodes_fi = np.asarray(nodes_fi)
+    assert nodes_fi.shape[1] == 16  # small forest stays on the flat layout
+
+    nn = mesh.mk_num_nodes
+    miss = np.asarray(mesh.mk_miss_next)
+    start = np.asarray(mesh.mk_tri_start).astype(np.int64)
+    count = np.asarray(mesh.mk_tri_count).astype(np.int64)
+    got_start = nodes_fi[:, 10].astype(np.int64)
+    got_cnt = nodes_fi[:, 11].astype(np.int64)
+
+    real_tris = sum(len(b.v0) for b in blas)  # includes per-BLAS pads
+    for i in range(nn):
+        end = nn if miss[i] < 0 else int(miss[i])
+        leaves = [j for j in range(i, end) if count[j] > 0]
+        assert leaves, f"node {i} subtree [{i},{end}) has no leaves"
+        s = min(start[j] for j in leaves)
+        e = max(((start[j] + count[j] + 7) // 8) * 8 for j in leaves)
+        assert got_start[i] == s, f"node {i}: start {got_start[i]} != {s}"
+        assert got_cnt[i] == e - s, f"node {i}: cnt {got_cnt[i]} != {e - s}"
+        # the padded union must stay inside the table
+        assert e <= mesh.mk_num_tris
+
+    # leaf rows: sub range == own padded range (the fat walk's leaf case)
+    for i in range(nn):
+        if count[i] > 0 and (nn if miss[i] < 0 else int(miss[i])) == i + 1:
+            assert got_start[i] == start[i]
+            assert got_cnt[i] == ((start[i] + count[i] + 7) // 8) * 8 - start[i]
