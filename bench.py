@@ -301,6 +301,47 @@ def _ssim_proxy(res=256) -> float:
     return ssim(frame("pallas"), frame("jnp"))
 
 
+def _ssim_mesh_proxy(res=128, chunk=16) -> float:
+    """Cross-backend SSIM on the MESH path (VERDICT r4 weak #4): compiled
+    megakernel vs the portable jnp oracle on the FULL mesh-bearing
+    canonical scene at 128^2 / spp 1 / bounces 4. The oracle renders in
+    `chunk`-row slabs across separate dispatches so no single dispatch
+    approaches the TPU execution watchdog (the round-4 crash was one
+    256^2 spp2 b6 oracle dispatch — this is ~100x less work per
+    dispatch). Composite is pixel-local with use_denoised=False, so
+    per-chunk composition concatenates exactly."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from raytracevs_tpu.ops.render import render_rows
+    from raytracevs_tpu.post import composite as composite_mod
+    from raytracevs_tpu.post import tonemap as tonemap_mod
+    from raytracevs_tpu.runtime.engine import Engine
+    from raytracevs_tpu.utils.ssim import ssim
+
+    engine = Engine(res, res)
+    engine.load_rtvs(SCENE, samples_per_pixel=1, max_bounces=4,
+                     enable_denoiser=False)
+    flat, cfg = engine._flat, engine._cfg
+
+    def rgba(gbuffer, raw_specular, rows):
+        color01 = composite_mod.composite(
+            gbuffer, raw_specular, flat.exposure,
+            flat.tone_map_operator, flat.gamma, use_denoised=False,
+        )
+        return np.asarray(tonemap_mod.to_rgba8(color01)).reshape(
+            rows, res, 4)
+
+    out_p = render_rows(flat, cfg, jnp.int32(0), res, backend="pallas")
+    img_p = rgba(out_p.gbuffer, out_p.raw_specular, res)
+    parts = []
+    for r0 in range(0, res, chunk):
+        o = render_rows(flat, cfg, jnp.int32(r0), chunk, backend="jnp")
+        parts.append(rgba(o.gbuffer, o.raw_specular, chunk))
+    img_j = np.concatenate(parts, axis=0)
+    return ssim(img_p, img_j)
+
+
 def _mesh_engine(width, height, material="glass"):
     import tempfile
 
@@ -487,6 +528,9 @@ def main():
         cmp_res = compare_to_reference(_np.asarray(img))
         result["ssim_vs_dxr"] = cmp_res["ssim"]
         result["ssim_vs_dxr_worst_region"] = min(cmp_res["regions"].values())
+        # full 4x4 region map for the discrepancy analysis (VERDICT r4 #2)
+        result["ssim_vs_dxr_regions"] = cmp_res["regions"]
+        result["ssim_vs_dxr_mae"] = cmp_res["mean_abs_err"]
     except Exception as e:
         result["ssim_vs_dxr_error"] = str(e)[:120]
 
@@ -532,6 +576,12 @@ def main():
         result["ssim_vs_oracle"] = round(_ssim_proxy(), 4)
     except Exception as e:
         result["ssim_error"] = str(e)[:120]
+
+    # mesh-path cross-backend parity (row-chunked oracle — watchdog-safe)
+    try:
+        result["ssim_vs_oracle_mesh"] = round(_ssim_mesh_proxy(), 4)
+    except Exception as e:
+        result["ssim_mesh_error"] = str(e)[:120]
 
     unsub = sorted(t for t, fl in floors.items() if not fl["subtracted"])
     if unsub:

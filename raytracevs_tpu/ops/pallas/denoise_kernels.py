@@ -54,6 +54,11 @@ CURR_CH = 8
 MAX_ACCUM_FRAMES = 16.0  # NRDDenoiser.cpp:870
 MAX_FAST_FRAMES = 4.0  # NRDDenoiser.cpp:871
 RESIDUAL_LIMIT = 0.75  # px deviation from the tile-mean motion
+# responsive accumulation for near-mirrors (NRDDenoiser.cpp:864-865);
+# must mirror post/denoise.py's flag so the kernel and the jnp oracle
+# stay in lockstep
+_RESPONSIVE = os.environ.get("RTVS_RESPONSIVE_ACCUM", "1") == "1"
+_RESPONSIVE_ROUGHNESS = 0.05  # NRDDenoiser.cpp:864
 
 
 def reproject_tile_rows() -> int:
@@ -135,6 +140,7 @@ def _reproject_kernel(th, tw, global_h, width, ntx,
     curr_s = cur[4:8]
     mv = motion[:]
     z = vz[0]
+    rough = vz[1]
 
     # Per-pixel validity: window not frame-clamped, previous position
     # in-frame, motion within RESIDUAL_LIMIT of the tile mean, depth
@@ -165,8 +171,17 @@ def _reproject_kernel(th, tw, global_h, width, ntx,
     fast_frames = jnp.minimum(frames, MAX_FAST_FRAMES)
     fast_alpha = 1.0 / (1.0 + fast_frames)
 
+    alpha_s = alpha
+    if _RESPONSIVE:
+        # responsive accumulation: near-mirror specular uses the FAST cap
+        # (rough arrives as 1.0 when the caller passes no roughness, so
+        # the predicate never fires — legacy behavior preserved)
+        frames_s = jnp.where(rough < _RESPONSIVE_ROUGHNESS,
+                             fast_frames, frames)
+        alpha_s = 1.0 / (1.0 + frames_s)
+
     acc_d = hist_d + (curr_d - hist_d) * alpha[None]
-    acc_s = hist_s + (curr_s - hist_s) * alpha[None]
+    acc_s = hist_s + (curr_s - hist_s) * alpha_s[None]
     new_fast_d = fast_d + (curr_d[0:3] - fast_d) * fast_alpha[None]
     new_fast_s = fast_s + (curr_s[0:3] - fast_s) * fast_alpha[None]
 
@@ -186,12 +201,15 @@ def _reproject_kernel(th, tw, global_h, width, ntx,
 
 @functools.partial(jax.jit, static_argnames=("interpret", "global_h"))
 def reproject_accumulate(packed_state, curr, motion, view_z, interpret: bool = False,
-                         row_offset=0, global_h: int = None):
+                         row_offset=0, global_h: int = None, roughness=None):
     """Tile-quantized temporal reprojection + accumulation.
 
     packed_state [16,H,W] (STATE_CH layout), curr [8,H,W] (diffuse4 +
     specular4), motion [2,H,W] pixel-space (current - previous),
-    view_z [H,W]. Returns the new packed state [16,H,W] in
+    view_z [H,W]. `roughness` [H,W] (optional) enables responsive
+    accumulation for near-mirror specular (NRDDenoiser.cpp:864-865) —
+    omitted, the kernel behaves exactly as before.
+    Returns the new packed state [16,H,W] in
     packed_state's dtype: history may be STORED at half precision
     (post/denoise.STATE_DTYPE; the reference's NRD history pools are
     fp16 — NRDDenoiser.cpp resource formats), which halves the HBM
@@ -274,11 +292,15 @@ def reproject_accumulate(packed_state, curr, motion, view_z, interpret: bool = F
         grid=(nty, ntx),
         in_specs=[
             hist_spec(0, 0), hist_spec(0, 1), hist_spec(1, 0), hist_spec(1, 1),
-            blk(CURR_CH), blk(2), blk(1),
+            blk(CURR_CH), blk(2), blk(2),
         ],
         out_specs=blk(STATE_CH),
     )
     kernel = functools.partial(_reproject_kernel, th, tw, global_h, width, ntx)
+    if roughness is None:
+        # rough = 1.0 keeps the responsive predicate permanently false
+        roughness = jnp.ones_like(view_z)
+    aux = jnp.stack([view_z, roughness], axis=0)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -288,7 +310,7 @@ def reproject_accumulate(packed_state, curr, motion, view_z, interpret: bool = F
     )(
         pi, pf,
         padded, padded, padded, padded,
-        curr, motion, view_z[None],
+        curr, motion, aux,
     )
 
 

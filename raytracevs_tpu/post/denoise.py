@@ -61,6 +61,23 @@ NORMAL_POWER = 8.0
 ANTI_FIREFLY = os.environ.get("RTVS_ANTI_FIREFLY", "1") == "1"
 GUIDED_BLUR = os.environ.get("RTVS_GUIDED_BLUR", "1") == "1"
 MAX_BLUR_RADIUS = 30.0  # NRDDenoiser.cpp:860
+# - AREA_3X3 hit-distance reconstruction (NRDDenoiser.cpp:858): surface
+#   pixels whose sample path carried no hit distance take the valid-mean
+#   of their 3x3 neighborhood before accumulation.
+HITDIST_RECON = os.environ.get("RTVS_HITDIST_RECON", "1") == "1"
+# - responsive accumulation for near-mirrors (NRDDenoiser.cpp:864-865):
+#   specular history at roughness < 0.05 is capped at the FAST frame
+#   count, so mirror reflections never smear over 16 frames.
+RESPONSIVE_ACCUM = os.environ.get("RTVS_RESPONSIVE_ACCUM", "1") == "1"
+RESPONSIVE_ROUGHNESS = 0.05  # NRDDenoiser.cpp:864
+# - specular pre-pass blur (specularPrepassBlurRadius = 10.0,
+#   NRDDenoiser.cpp:867-868): the noisy current-frame specular is blurred
+#   before it enters the history.
+SPEC_PREPASS = os.environ.get("RTVS_SPEC_PREPASS", "1") == "1"
+SPEC_PREPASS_RADIUS = 10.0  # NRDDenoiser.cpp:868
+# halo rows the pre-steps reach (prepass ring 7 + recon 1); the sharded
+# paths exchange this many current-frame rows when the features are on
+PREPASS_HALO = 8
 
 
 def _lum(rgb, axis=-1):
@@ -91,6 +108,88 @@ def anti_firefly(img6):
         return img6[..., sl] * scale[..., None]
 
     return jnp.concatenate([group(slice(0, 3)), group(slice(3, 6))], axis=-1)
+
+
+def reblur_prepass(curr, view_z, sqrt_rough):
+    """REBLUR input conditioning before temporal accumulation.
+
+    curr [8,H,W] channel-first (diffuse rgb+hitdist, specular
+    rgb+hitdist); view_z / sqrt_rough [H,W]. Two steps, both pure static
+    shifts (XLA-fused; no kernels needed):
+
+    1) AREA_3X3 hit-distance reconstruction
+       (nrd::HitDistanceReconstructionMode::AREA_3X3,
+       NRDDenoiser.cpp:858): surface pixels with NO hit-distance data
+       (ch 3 / ch 7 == 0) take the mean of their valid 3x3 neighbors —
+       without it, spp-1 pixels whose sample carried no hit distance
+       poison the accumulation-guided blur radii and the prepass radius.
+       Neighbors clamp at the frame edge (texture-load semantics, like
+       every other filter here — keeps the sharded halo path bit-exact).
+    2) Specular pre-pass blur (specularPrepassBlurRadius = 10.0,
+       NRDDenoiser.cpp:867-868): the noisy current-frame specular
+       radiance is blurred with a static two-ring kernel (8 taps at
+       d~3, 8 at d~7) whose per-pixel radius
+       R = 10 * sqrt(roughness) * hd/(hd + 0.2 z) attenuates each tap
+       by exp(-(d/R)^2). Mirrors (roughness 0) keep R = 0 == identity —
+       sharp reflections are untouched (minBlurRadius = 0 parity) —
+       while rough contact reflections get their spp-1 noise knocked
+       down before it enters the history. Depth-guided (DEPTH_SIGMA) so
+       radiance never bleeds across silhouettes.
+    """
+    if not (HITDIST_RECON or SPEC_PREPASS):
+        return curr
+    h, w = view_z.shape
+    not_sky = view_z < C.VIEWZ_SKY * 0.99
+    out = curr
+
+    if HITDIST_RECON:
+        new_hd = []
+        for ch in (3, 7):
+            hd = curr[ch]
+            vf = ((hd > 0.0) & not_sky).astype(F32)
+            hp = jnp.pad(hd * vf, 1, mode="edge")
+            vp = jnp.pad(vf, 1, mode="edge")
+            s = jnp.zeros_like(hd)
+            cnt = jnp.zeros_like(hd)
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    if dy == 0 and dx == 0:
+                        continue
+                    s = s + hp[1 + dy:1 + dy + h, 1 + dx:1 + dx + w]
+                    cnt = cnt + vp[1 + dy:1 + dy + h, 1 + dx:1 + dx + w]
+            recon = s / jnp.maximum(cnt, 1.0)
+            need = (hd <= 0.0) & not_sky & (cnt > 0.0)
+            new_hd.append(jnp.where(need, recon, hd))
+        out = out.at[3].set(new_hd[0]).at[7].set(new_hd[1])
+
+    if SPEC_PREPASS:
+        hd = jnp.maximum(out[7], 0.0)
+        zc = jnp.maximum(view_z, C.VIEWZ_MIN)
+        hd_factor = hd / (hd + 0.2 * zc + 1e-6)
+        radius = (SPEC_PREPASS_RADIUS
+                  * jnp.clip(sqrt_rough, 0.0, 1.0) * hd_factor)
+        r2 = jnp.square(jnp.maximum(radius, 1e-3))
+        spec = out[4:7]
+        p = 7
+        sp = jnp.pad(spec, ((0, 0), (p, p), (p, p)), mode="edge")
+        zp = jnp.pad(view_z, p, mode="edge")
+        acc = spec
+        wsum = jnp.ones_like(view_z)
+        taps = [(0, 3), (0, -3), (3, 0), (-3, 0),
+                (2, 2), (2, -2), (-2, 2), (-2, -2),
+                (0, 7), (0, -7), (7, 0), (-7, 0),
+                (5, 5), (5, -5), (-5, 5), (-5, -5)]
+        for dy, dx in taps:
+            d2 = float(dy * dy + dx * dx)
+            q = sp[:, p + dy:p + dy + h, p + dx:p + dx + w]
+            qz = zp[p + dy:p + dy + h, p + dx:p + dx + w]
+            w_r = jnp.exp(-d2 / r2)
+            w_z = jnp.exp(-jnp.abs(qz - view_z) / (DEPTH_SIGMA * zc))
+            wt = w_r * w_z
+            acc = acc + q * wt[None]
+            wsum = wsum + wt
+        out = out.at[4:7].set(acc / wsum[None])
+    return out
 
 
 def blur_radius_planes(frames, spec_hitdist, view_z, roughness):
@@ -209,11 +308,17 @@ def _bilinear(img, xf, yf):
 
 def temporal_accumulate(curr_diffuse, curr_specular, motion, view_z,
                         state: DenoiserState, packed_ext=None, halo: int = 0,
-                        row0=0, global_h: int = None):
+                        row0=0, global_h: int = None, roughness=None):
     """Motion-reprojected exponential accumulation with fast-history anti-lag.
 
     curr_*: [H,W,4]; motion [H,W,2] pixel-space (current - previous);
     view_z [H,W]. Returns (diffuse, specular [H,W,4], new_state fields).
+
+    roughness [H,W] (optional) enables responsive accumulation for
+    near-mirrors (NRDDenoiser.cpp:864-865): specular history at
+    roughness < RESPONSIVE_ROUGHNESS accumulates with the FAST frame cap,
+    so mirror reflections track the current frame instead of smearing
+    over 16 frames. None (the default) keeps legacy behavior.
 
     Sharded mode (denoise_frame_sharded): `packed_ext` is the 16-channel
     history slab EXTENDED by `halo` exchanged neighbor rows on each side,
@@ -259,8 +364,14 @@ def temporal_accumulate(curr_diffuse, curr_specular, motion, view_z,
     fast_frames = jnp.minimum(frames, MAX_FAST_FRAMES)
     fast_alpha = (1.0 / (1.0 + fast_frames))[..., None]
 
+    alpha_s = alpha
+    if RESPONSIVE_ACCUM and roughness is not None:
+        frames_s = jnp.where(roughness < RESPONSIVE_ROUGHNESS,
+                             fast_frames, frames)
+        alpha_s = (1.0 / (1.0 + frames_s))[..., None]
+
     acc_d = hist_d + (curr_diffuse - hist_d) * alpha
-    acc_s = hist_s + (curr_specular - hist_s) * alpha
+    acc_s = hist_s + (curr_specular - hist_s) * alpha_s
     new_fast_d = fast_d + (curr_diffuse[..., :3] - fast_d) * fast_alpha
     new_fast_s = fast_s + (curr_specular[..., :3] - fast_s) * fast_alpha
 
@@ -433,8 +544,16 @@ def denoise_frame(gbuffer, height: int, width: int, state: DenoiserState,
     shadow = img(gbuffer.shadow_data, 2)  # (penumbra, visibility)
     obj_id = img(gbuffer.obj_id)
 
+    if HITDIST_RECON or SPEC_PREPASS:
+        curr8 = reblur_prepass(
+            jnp.concatenate([diffuse.transpose(2, 0, 1),
+                             specular.transpose(2, 0, 1)], axis=0),
+            view_z, nr[..., 3])
+        diffuse = curr8[0:4].transpose(1, 2, 0)
+        specular = curr8[4:8].transpose(1, 2, 0)
     acc_d, acc_s, fast_d, fast_s, frames = temporal_accumulate(
-        diffuse, specular, motion, view_z, state
+        diffuse, specular, motion, view_z, state,
+        roughness=jnp.square(nr[..., 3])
     )
     normal = _decode_oct(nr)
     # one fused filter pass: diffuse and specular share the edge-stopping
@@ -487,8 +606,11 @@ def denoise_frame_cf(gbuf_cf, state: DenoiserStateCF, interpret: bool = False):
     assert isinstance(state, DenoiserStateCF)
     curr = jnp.concatenate([gbuf_cf.diffuse_hitdist, gbuf_cf.specular_hitdist],
                            axis=0)
-    new_packed = dk.reproject_accumulate(state.packed, curr, gbuf_cf.motion,
-                                         gbuf_cf.view_z, interpret=interpret)
+    curr = reblur_prepass(curr, gbuf_cf.view_z, gbuf_cf.normal_roughness[3])
+    new_packed = dk.reproject_accumulate(
+        state.packed, curr, gbuf_cf.motion, gbuf_cf.view_z,
+        interpret=interpret,
+        roughness=jnp.square(gbuf_cf.normal_roughness[3]))
     normal = _decode_oct_cf(gbuf_cf.normal_roughness)
     # a half-precision state also streams the DMA-bound a-trous window at
     # that precision (the shadow filter stays f32: its packed window
@@ -558,9 +680,11 @@ def _denoise_frame_pallas(gbuffer, height: int, width: int, state: DenoiserState
              state.frames[None], state.view_z[None]],
             axis=0,
         )
-    curr = jnp.concatenate([diffuse, specular], axis=0)
+    curr = reblur_prepass(jnp.concatenate([diffuse, specular], axis=0),
+                          view_z, nr[..., 3])
     new_packed = dk.reproject_accumulate(packed, curr, motion, view_z,
-                                         interpret=interpret)
+                                         interpret=interpret,
+                                         roughness=jnp.square(nr[..., 3]))
 
     acc_d = new_packed[0:4]
     acc_s = new_packed[4:8]
@@ -740,6 +864,17 @@ def denoise_frame_sharded_cf(gbuf_cf, state: DenoiserStateCF, axis_name: str,
                                    axis=1)
     curr = jnp.concatenate([gbuf_cf.diffuse_hitdist, gbuf_cf.specular_hitdist],
                            axis=0)
+    sqrt_rough = gbuf_cf.normal_roughness[3]
+    if HITDIST_RECON or SPEC_PREPASS:
+        # the REBLUR pre-steps reach PREPASS_HALO current-frame rows
+        # across the shard cut; one extra exchange keeps them bit-equal
+        # to the whole-frame reblur_prepass
+        pp = jnp.concatenate([curr, gbuf_cf.view_z[None], sqrt_rough[None]],
+                             axis=0)
+        ppe = exchange_row_halo(pp, PREPASS_HALO, axis_name, n_shards, axis=1)
+        curr = jax.lax.slice_in_dim(
+            reblur_prepass(ppe[0:8], ppe[8], ppe[9]),
+            PREPASS_HALO, PREPASS_HALO + rows, axis=1)
 
     def zext(a):
         return jnp.pad(a, ((0, 0), (halo, halo), (0, 0)))
@@ -747,7 +882,8 @@ def denoise_frame_sharded_cf(gbuf_cf, state: DenoiserStateCF, axis_name: str,
     new_ext = dk.reproject_accumulate(
         packed_ext, zext(curr), zext(gbuf_cf.motion),
         jnp.pad(gbuf_cf.view_z, ((halo, halo), (0, 0))),
-        interpret=interpret, row_offset=row0 - halo, global_h=global_h)
+        interpret=interpret, row_offset=row0 - halo, global_h=global_h,
+        roughness=jnp.pad(jnp.square(sqrt_rough), ((halo, halo), (0, 0))))
     new_packed = jax.lax.slice_in_dim(new_ext, halo, halo + rows, axis=1)
 
     normal = _decode_oct_cf(gbuf_cf.normal_roughness)
@@ -812,9 +948,18 @@ def denoise_frame_sharded(gbuffer, rows: int, width: int, state: DenoiserState,
         axis=-1,
     )
     packed_ext = exchange_row_halo(packed, TEMPORAL_HALO, axis_name, n_shards)
+    if HITDIST_RECON or SPEC_PREPASS:
+        pp = jnp.concatenate(
+            [diffuse, specular, view_z[..., None], nr[..., 3:4]], axis=-1)
+        ppe = exchange_row_halo(pp, PREPASS_HALO, axis_name, n_shards)
+        c8 = reblur_prepass(ppe[..., 0:8].transpose(2, 0, 1), ppe[..., 8],
+                            ppe[..., 9])[:, PREPASS_HALO:PREPASS_HALO + rows]
+        diffuse = c8[0:4].transpose(1, 2, 0)
+        specular = c8[4:8].transpose(1, 2, 0)
     acc_d, acc_s, fast_d, fast_s, frames = temporal_accumulate(
         diffuse, specular, motion, view_z, state, packed_ext=packed_ext,
         halo=TEMPORAL_HALO, row0=row0, global_h=global_h,
+        roughness=jnp.square(nr[..., 3]),
     )
 
     normal = _decode_oct(nr)

@@ -285,3 +285,99 @@ def test_atrous_half_storage_close_to_f32():
     half = dk.atrous(img, view_z, normal, interpret=True,
                      storage_dtype=jnp.float16)
     assert np.abs(np.asarray(ref) - np.asarray(half)).max() < 5e-3
+
+
+# ---- REBLUR fidelity features (round 5): hitdist reconstruction,
+# ---- responsive accumulation, specular pre-pass blur ----------------------
+def test_responsive_accumulation_matches_oracle():
+    """roughness plane with mirror / rough halves: kernel and oracle agree,
+    and mirror pixels (roughness < 0.05) cap specular history at the FAST
+    frame count (NRDDenoiser.cpp:864-865)."""
+    rng = np.random.RandomState(21)
+    state = _state(22)
+    state = state._replace(frames=jnp.full((H, W), 10.0, jnp.float32))
+    curr_d = jnp.asarray(rng.rand(H, W, 4).astype(np.float32))
+    curr_s = jnp.asarray(rng.rand(H, W, 4).astype(np.float32))
+    rough = np.full((H, W), 0.5, np.float32)
+    rough[:, : W // 2] = 0.0  # perfect mirror half
+    rough = jnp.asarray(rough)
+    motion = jnp.zeros((H, W, 2), jnp.float32)
+
+    ref = D.temporal_accumulate(curr_d, curr_s, motion, state.view_z, state,
+                                roughness=rough)
+    acc_d, acc_s, _, _, frames = ref
+    curr = jnp.concatenate(
+        [curr_d.transpose(2, 0, 1), curr_s.transpose(2, 0, 1)], 0)
+    packed = dk.reproject_accumulate(
+        _pack(state), curr, motion.transpose(2, 0, 1), state.view_z,
+        interpret=True, roughness=rough)
+    np.testing.assert_allclose(np.asarray(packed[4:8]),
+                               np.asarray(acc_s.transpose(2, 0, 1)),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(packed[0:4]),
+                               np.asarray(acc_d.transpose(2, 0, 1)),
+                               atol=1e-5)
+    # mirror half: spec alpha = 1/(1+min(frames,4)) = 1/5; rough half:
+    # 1/(1+11) (frames counter itself stays roughness-independent).
+    # Recovered from the HITDIST channel (3) — the rgb channels pass
+    # through the anti-lag clamp, which would corrupt the estimate.
+    a = np.asarray(acc_s)[..., 3]
+    hs = np.asarray(state.specular)[..., 3]
+    cs = np.asarray(curr_s)[..., 3]
+    denom = cs - hs
+    ok = np.abs(denom) > 0.1
+    alpha = np.where(ok, (a - hs) / np.where(ok, denom, 1.0), np.nan)
+    am = alpha[:, : W // 2][ok[:, : W // 2]]
+    ar = alpha[:, W // 2:][ok[:, W // 2:]]
+    assert am.size > 100 and ar.size > 100
+    np.testing.assert_allclose(am, 1.0 / 5.0, atol=1e-4)
+    np.testing.assert_allclose(ar, 1.0 / 12.0, atol=1e-4)
+
+
+def test_hitdist_reconstruction_area3x3():
+    """AREA_3X3 (NRDDenoiser.cpp:858): a zero-hitdist surface pixel takes
+    the mean of its valid 3x3 neighbors; pixels with data are untouched;
+    sky pixels stay zero."""
+    from raytracevs_tpu import constants as C
+
+    h, w = 16, 16
+    curr = np.zeros((8, h, w), np.float32)
+    curr[3] = 5.0  # diffuse hitdist everywhere...
+    curr[3, 4, 4] = 0.0  # ...except one hole
+    curr[7] = 2.0
+    curr[7, 8, 8] = 0.0
+    view_z = np.full((h, w), 10.0, np.float32)
+    view_z[0, :] = C.VIEWZ_SKY  # sky row
+    curr[3, 0, :] = 0.0
+    curr[7, 0, :] = 0.0
+    out = np.asarray(D.reblur_prepass(
+        jnp.asarray(curr), jnp.asarray(view_z),
+        jnp.zeros((h, w), jnp.float32)))
+    assert out[3, 4, 4] == pytest.approx(5.0, abs=1e-5)
+    assert out[7, 8, 8] == pytest.approx(2.0, abs=1e-5)
+    assert out[3, 10, 10] == pytest.approx(5.0, abs=1e-6)  # untouched
+    assert (out[3, 0, :] == 0.0).all()  # sky stays empty
+    # row 1 neighbors the sky row: its reconstruction-free pixels keep 5.0
+    assert out[3, 1, 5] == pytest.approx(5.0, abs=1e-6)
+
+
+def test_spec_prepass_mirror_identity_rough_blur():
+    """specularPrepassBlurRadius (NRDDenoiser.cpp:867-868): roughness 0
+    leaves specular bit-unchanged (minBlurRadius=0 mirror sharpness);
+    rough pixels get a hot pixel knocked down and spread."""
+    h, w = 32, 32
+    rng = np.random.RandomState(31)
+    curr = rng.rand(8, h, w).astype(np.float32) * 0.1
+    curr[3] = 1.0
+    curr[7] = 5.0  # plenty of hitdist -> full radius
+    curr[4:7, 16, 16] = 10.0  # hot specular pixel
+    view_z = np.full((h, w), 10.0, np.float32)
+
+    out_mirror = np.asarray(D.reblur_prepass(
+        jnp.asarray(curr), jnp.asarray(view_z), jnp.zeros((h, w), jnp.float32)))
+    np.testing.assert_allclose(out_mirror[4:7], curr[4:7], atol=1e-5)
+
+    out_rough = np.asarray(D.reblur_prepass(
+        jnp.asarray(curr), jnp.asarray(view_z), jnp.ones((h, w), jnp.float32)))
+    assert out_rough[4, 16, 16] < 5.0  # peak knocked down
+    assert out_rough[4, 16, 19] > curr[4, 16, 19]  # energy spread outward
