@@ -59,6 +59,10 @@ RESIDUAL_LIMIT = 0.75  # px deviation from the tile-mean motion
 # stay in lockstep
 _RESPONSIVE = os.environ.get("RTVS_RESPONSIVE_ACCUM", "1") == "1"
 _RESPONSIVE_ROUGHNESS = 0.05  # NRDDenoiser.cpp:864
+# specular virtual-motion reprojection (see post/denoise.SPEC_VIRTUAL);
+# adds a second 2x2 window fetch (7 spec channels) steered by the
+# virtual-motion field's own tile stats
+_SPEC_VIRTUAL = os.environ.get("RTVS_SPEC_VIRTUAL", "1") == "1"
 
 
 def reproject_tile_rows() -> int:
@@ -88,13 +92,22 @@ def reproject_supported(height: int, width: int) -> bool:
 # SMEM operands get lane-padded to 128 wide and blow the 1 MB SMEM budget)
 _PI_BY0, _PI_BY1, _PI_BX0, _PI_BX1, _PI_SUBY, _PI_SUBX = range(6)
 _PF_FY, _PF_FX, _PF_OK, _PF_OFFY, _PF_OFFX, _PF_ROW0 = range(6)
+# second row set (offset by 6): the virtual-motion field's tile stats,
+# present only when the kernel is built with spec_virtual=True
 
 
-def _reproject_kernel(th, tw, global_h, width, ntx,
-                      # scalar prefetch refs: ints [6, n_tiles], floats [6, n_tiles]
+def _reproject_kernel(th, tw, global_h, width, ntx, spec_virtual,
+                      # scalar prefetch refs: ints [6|12, n_tiles],
+                      # floats [6|11, n_tiles]
                       pi, pf,
-                      # tensor refs
-                      h00, h01, h10, h11, curr, motion, vz, out):
+                      # tensor refs (v00..v11 only when spec_virtual)
+                      *refs):
+    if spec_virtual:
+        (h00, h01, h10, h11, v00, v01, v10, v11,
+         curr, motion, motion_spec, vz, out) = refs
+    else:
+        h00, h01, h10, h11, curr, motion, vz, out = refs
+        motion_spec = None
     i = pl.program_id(0)
     j = pl.program_id(1)
     t = i * ntx + j
@@ -142,14 +155,56 @@ def _reproject_kernel(th, tw, global_h, width, ntx,
     z = vz[0]
     rough = vz[1]
 
+    rows = jax.lax.broadcasted_iota(I32, (th, tw), 0) + i * th
+    cols = jax.lax.broadcasted_iota(I32, (th, tw), 1) + j * tw
+
+    if spec_virtual:
+        # virtual-motion spec window: same 2x2-block/rotate machinery,
+        # steered by the virtual field's own tile stats (prefetch rows
+        # 6..); 7 channels (spec4 + fast_spec3) from the spec-contiguous
+        # shadow copy of the state
+        win2 = jnp.concatenate(
+            [jnp.concatenate([v00[:], v01[:]], axis=2),
+             jnp.concatenate([v10[:], v11[:]], axis=2)],
+            axis=1,
+        ).astype(F32)
+        sy2 = pi[_PI_SUBY + 6, t]
+        sx2 = pi[_PI_SUBX + 6, t]
+        fy2 = pf[_PF_FY + 6, t]
+        fx2 = pf[_PF_FX + 6, t]
+        win2 = pltpu.roll(win2, (2 * th - sy2) % (2 * th), axis=1)
+        win2 = pltpu.roll(win2, (2 * tw - sx2) % (2 * tw), axis=2)
+
+        def tap2(dy, dx):
+            return win2[:, dy : th + dy, dx : tw + dx]
+
+        hv = (
+            tap2(0, 0) * ((1.0 - fy2) * (1.0 - fx2))
+            + tap2(0, 1) * ((1.0 - fy2) * fx2)
+            + tap2(1, 0) * (fy2 * (1.0 - fx2))
+            + tap2(1, 1) * (fy2 * fx2)
+        )
+        mvs = motion_spec[:]
+        prev_y2 = rows.astype(F32) + pf[_PF_ROW0, t] - mvs[1]
+        prev_x2 = cols.astype(F32) - mvs[0]
+        in2 = (
+            (prev_x2 >= 0.0) & (prev_x2 <= width - 1.0)
+            & (prev_y2 >= 0.0) & (prev_y2 <= global_h - 1.0)
+        )
+        res2 = (
+            (jnp.abs(mvs[1] - pf[_PF_OFFY + 6, t]) <= RESIDUAL_LIMIT)
+            & (jnp.abs(mvs[0] - pf[_PF_OFFX + 6, t]) <= RESIDUAL_LIMIT)
+        )
+        virt_ok = (pf[_PF_OK + 6, t] > 0.5) & in2 & res2
+        hist_s = jnp.where(virt_ok[None], hv[0:4], hist_s)
+        fast_s = jnp.where(virt_ok[None], hv[4:7], fast_s)
+
     # Per-pixel validity: window not frame-clamped, previous position
     # in-frame, motion within RESIDUAL_LIMIT of the tile mean, depth
     # consistent, not sky (same predicate set as the jnp oracle).
     # rows are GLOBAL image coordinates: in a sharded slab (row_offset !=
     # 0) the bounds test must use the whole-frame extent so shard results
     # equal the single-device kernel's at every kept row.
-    rows = jax.lax.broadcasted_iota(I32, (th, tw), 0) + i * th
-    cols = jax.lax.broadcasted_iota(I32, (th, tw), 1) + j * tw
     off_y = pf[_PF_OFFY, t]  # tile-mean motion (f32)
     off_x = pf[_PF_OFFX, t]
     prev_y = rows.astype(F32) + pf[_PF_ROW0, t] - mv[1]
@@ -201,7 +256,8 @@ def _reproject_kernel(th, tw, global_h, width, ntx,
 
 @functools.partial(jax.jit, static_argnames=("interpret", "global_h"))
 def reproject_accumulate(packed_state, curr, motion, view_z, interpret: bool = False,
-                         row_offset=0, global_h: int = None, roughness=None):
+                         row_offset=0, global_h: int = None, roughness=None,
+                         motion_spec=None):
     """Tile-quantized temporal reprojection + accumulation.
 
     packed_state [16,H,W] (STATE_CH layout), curr [8,H,W] (diffuse4 +
@@ -238,80 +294,105 @@ def reproject_accumulate(packed_state, curr, motion, view_z, interpret: bool = F
     # out-of-frame — so the whole-tile invalid flag is exact, not lossy.
     padded = jnp.pad(packed_state, ((0, 0), (th, th), (tw, tw)), mode="edge")
 
-    # Per-tile mean motion and derived block/subpixel addressing.
-    m = motion.reshape(2, nty, th, ntx, tw)
-    off = m.mean(axis=(2, 4))  # [2, nty, ntx] (x, y)
-    base_y = (jnp.arange(nty, dtype=F32) * th)[None, :, None]
-    base_x = (jnp.arange(ntx, dtype=F32) * tw)[None, None, :]
-    gy_f = base_y - off[1:2]
-    gx_f = base_x - off[0:1]
-    gy = jnp.floor(gy_f[0])
-    gx = jnp.floor(gx_f[0])
-    fy = (gy_f[0] - gy).astype(F32)
-    fx = (gx_f[0] - gx).astype(F32)
-    gy_i = gy.astype(I32)
-    gx_i = gx.astype(I32)
-    gy_c = jnp.clip(gy_i, -th, height - 1)
-    gx_c = jnp.clip(gx_i, -tw, width - 1)
-    ok = ((gy_i == gy_c) & (gx_i == gx_c)).astype(F32)
-    # block/sub addressing in PADDED coordinates
-    by_lo = (gy_c + th) // th
-    bx_lo = (gx_c + tw) // tw
-    by1 = jnp.minimum(by_lo + 1, nty + 1)
-    bx1 = jnp.minimum(bx_lo + 1, ntx + 1)
-    # two flat scalar-prefetch operands (see _PI_*/_PF_* row constants)
-    pi = jnp.stack(
-        [by_lo.reshape(-1), by1.reshape(-1), bx_lo.reshape(-1), bx1.reshape(-1),
-         (gy_c + th - by_lo * th).reshape(-1), (gx_c + tw - bx_lo * tw).reshape(-1)],
-        axis=0,
-    ).astype(I32)
-    row0_row = jnp.full((nty * ntx,), row_offset, F32)
-    pf = jnp.stack(
-        [fy.reshape(-1), fx.reshape(-1), ok.reshape(-1),
-         off[1].reshape(-1), off[0].reshape(-1), row0_row],
-        axis=0,
-    ).astype(F32)
+    def tile_stats(mfield):
+        """Per-tile mean motion and derived block/subpixel addressing:
+        ([6,n] i32 block/sub rows, [5,n] f32 fy/fx/ok/offy/offx rows)."""
+        m = mfield.reshape(2, nty, th, ntx, tw)
+        off = m.mean(axis=(2, 4))  # [2, nty, ntx] (x, y)
+        base_y = (jnp.arange(nty, dtype=F32) * th)[None, :, None]
+        base_x = (jnp.arange(ntx, dtype=F32) * tw)[None, None, :]
+        gy_f = base_y - off[1:2]
+        gx_f = base_x - off[0:1]
+        gy = jnp.floor(gy_f[0])
+        gx = jnp.floor(gx_f[0])
+        fy = (gy_f[0] - gy).astype(F32)
+        fx = (gx_f[0] - gx).astype(F32)
+        gy_i = gy.astype(I32)
+        gx_i = gx.astype(I32)
+        gy_c = jnp.clip(gy_i, -th, height - 1)
+        gx_c = jnp.clip(gx_i, -tw, width - 1)
+        ok = ((gy_i == gy_c) & (gx_i == gx_c)).astype(F32)
+        # block/sub addressing in PADDED coordinates
+        by_lo = (gy_c + th) // th
+        bx_lo = (gx_c + tw) // tw
+        by1 = jnp.minimum(by_lo + 1, nty + 1)
+        bx1 = jnp.minimum(bx_lo + 1, ntx + 1)
+        pi_rows = jnp.stack(
+            [by_lo.reshape(-1), by1.reshape(-1), bx_lo.reshape(-1),
+             bx1.reshape(-1), (gy_c + th - by_lo * th).reshape(-1),
+             (gx_c + tw - bx_lo * tw).reshape(-1)],
+            axis=0,
+        ).astype(I32)
+        pf_rows = jnp.stack(
+            [fy.reshape(-1), fx.reshape(-1), ok.reshape(-1),
+             off[1].reshape(-1), off[0].reshape(-1)],
+            axis=0,
+        ).astype(F32)
+        return pi_rows, pf_rows
 
-    def hist_spec(sel_y, sel_x):
-        row_y = _PI_BY1 if sel_y else _PI_BY0
-        row_x = _PI_BX1 if sel_x else _PI_BX0
+    spec_virtual = motion_spec is not None and _SPEC_VIRTUAL
+    pi, pf5 = tile_stats(motion)
+    row0_row = jnp.full((1, nty * ntx), row_offset, F32)
+    pf = jnp.concatenate([pf5, row0_row], axis=0)
+    if spec_virtual:
+        pi2, pf2 = tile_stats(motion_spec)
+        pi = jnp.concatenate([pi, pi2], axis=0)
+        pf = jnp.concatenate([pf, pf2], axis=0)
+        # spec-contiguous shadow copy of the state for the 7-channel
+        # virtual windows (spec4 + fast_spec3); its own edge pad
+        spec_padded = jnp.pad(
+            jnp.concatenate([packed_state[4:8], packed_state[11:14]],
+                            axis=0),
+            ((0, 0), (th, th), (tw, tw)), mode="edge")
+
+    def hist_spec(sel_y, sel_x, base=0, nch=STATE_CH):
+        row_y = (_PI_BY1 if sel_y else _PI_BY0) + base
+        row_x = (_PI_BX1 if sel_x else _PI_BX0) + base
 
         def index_map(i, j, pi_r, pf_r):
             t = i * ntx + j
             return (0, pi_r[row_y, t], pi_r[row_x, t])
 
-        return pl.BlockSpec((STATE_CH, th, tw), index_map)
+        return pl.BlockSpec((nch, th, tw), index_map)
 
     def blk(ch):
         return pl.BlockSpec(
             (ch, th, tw), lambda i, j, *_: (0, i, j)
         )
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(nty, ntx),
-        in_specs=[
-            hist_spec(0, 0), hist_spec(0, 1), hist_spec(1, 0), hist_spec(1, 1),
-            blk(CURR_CH), blk(2), blk(2),
-        ],
-        out_specs=blk(STATE_CH),
-    )
-    kernel = functools.partial(_reproject_kernel, th, tw, global_h, width, ntx)
+    in_specs = [
+        hist_spec(0, 0), hist_spec(0, 1), hist_spec(1, 0), hist_spec(1, 1)]
+    operands = [padded, padded, padded, padded]
+    if spec_virtual:
+        in_specs += [hist_spec(0, 0, 6, 7), hist_spec(0, 1, 6, 7),
+                     hist_spec(1, 0, 6, 7), hist_spec(1, 1, 6, 7)]
+        operands += [spec_padded, spec_padded, spec_padded, spec_padded]
+    in_specs += [blk(CURR_CH), blk(2)]
+    operands += [curr, motion]
+    if spec_virtual:
+        in_specs += [blk(2)]
+        operands += [motion_spec]
+    in_specs += [blk(2)]
     if roughness is None:
         # rough = 1.0 keeps the responsive predicate permanently false
         roughness = jnp.ones_like(view_z)
-    aux = jnp.stack([view_z, roughness], axis=0)
+    operands += [jnp.stack([view_z, roughness], axis=0)]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nty, ntx),
+        in_specs=in_specs,
+        out_specs=blk(STATE_CH),
+    )
+    kernel = functools.partial(_reproject_kernel, th, tw, global_h, width,
+                               ntx, spec_virtual)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((STATE_CH, height, width),
                                        packed_state.dtype),
         interpret=interpret,
-    )(
-        pi, pf,
-        padded, padded, padded, padded,
-        curr, motion, aux,
-    )
+    )(pi, pf, *operands)
 
 
 # ---------------------------------------------------------------------------

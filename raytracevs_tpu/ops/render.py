@@ -34,6 +34,11 @@ class GBuffer(NamedTuple):
     shadow_data: jnp.ndarray  # [N,2] (penumbra, visibility)
     shadow_translucency: jnp.ndarray  # [N,4] SIGMA packed translucency
     obj_id: jnp.ndarray  # [N] i32 packed object id (type*65536+index; -1 = sky)
+    # [N,2] specular VIRTUAL-motion vectors (REBLUR virtual-motion
+    # reprojection — see the motion_spec block in _assemble_frame);
+    # None on paths that have not been taught to produce it (the
+    # denoiser then reprojects specular with surface motion, as before)
+    motion_spec: jnp.ndarray = None
     
 
 
@@ -410,6 +415,31 @@ def _assemble_frame(scene, cfg, n, acc_color, acc_primary, acc_diffuse, acc_spec
     mv = jnp.clip(mv, -C.MV_CLAMP_PIXELS, C.MV_CLAMP_PIXELS)
     mv = jnp.where(prim_hit[:, None], mv, 0.0)
 
+    # Specular VIRTUAL-motion vectors (REBLUR specular virtual-motion
+    # reprojection — the NRD-internal behavior NRDDenoiser.cpp's
+    # settings block configures): a mirror reflection's image lies at
+    # the virtual point Xv = X + V*hitDist, the primary ray extended
+    # past the surface — so under camera motion the specular history
+    # must be fetched where Xv reprojects, not where the surface was
+    # (surface motion ghosts moving reflections). The virtual distance
+    # scales by (1 - roughness): rougher reflections behave
+    # increasingly surface-attached (virtualHistoryAmount analog).
+    # Static camera => prev VP == VP => mv_spec == mv bit-for-bit.
+    vview = prim_pos - scene.cam_pos[None, :]
+    vdirn = vview / jnp.maximum(
+        jnp.linalg.norm(vview, axis=-1, keepdims=True), 1e-9)
+    v_amount = jnp.clip(1.0 - out_rough, 0.0, 1.0)
+    xv = prim_pos + vdirn * (jnp.maximum(mean_hitdist, 0.0) * v_amount)[:, None]
+    p4v = jnp.concatenate([xv, jnp.ones((n, 1), F32)], axis=-1)
+    cv = p4v @ scene.view_proj
+    pv = p4v @ scene.prev_view_proj
+    cvn = cv[:, :2] / jnp.where(jnp.abs(cv[:, 3:4]) < 1e-9, 1.0, cv[:, 3:4])
+    pvn = pv[:, :2] / jnp.where(jnp.abs(pv[:, 3:4]) < 1e-9, 1.0, pv[:, 3:4])
+    mv_spec = (cvn - pvn) * jnp.array(
+        [cfg.width * 0.5, cfg.height * 0.5], F32)[None, :]
+    mv_spec = jnp.clip(mv_spec, -C.MV_CLAMP_PIXELS, C.MV_CLAMP_PIXELS)
+    mv_spec = jnp.where(prim_hit[:, None], mv_spec, 0.0)
+
     # Material alpha for Composite (RayGen.hlsl:987-1000)
     material_alpha = jnp.where(
         prim_hit,
@@ -446,6 +476,7 @@ def _assemble_frame(scene, cfg, n, acc_color, acc_primary, acc_diffuse, acc_spec
             shadow_translucency=shadow_translucency,
             obj_id=(prim_obj_id if prim_obj_id is not None
                     else jnp.full((n,), -1, jnp.int32)),
+            motion_spec=mv_spec,
         ),
         rays=rays_total,
         raw_specular=specular_nrd,

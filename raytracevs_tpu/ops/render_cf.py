@@ -46,6 +46,9 @@ class GBufferCF(NamedTuple):
     shadow_data: jnp.ndarray  # [2,H,W]
     shadow_translucency: jnp.ndarray  # [4,H,W]
     obj_id: jnp.ndarray  # [H,W] i32
+    # [2,H,W] specular VIRTUAL-motion vectors (REBLUR virtual-motion
+    # reprojection); None where a path does not produce it
+    motion_spec: jnp.ndarray = None
 
 
 class FrameOutputCF(NamedTuple):
@@ -177,6 +180,32 @@ def assemble_frame_cf(scene, cfg, acc) -> FrameOutputCF:
     mv = jnp.stack([jnp.where(prim_hit, mvx, zero),
                     jnp.where(prim_hit, mvy, zero)], axis=0)
 
+    # Specular VIRTUAL-motion vectors (REBLUR virtual-motion
+    # reprojection; see ops/render.py's motion_spec block for the full
+    # rationale): reproject Xv = X + V*hitDist*(1-roughness) instead of
+    # the surface point. Static camera => mv_spec == mv bit-for-bit.
+    vlen = jnp.sqrt(jnp.maximum(
+        rel[0] * rel[0] + rel[1] * rel[1] + rel[2] * rel[2], 1e-18))
+    v_amount = jnp.clip(1.0 - out_rough, 0.0, 1.0)
+    vd = jnp.maximum(mean_hitdist, 0.0) * v_amount / vlen
+    xv = prim_pos + rel * vd[None]
+
+    def clip_xyw_at(vp, p):
+        cx = (p[0] * vp[0, 0] + p[1] * vp[1, 0] + p[2] * vp[2, 0] + vp[3, 0])
+        cy = (p[0] * vp[0, 1] + p[1] * vp[1, 1] + p[2] * vp[2, 1] + vp[3, 1])
+        cw = (p[0] * vp[0, 3] + p[1] * vp[1, 3] + p[2] * vp[2, 3] + vp[3, 3])
+        safe_w = jnp.where(jnp.abs(cw) < 1e-9, 1.0, cw)
+        return cx / safe_w, cy / safe_w
+
+    cvx, cvy = clip_xyw_at(scene.view_proj, xv)
+    pvx, pvy = clip_xyw_at(scene.prev_view_proj, xv)
+    mvsx = jnp.clip((cvx - pvx) * F32(cfg.width * 0.5),
+                    -C.MV_CLAMP_PIXELS, C.MV_CLAMP_PIXELS)
+    mvsy = jnp.clip((cvy - pvy) * F32(cfg.height * 0.5),
+                    -C.MV_CLAMP_PIXELS, C.MV_CLAMP_PIXELS)
+    mv_spec = jnp.stack([jnp.where(prim_hit, mvsx, zero),
+                         jnp.where(prim_hit, mvsy, zero)], axis=0)
+
     # Material alpha for Composite (RayGen.hlsl:987-1000)
     material_alpha = jnp.where(
         prim_hit,
@@ -213,6 +242,7 @@ def assemble_frame_cf(scene, cfg, acc) -> FrameOutputCF:
             shadow_data=shadow_data,
             shadow_translucency=shadow_translucency,
             obj_id=acc["obj_id"],
+            motion_spec=mv_spec,
         ),
         rays=acc["rays"],
         raw_specular=specular_nrd,
@@ -302,4 +332,5 @@ def lane_gbuffer_from_cf(g: GBufferCF):
         shadow_data=ln(g.shadow_data),
         shadow_translucency=ln(g.shadow_translucency),
         obj_id=g.obj_id.reshape(-1),
+        motion_spec=None if g.motion_spec is None else ln(g.motion_spec),
     )

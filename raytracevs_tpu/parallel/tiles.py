@@ -101,6 +101,7 @@ def _gbuffer_spec():
         shadow_data=P(TILE_AXIS),
         shadow_translucency=P(TILE_AXIS),
         obj_id=P(TILE_AXIS),
+        motion_spec=P(TILE_AXIS),
     )
 
 

@@ -75,6 +75,14 @@ RESPONSIVE_ROUGHNESS = 0.05  # NRDDenoiser.cpp:864
 #   before it enters the history.
 SPEC_PREPASS = os.environ.get("RTVS_SPEC_PREPASS", "1") == "1"
 SPEC_PREPASS_RADIUS = 10.0  # NRDDenoiser.cpp:868
+# - specular virtual-motion reprojection (the NRD-internal REBLUR
+#   behavior): specular history is fetched where the REFLECTED image
+#   point (Xv = X + V*hitDist*(1-roughness), computed at render time as
+#   gbuffer.motion_spec) reprojects, with per-pixel fallback to the
+#   surface-motion sample when the virtual position is invalid. With a
+#   static camera motion_spec == motion and the output is bit-identical
+#   to surface reprojection.
+SPEC_VIRTUAL = os.environ.get("RTVS_SPEC_VIRTUAL", "1") == "1"
 # halo rows the pre-steps reach (prepass ring 7 + recon 1); the sharded
 # paths exchange this many current-frame rows when the features are on
 PREPASS_HALO = 8
@@ -308,7 +316,8 @@ def _bilinear(img, xf, yf):
 
 def temporal_accumulate(curr_diffuse, curr_specular, motion, view_z,
                         state: DenoiserState, packed_ext=None, halo: int = 0,
-                        row0=0, global_h: int = None, roughness=None):
+                        row0=0, global_h: int = None, roughness=None,
+                        motion_spec=None):
     """Motion-reprojected exponential accumulation with fast-history anti-lag.
 
     curr_*: [H,W,4]; motion [H,W,2] pixel-space (current - previous);
@@ -352,6 +361,21 @@ def temporal_accumulate(curr_diffuse, curr_specular, motion, view_z,
     fast_s = hist[..., 11:14]
     hist_frames = hist[..., 14]
     hist_z = hist[..., 15]
+
+    if SPEC_VIRTUAL and motion_spec is not None:
+        # specular virtual-motion reprojection: fetch the spec channels
+        # where the REFLECTED image point moved; per-pixel fallback to
+        # the surface-motion sample where the virtual position is
+        # out-of-frame or its motion untrusted
+        pvx = xs - motion_spec[..., 0]
+        pvy = ys - motion_spec[..., 1]
+        spec_ext = jnp.concatenate(
+            [packed_ext[..., 4:8], packed_ext[..., 11:14]], axis=-1)
+        vh = _bilinear(spec_ext, pvx, pvy - row0 + halo)
+        virt_in = ((pvx >= 0) & (pvx <= w - 1) & (pvy >= 0)
+                   & (pvy <= global_h - 1))[..., None]
+        hist_s = jnp.where(virt_in, vh[..., 0:4], hist_s)
+        fast_s = jnp.where(virt_in, vh[..., 4:7], fast_s)
 
     in_bounds = ((prev_x >= 0) & (prev_x <= w - 1) & (prev_y >= 0)
                  & (prev_y <= global_h - 1))
@@ -553,7 +577,9 @@ def denoise_frame(gbuffer, height: int, width: int, state: DenoiserState,
         specular = curr8[4:8].transpose(1, 2, 0)
     acc_d, acc_s, fast_d, fast_s, frames = temporal_accumulate(
         diffuse, specular, motion, view_z, state,
-        roughness=jnp.square(nr[..., 3])
+        roughness=jnp.square(nr[..., 3]),
+        motion_spec=(None if getattr(gbuffer, "motion_spec", None) is None
+                     else img(gbuffer.motion_spec, 2)),
     )
     normal = _decode_oct(nr)
     # one fused filter pass: diffuse and specular share the edge-stopping
@@ -610,7 +636,8 @@ def denoise_frame_cf(gbuf_cf, state: DenoiserStateCF, interpret: bool = False):
     new_packed = dk.reproject_accumulate(
         state.packed, curr, gbuf_cf.motion, gbuf_cf.view_z,
         interpret=interpret,
-        roughness=jnp.square(gbuf_cf.normal_roughness[3]))
+        roughness=jnp.square(gbuf_cf.normal_roughness[3]),
+        motion_spec=gbuf_cf.motion_spec)
     normal = _decode_oct_cf(gbuf_cf.normal_roughness)
     # a half-precision state also streams the DMA-bound a-trous window at
     # that precision (the shadow filter stays f32: its packed window
@@ -682,9 +709,12 @@ def _denoise_frame_pallas(gbuffer, height: int, width: int, state: DenoiserState
         )
     curr = reblur_prepass(jnp.concatenate([diffuse, specular], axis=0),
                           view_z, nr[..., 3])
+    mv_spec = (None if getattr(gbuffer, "motion_spec", None) is None
+               else cf(gbuffer.motion_spec, 2))
     new_packed = dk.reproject_accumulate(packed, curr, motion, view_z,
                                          interpret=interpret,
-                                         roughness=jnp.square(nr[..., 3]))
+                                         roughness=jnp.square(nr[..., 3]),
+                                         motion_spec=mv_spec)
 
     acc_d = new_packed[0:4]
     acc_s = new_packed[4:8]
@@ -883,7 +913,9 @@ def denoise_frame_sharded_cf(gbuf_cf, state: DenoiserStateCF, axis_name: str,
         packed_ext, zext(curr), zext(gbuf_cf.motion),
         jnp.pad(gbuf_cf.view_z, ((halo, halo), (0, 0))),
         interpret=interpret, row_offset=row0 - halo, global_h=global_h,
-        roughness=jnp.pad(jnp.square(sqrt_rough), ((halo, halo), (0, 0))))
+        roughness=jnp.pad(jnp.square(sqrt_rough), ((halo, halo), (0, 0))),
+        motion_spec=(None if gbuf_cf.motion_spec is None
+                     else zext(gbuf_cf.motion_spec)))
     new_packed = jax.lax.slice_in_dim(new_ext, halo, halo + rows, axis=1)
 
     normal = _decode_oct_cf(gbuf_cf.normal_roughness)
@@ -960,6 +992,8 @@ def denoise_frame_sharded(gbuffer, rows: int, width: int, state: DenoiserState,
         diffuse, specular, motion, view_z, state, packed_ext=packed_ext,
         halo=TEMPORAL_HALO, row0=row0, global_h=global_h,
         roughness=jnp.square(nr[..., 3]),
+        motion_spec=(None if getattr(gbuffer, "motion_spec", None) is None
+                     else img(gbuffer.motion_spec, 2)),
     )
 
     normal = _decode_oct(nr)
