@@ -354,13 +354,16 @@ def test_absorbing_mesh_glass_fused_thickness_matches_jnp():
                   direction=np.array([0.4, -1.0, 0.2]), intensity=0.7),
         LightData(type=LightType.AMBIENT, color=np.array([0.3, 0.3, 0.3, 1.0])),
     ]
-    flat = flatten_scene(scene, aspect=64 / 64, mesh_service=ms)
-    cfg = make_config(scene, 64, 64)
+    # 64x32 (one megakernel tile): interpret-mode time halves vs 64x64
+    # while every covered path (fused thickness, blocked-seed, Beer
+    # channel swaps) still fires
+    flat = flatten_scene(scene, aspect=64 / 32, mesh_service=ms)
+    cfg = make_config(scene, 64, 32)
     assert flat.mesh is not None
     assert cfg.any_absorption
 
-    ref = render_rows(flat, cfg, jnp.int32(0), 64)
-    pal = render_rows(flat, cfg, jnp.int32(0), 64, backend="pallas",
+    ref = render_rows(flat, cfg, jnp.int32(0), 32)
+    pal = render_rows(flat, cfg, jnp.int32(0), 32, backend="pallas",
                       interpret=True)
     r_ref = float(np.asarray(ref.rays))
     assert abs(float(np.asarray(pal.rays)) - r_ref) / r_ref < 2e-3
@@ -370,14 +373,17 @@ def test_absorbing_mesh_glass_fused_thickness_matches_jnp():
     # Absorption sanity: zeroing the absorption must brighten the glass —
     # the deferred Beer really fires (jnp oracle, cheap at this size).
     scene.objects[0].material.absorption = np.array([0.0, 0.0, 0.0])
-    flat0 = flatten_scene(scene, aspect=64 / 64, mesh_service=ms)
-    ref0 = render_rows(flat0, cfg, jnp.int32(0), 64)
+    flat0 = flatten_scene(scene, aspect=64 / 32, mesh_service=ms)
+    ref0 = render_rows(flat0, cfg, jnp.int32(0), 32)
     delta = np.asarray(ref0.color) - np.asarray(ref.color)
     assert float(delta.max()) > 0.01, "absorption had no effect on the render"
 
 
+@pytest.mark.nightly
 def test_shadow_fat_walk_bit_identical(monkeypatch):
     """The shadow fat-leaf walk (mesh_shadow_count_k RTVS_MK_SHADOW_FAT)
+    — OPT-IN machinery (default off), so its 2.5-minute interpret-mode
+    bit-identity run lives in the nightly tier.
     must be BIT-identical to the fine walk: a fat subtree test covers
     exactly the union of its leaves' real triangles (pad slots are inert
     degenerate triangles), a lane that misses an inner box cannot hit its
