@@ -44,9 +44,15 @@ def measure(eng, reps, batch):
 
 
 def main():
+    import jax
+
     out = {}
     for flag in (False, True):
         mk._PRECULL = flag
+        # _render_pipeline is a module-level jit and jit-of-jit caches
+        # traced jaxprs by avals — without clearing, the second flag
+        # setting would silently reuse the first build's kernels
+        jax.clear_caches()
         tag = "pre" if flag else "base"
 
         eng = canon_engine(spp=1, bounces=5)
