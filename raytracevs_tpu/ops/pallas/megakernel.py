@@ -91,6 +91,15 @@ _SHADOW_COUNT = os.environ.get("RTVS_MK_SHADOW_COUNT", "1") == "1"
 # loads. Kept opt-in (bit-identical, tests/test_shadow_fuse.py) for
 # scenes whose dominant lights are nearly co-located.
 _SHADOW_FUSE = os.environ.get("RTVS_MK_SHADOW_FUSE", "0") == "1"
+# Interleaved shadow walks (mesh_shadow_ilv_count_k): independent walks
+# advance in one while loop with SEPARATE node pointers — no union
+# steering, outputs bit-identical to sequential by construction; the
+# independent node-row loads pipeline each other's latency.
+# RTVS_MK_SHADOW_ILV: 0 = sequential walks, 1 = interleave the two
+# dominant lights per sample (pairwise), 2 = one walk group across ALL
+# samples x both lights (default).
+_SHADOW_ILV_MODE = int(os.environ.get("RTVS_MK_SHADOW_ILV", "2") or 0)
+_SHADOW_ILV = _SHADOW_ILV_MODE >= 1
 # Root-AABB walk preculling: a per-lane segment-vs-root-box slab test
 # OUTSIDE each mesh walk lets the whole tile SKIP the walk (scalar
 # lax.cond) when no lane's segment can touch the mesh. Exact by
@@ -869,6 +878,9 @@ def shadow_trace2_k(ks: KScene, o, dA, maxA, dB, maxB):
                 (mvA, mcA, moA), (mvB, mcB, moB) = mesh_shadow2_count_k(
                     km, o, dA, maxA, dB, maxB,
                     blockedA0=seedA, blockedB0=seedB)
+            elif _SHADOW_ILV and _SHADOW_COUNT and km.num_inst <= 8:
+                (mvA, mcA, moA), (mvB, mcB, moB) = mesh_shadow_ilv_count_k(
+                    km, o, [(dA, maxA, seedA), (dB, maxB, seedB)])
             else:
                 walk = (mesh_shadow_count_k
                         if _SHADOW_COUNT and km.num_inst <= 8
@@ -1170,8 +1182,16 @@ def _soft_shadow_k(ks, cfg, pos, nrm, active, lt, lp, lrad, lsamp, seed):
     if "shadow" in _DEBUG_DISABLE:  # perf-bisect kill switch: fully lit
         return _shadow_disabled_stub(pos[0].shape, seed)
     seed, state = _soft_shadow_setup(ks, cfg, pos, nrm, active, lt, lp, lrad, lsamp, seed)
-    traces = [shadow_trace_k(ks, state["origin"], td, tm)
-              for td, tm, _, _ in state["samples"]]
+    ilv_all = (_SHADOW_ILV_MODE >= 2 and _SHADOW_COUNT
+               and ks.mesh is not None and ks.mesh.num_inst <= 8
+               and len(state["samples"]) > 1)
+    if ilv_all:
+        traces = shadow_trace_multi_k(
+            ks, state["origin"],
+            [(td, tm) for td, tm, _, _ in state["samples"]])
+    else:
+        traces = [shadow_trace_k(ks, state["origin"], td, tm)
+                  for td, tm, _, _ in state["samples"]]
     visibility, penumbra, occluder, shadow_color, rays = _soft_shadow_accum(state, traces)
     return seed, visibility, penumbra, occluder, shadow_color, rays
 
@@ -1182,17 +1202,84 @@ def _soft_shadow_pair_k(ks, cfg, pos, nrm, a_args, b_args, seed):
     would (all of a's draws, then all of b's — bit-identical sample dirs),
     but sample s of light a and sample s of light b resolve through ONE
     fused mesh walk (shadow_trace2_k). Outputs are bit-identical to two
-    _soft_shadow_k calls; only the mesh walk count halves."""
+    _soft_shadow_k calls; only the mesh walk count halves.
+
+    With the interleaved count walk available (RTVS_MK_SHADOW_ILV=2,
+    <=8-instance mesh), ALL samples of BOTH lights resolve through one
+    interleaved walk group instead (shadow_trace_multi_k) — outputs stay
+    bit-identical (each walk is independent), while every walk's node-load
+    latency pipelines against the others'."""
     seed, st_a = _soft_shadow_setup(ks, cfg, pos, nrm, *a_args, seed)
     seed, st_b = _soft_shadow_setup(ks, cfg, pos, nrm, *b_args, seed)
-    tr_a, tr_b = [], []
-    for (da, ma, _, _), (db, mb, _, _) in zip(st_a["samples"], st_b["samples"]):
-        ra, rb = shadow_trace2_k(ks, st_a["origin"], da, ma, db, mb)
-        tr_a.append(ra)
-        tr_b.append(rb)
+    ilv_all = (_SHADOW_ILV_MODE >= 2 and _SHADOW_COUNT and not _SHADOW_FUSE
+               and ks.mesh is not None and ks.mesh.num_inst <= 8)
+    if ilv_all:
+        rays = []
+        for (da, ma, _, _), (db, mb, _, _) in zip(st_a["samples"],
+                                                  st_b["samples"]):
+            rays += [(da, ma), (db, mb)]
+        results = shadow_trace_multi_k(ks, st_a["origin"], rays)
+        tr_a = results[0::2]
+        tr_b = results[1::2]
+    else:
+        tr_a, tr_b = [], []
+        for (da, ma, _, _), (db, mb, _, _) in zip(st_a["samples"],
+                                                  st_b["samples"]):
+            ra, rb = shadow_trace2_k(ks, st_a["origin"], da, ma, db, mb)
+            tr_a.append(ra)
+            tr_b.append(rb)
     out_a = _soft_shadow_accum(st_a, tr_a)
     out_b = _soft_shadow_accum(st_b, tr_b)
     return seed, out_a, out_b
+
+
+def shadow_trace_multi_k(ks: KScene, o, rays):
+    """N same-origin shadow traces resolved through ONE interleaved mesh
+    walk group (mesh_shadow_ilv_count_k). Analytic prim tests stay per
+    ray (cheap static loops); outputs are bit-identical to N sequential
+    shadow_trace_k calls. rays: list of (direction, max_dist)."""
+    res_an = [_shadow_analytic_k(ks, o, d, m) for d, m in rays]
+    if ks.mesh is None or "mesh_shadow" in _DEBUG_DISABLE:
+        return [(v, c, x) for v, c, x, _ in res_an]
+    km = ks.mesh
+    nr = len(rays)
+    blk_is = [b.astype(I32) for _, _, _, b in res_an]
+    seeds = [bi if _SHADOW_SEED else None for bi in blk_is]
+
+    def run(_):
+        outs = mesh_shadow_ilv_count_k(
+            km, o, [(d, m, s) for (d, m), s in zip(rays, seeds)])
+        flat = []
+        for mv, mc, mo in outs:
+            flat += [mv, mc[0], mc[1], mc[2], mo]
+        return tuple(flat)
+
+    if _PRECULL:
+        lo, hi = _mesh_root_bb(km)
+        tmin = F32(C.RAY_TMIN)
+        need_l = None
+        for (d, m), bi in zip(rays, blk_is):
+            pre = _ray_aabb_k(o, _safe_inv(d), lo, hi, tmin, m)
+            p = (pre & (bi == 0)) if _SHADOW_SEED else pre
+            need_l = p if need_l is None else (need_l | p)
+        zero = o[0] * 0.0
+        one = 1.0 + zero
+        inf = zero + F32(C.NRD_FP16_MAX)
+
+        def skip(_):
+            return tuple([one, one, one, one, inf] * nr)
+
+        flat = jax.lax.cond(jnp.any(need_l), run, skip, 0)
+    else:
+        flat = run(0)
+    out = []
+    for r in range(nr):
+        vis, col, occ, _ = res_an[r]
+        mv = flat[5 * r]
+        mc = (flat[5 * r + 1], flat[5 * r + 2], flat[5 * r + 3])
+        mo = flat[5 * r + 4]
+        out.append((vis * mv, vmul(col, mc), jnp.minimum(occ, mo)))
+    return out
 
 
 def _select_dominant_k(ks, pos, nrm):
@@ -3433,6 +3520,141 @@ def mesh_shadow_count_k(km: KMesh, o, d, max_dist, blocked0=None):
 
 def izero_like(zero_f32):
     return zero_f32.astype(I32)
+
+
+def mesh_shadow_ilv_count_k(km: KMesh, o, rays):
+    """INTERLEAVED count-based shadow walks: N independent shadow rays'
+    walks (same per-lane origin, e.g. the dominant-light pair and/or the
+    per-light soft samples) advance in ONE while loop with SEPARATE node
+    pointers and separate steering — no union (the union-steered fusion
+    was falsified: divergent rays made shared visits pay every ray's
+    leaf tests). Each walk visits exactly its solo node sequence and
+    runs exactly its solo leaf tests, so outputs are bit-identical to N
+    sequential mesh_shadow_count_k walks BY CONSTRUCTION.
+
+    The win is latency pipelining: a solo walk is a pointer-chasing
+    chain (each iteration's dynamic node-row load feeds the AABB test
+    that picks the next node — nothing overlaps the load's ~90+ cycle
+    latency). Interleaved, each iteration issues N independent node
+    loads whose latencies hide behind each other's steering compute,
+    and the while-loop fixed cost is paid max(n_i) times instead of
+    sum(n_i). A finished walk parks its pointer at -1 (its loads clamp
+    to row 0, masked dead).
+
+    rays: list of (d, max_dist, blocked0-or-None) tuples.
+    Returns a list of (vis, color3, occ) per ray."""
+    shape = o[0].shape
+    zero = o[0] * 0.0
+    izero = zero.astype(I32)
+    tmin = F32(C.RAY_TMIN)
+    ni = km.num_inst
+    assert ni <= 8, "count walk requires <=8 instances (callers gate this)"
+    n_words = (ni + 3) // 4
+    nr = len(rays)
+    invs = [_safe_inv(d) for d, _, _ in rays]
+
+    opq = jnp.int32(0)
+    for i in range(ni):
+        row = km.inst_tbl[pl.ds(i, 1), :]
+        opq = opq | (jnp.where(row[0, 0] < 0.01, 1, 0).astype(jnp.int32) << i)
+
+    def cond(c):
+        live = c[0] >= 0
+        for r in range(1, nr):
+            live = live | (c[r] >= 0)
+        return live
+
+    def half_step(node, inv_d, d, max_dist, occ, blocked_i, cnts):
+        """One walk's iteration: node row, box test, leaf tests, next."""
+        live = node >= 0
+        (bb_lo, bb_hi, hit_next, miss_next, tri_start,
+         tri_count) = _node_row(km, jnp.maximum(node, 0))
+        lane_hit = _ray_aabb_k(o, inv_d, bb_lo, bb_hi, tmin, max_dist)
+        lane_hit = lane_hit & (blocked_i == 0)
+        any_hit = jnp.any(lane_hit) & live
+        is_leaf = tri_count > 0
+        lh_i = lane_hit.astype(I32)
+
+        def leaf_tests(carry, n_tests):
+            occ, blocked_i = carry[0], carry[1]
+            cnts = list(carry[2:])
+            g, exm = _leaf_rows(km, tri_start, extra=True)
+            for k in range(n_tests):
+                th, tt, _, _, _ = _tri_hit_plane_k(o, d, g, k, tmin, max_dist)
+                th = th & (lh_i != 0) & (k < tri_count)
+                th_i = th.astype(I32)
+                inst = _tg(exm, k, 9).astype(I32)
+                blocked_i = blocked_i | (th_i & ((opq >> inst) & 1))
+                if n_words == 1:
+                    cnts[0] = cnts[0] + (th_i << (inst * 8))
+                else:
+                    inc = th_i << ((inst & 3) * 8)
+                    hi = inst >= 4
+                    cnts[0] = cnts[0] + jnp.where(hi, 0, inc)
+                    cnts[1] = cnts[1] + jnp.where(hi, inc, 0)
+                occ = jnp.where(th, jnp.minimum(occ, tt), occ)
+            return (occ, blocked_i, *cnts)
+
+        leaf_now = any_hit & is_leaf
+        occ, blocked_i, *cnts = _leaf_dispatch(
+            leaf_now, tri_count, km.leaf_size, leaf_tests,
+            (occ, blocked_i, *cnts),
+        )
+        nxt = jnp.where(live, jnp.where(any_hit, hit_next, miss_next),
+                        jnp.int32(-1))
+        return nxt, occ, blocked_i, cnts
+
+    def body(c):
+        nodes = list(c[:nr])
+        occs = list(c[nr:2 * nr])
+        blks = list(c[2 * nr:3 * nr])
+        cnts = list(c[3 * nr:])
+        for r in range(nr):
+            d, max_dist, _ = rays[r]
+            nodes[r], occs[r], blks[r], cw = half_step(
+                nodes[r], invs[r], d, max_dist, occs[r], blks[r],
+                cnts[r * n_words:(r + 1) * n_words])
+            cnts[r * n_words:(r + 1) * n_words] = cw
+        return (*nodes, *occs, *blks, *cnts)
+
+    inf = zero + F32(C.NRD_FP16_MAX)
+    blk_inits = []
+    for _, _, b0 in rays:
+        bi = izero_like(zero)
+        if b0 is not None:
+            bi = bi | b0.astype(I32)
+        blk_inits.append(bi)
+    init = (*([jnp.int32(0)] * nr), *([inf] * nr), *blk_inits,
+            *([izero] * (nr * n_words)))
+    out = jax.lax.while_loop(cond, body, init)
+    occs = out[nr:2 * nr]
+    blks = out[2 * nr:3 * nr]
+    cnts = out[3 * nr:]
+
+    one = 1.0 + zero
+
+    def resolve(cnts_w, blk_i):
+        vis, cr, cg, cb = one, one, one, one
+        for i in range(ni):
+            word = cnts_w[i // 4]
+            n_i = (word >> ((i & 3) * 8)) & 255
+            row = km.inst_tbl[pl.ds(i, 1), :]
+            is_opq = (opq >> i) & 1
+            n_i = jnp.where(is_opq != 0, 0, n_i)
+            vis = vis * _pow_u8(row[0, 0], n_i, one)
+            cr = cr * _pow_u8(row[0, 4], n_i, one)
+            cg = cg * _pow_u8(row[0, 5], n_i, one)
+            cb = cb * _pow_u8(row[0, 6], n_i, one)
+        blocked = blk_i != 0
+        vis = jnp.where(blocked, 0.0, vis)
+        color = vwhere(blocked, vzeros(shape), (cr, cg, cb))
+        return vis, color
+
+    outs = []
+    for r in range(nr):
+        vis, color = resolve(cnts[r * n_words:(r + 1) * n_words], blks[r])
+        outs.append((vis, color, occs[r]))
+    return outs
 
 
 def mesh_shadow2_count_k(km: KMesh, o, dA, maxA, dB, maxB,

@@ -96,3 +96,34 @@ def test_fused_dual_light_walk_bit_identical(monkeypatch, opaque_mesh, h):
     c_seq, r_seq = _render(flat, cfg, monkeypatch, False)
     assert r_fused == r_seq
     np.testing.assert_array_equal(c_fused, c_seq)
+
+
+# The INTERLEAVED dual walk (separate node pointers, no union steering)
+# is DEFAULT-ON, so its bit-identity guard runs in the fast tier at the
+# smallest shape; nightly covers the opaque end-search case at full size.
+@pytest.mark.parametrize("opaque_mesh,h", [
+    pytest.param(False, 32, id="glass-fast"),
+    pytest.param(True, 64, id="opaque-full", marks=pytest.mark.nightly),
+])
+def test_interleaved_dual_walk_bit_identical(monkeypatch, opaque_mesh, h):
+    """Modes 1 (pairwise lights) and 2 (all samples x lights, the
+    default) both bit-match the sequential walks."""
+    from raytracevs_tpu.ops.pallas import megakernel as mk
+
+    flat, cfg = _mesh_scene(opaque_mesh=opaque_mesh, h=h)
+
+    def render(mode):
+        from raytracevs_tpu.ops.render import render_rows
+
+        monkeypatch.setattr(mk, "_SHADOW_FUSE", False)
+        monkeypatch.setattr(mk, "_SHADOW_ILV_MODE", mode)
+        monkeypatch.setattr(mk, "_SHADOW_ILV", mode >= 1)
+        out = render_rows(flat, cfg, jnp.int32(0), cfg.height,
+                          backend="pallas", interpret=True)
+        return np.asarray(out.color), float(np.asarray(out.rays))
+
+    c_seq, r_seq = render(0)
+    for mode in (1, 2):
+        c_ilv, r_ilv = render(mode)
+        assert r_ilv == r_seq, f"mode {mode}"
+        np.testing.assert_array_equal(c_ilv, c_seq, err_msg=f"mode {mode}")
