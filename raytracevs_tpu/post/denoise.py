@@ -208,7 +208,15 @@ def blur_radius_planes(frames, spec_hitdist, view_z, roughness):
     relative to depth (short hitdist = contact reflection = sharp) and
     sqrt(roughness) (a perfect mirror gets zero blur — minBlurRadius=0).
     Returns (r_diffuse [H,W], r_specular [H,W])."""
-    base = MAX_BLUR_RADIUS / jnp.sqrt(1.0 + frames)
+    # REBLUR's accumulation speed: radius shrinks ~1/(1+N) (the same
+    # 1/(1+frames) alpha the temporal accumulation uses), NOT 1/sqrt —
+    # sqrt left converged pixels with a stationary ~7 px blur that
+    # measurably smeared shadow boundaries on flat floors (no depth or
+    # normal edge stops there; ScreenShot comparison r5: our mirror-
+    # sphere shadow was one soft blob vs the reference's tight ellipse).
+    # At the 16-frame cap the radius is ~1.8 px, matching REBLUR's
+    # converged-history sharpness.
+    base = MAX_BLUR_RADIUS / (1.0 + frames)
     hd = jnp.maximum(spec_hitdist, 0.0)
     hd_factor = hd / (hd + 0.2 * jnp.maximum(view_z, C.VIEWZ_MIN) + 1e-6)
     r_spec = base * jnp.sqrt(jnp.clip(roughness, 0.0, 1.0)) * hd_factor
