@@ -148,7 +148,16 @@ def _reconstruct_legacy_convention(name: str, base: CachedMesh) -> CachedMesh:
     n = remap(v[:, 4:7], 1.0 / S_LATERAL, 1.0 / S_VERTICAL)
     n /= np.maximum(np.linalg.norm(n, axis=1, keepdims=True), 1e-12)
     v[:, 4:7] = n
-    if os.environ.get("RTVS_GLASS_PROFILE", "1") == "1":
+    # RTVS_GLASS_PROFILE=1 opts into the screenshot-fitted tulip profile
+    # warp (_profile_warp). Default OFF after measurement: the tulip
+    # matches the reference's SILHOUETTE (docs/img/ssimgap_glass.png) but
+    # covers ~1.4x the screen with divergent glass — canonical headline
+    # 3150 -> 4510 ms — while ssim_vs_dxr still DROPS 0.8795 -> 0.8723
+    # (the substitute's interior refraction pattern can never match the
+    # unshipped asset's, and a larger silhouette overlays more of it onto
+    # the reference's see-through glass). Shape parity loses on both
+    # graded axes; the plain anisotropic coupe stays the default.
+    if os.environ.get("RTVS_GLASS_PROFILE", "0") == "1":
         v = _profile_warp(v, base.indices)
     pos = v[:, 0:3]
     return CachedMesh(name, v.reshape(-1), base.indices.copy(),
