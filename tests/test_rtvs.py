@@ -161,3 +161,45 @@ def test_default_engine_keeps_canonical_wine_glass(sample_scene_path):
     rec = eng.mesh_service.get_mesh("WineGlass2")
     assert rec.bounds_min[2] < -9.0
     assert (rec.bounds_max[0] - rec.bounds_min[0]) < 6.0
+
+
+def test_glass_profile_warp_opt_in(monkeypatch):
+    """RTVS_GLASS_PROFILE=1 reshapes the WineGlass2 reconstruction to the
+    screenshot-measured tulip (bowl reaching down to ~28% height, belly
+    halfwidth ~1.84 local, rim ~1.43); default stays the plain coupe
+    (headline cost + ssim both measured worse with the tulip — see
+    io/mesh_cache.py). Guards the opt-in path against rot."""
+    import tempfile
+
+    import numpy as np
+
+    from raytracevs_tpu.io.mesh_cache import MeshCacheService
+
+    def profile(mesh):
+        v = np.asarray(mesh.vertices).reshape(-1, 8)
+        h = -v[:, 2]
+        r = np.hypot(v[:, 0], v[:, 1])
+        return h, r
+
+    monkeypatch.setenv("RTVS_GLASS_PROFILE", "1")
+    ms = MeshCacheService("/root/reference/Resource/Model",
+                          cache_dir=tempfile.mkdtemp())
+    ms.initialize()
+    h, r = profile(ms.get_mesh("WineGlass2"))
+    belly = r[(h > 5.5) & (h < 6.5)]
+    rim = r[h > 9.6]
+    bowl_low = r[(h > 3.0) & (h < 3.6)]
+    assert 1.7 < belly.max() < 2.0
+    assert 1.3 < rim.max() < 1.6
+    assert bowl_low.max() > 0.3  # the bowl reaches down (tulip, not coupe)
+    # normals stay unit
+    n = np.asarray(ms.get_mesh("WineGlass2").vertices).reshape(-1, 8)[:, 4:7]
+    np.testing.assert_allclose(np.linalg.norm(n, axis=1), 1.0, atol=1e-4)
+
+    monkeypatch.setenv("RTVS_GLASS_PROFILE", "0")
+    ms2 = MeshCacheService("/root/reference/Resource/Model",
+                          cache_dir=tempfile.mkdtemp())
+    ms2.initialize()
+    h2, r2 = profile(ms2.get_mesh("WineGlass2"))
+    # coupe: nothing wide below 40% height except the foot
+    assert r2[(h2 > 3.0) & (h2 < 4.0)].max() < 0.6
